@@ -1,0 +1,196 @@
+"""Named experiment presets reproducing the five shipped reference runs.
+
+The reference has no config system — every knob is a module-level constant
+edited per script (SURVEY §5.6). Each preset below captures one shipped
+(variant x dataset) combination exactly, with `file:line` provenance in the
+field comments. ``get(name)`` is the single entry point used by the trainer,
+CLI and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+GROUP_ORDER = ("coef", "phi", "z", "omega", "period")
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    name: str
+    variant: str  # "desmo" | "fourier" | "ae"
+    # --- data shape (from the shipped logs, SURVEY §2.1) ---
+    n: int
+    m: int
+    # --- model (SURVEY §2.5) ---
+    r: int
+    poly_order: int
+    omega_init: float = 10000.0
+    n_fourier: int = 0  # Fourier variant only
+    period_init: float = 0.0  # Fourier variant only
+    # --- loss (SURVEY §2.6) ---
+    beta: float = 1e-3  # orthogonality weight
+    l1_lambda: float = 1e-4  # sparsity weight
+    ae_beta: float = 0.0  # AE variant auxiliary reconstruction weight
+    # --- optimizer groups, order = GROUP_ORDER (CYL:592-612) ---
+    lr_coef: float = 1e-2
+    lr_phi: float = 1e-3
+    lr_z: float = 1e-2
+    lr_omega: float = 1e3
+    lr_period: float = 1e-2
+    # --- schedule (CYL:614, 776-778) ---
+    num_epochs: int = 100_000
+    patience: int = 1000
+    sched_factor: float = 0.1
+    sched_min_lr: float = 1e-6
+    sched_every: int = 1  # cylinder variants step the scheduler every 10 epochs
+    # --- bookkeeping ---
+    seed: int = 42
+    log_every: int = 10
+    checkpoint_every: int = 2000
+    # --- preprocessing (SURVEY §2.2) ---
+    scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
+    time_stride: int = 1  # channel subsamples every 2nd snapshot
+
+    @property
+    def group_lrs(self) -> tuple[float, ...]:
+        return (self.lr_coef, self.lr_phi, self.lr_z, self.lr_omega, self.lr_period)
+
+
+_PRESETS: dict[str, RunConfig] = {}
+
+
+def _register(cfg: RunConfig) -> RunConfig:
+    _PRESETS[cfg.name] = cfg
+    return cfg
+
+
+# DESMO/cylinder_flow/DESMO-Cylinder.py — n,m from DESMO.out:2; hypers at
+# CYL:333-334,583-584,699-701,614,776-778.
+CYLINDER = _register(
+    RunConfig(
+        name="cylinder",
+        variant="desmo",
+        n=3961,
+        m=1001,
+        r=4,
+        poly_order=3,
+        beta=1e-3,
+        l1_lambda=1e-4,
+        num_epochs=100_000,
+        patience=1000,
+        sched_every=10,
+    )
+)
+
+# DESMO/aneurysm/DESMO_ICA_norm.py:272-273,520,551,562-564,613 (+1/sqrt(m)
+# scaling at :143); 27000 = 30^3 voxels (DESMO/aneurysm/DESMO.out:2).
+ANEURYSM = _register(
+    RunConfig(
+        name="aneurysm",
+        variant="desmo",
+        n=27_000,
+        m=1000,
+        r=4,
+        poly_order=2,
+        beta=1e-3,
+        l1_lambda=1e-4,
+        num_epochs=100_000,
+        patience=200,
+        sched_every=1,
+        scale_inv_sqrt_m=True,
+    )
+)
+
+# DESMO/turbulent_channel/DESMO-TurbulentChannel.py:331-332,581,612,623-625,672;
+# 16384 = 128^2 slice; stride-2 subsample at :189.
+CHANNEL = _register(
+    RunConfig(
+        name="channel",
+        variant="desmo",
+        n=16_384,
+        m=1000,
+        r=4,
+        poly_order=2,
+        beta=1e-6,
+        l1_lambda=1e-4,
+        num_epochs=60_000,
+        patience=2000,
+        sched_every=1,
+        time_stride=2,
+    )
+)
+
+# DESMO_Fourier/cylinder_flow/DESMO-Cylinder.py:314-315,596-600,634,727-729,775-777.
+FOURIER_CYLINDER = _register(
+    RunConfig(
+        name="fourier_cylinder",
+        variant="fourier",
+        n=3961,
+        m=1001,
+        r=2,
+        poly_order=2,
+        n_fourier=10,
+        period_init=60.0,
+        beta=1e-3,
+        l1_lambda=1e-4,
+        num_epochs=90_000,
+        patience=1000,
+        sched_every=10,
+    )
+)
+
+# DESMO_Fourier/aneurysm/DESMOFourier_v2.py:267-268,622-624,655,753-755,803.
+FOURIER_ANEURYSM = _register(
+    RunConfig(
+        name="fourier_aneurysm",
+        variant="fourier",
+        n=27_000,
+        m=1000,
+        r=2,
+        poly_order=2,
+        n_fourier=30,
+        period_init=1000.0,
+        beta=1e-3,
+        l1_lambda=1e-4,
+        num_epochs=100_000,
+        patience=500,
+        sched_every=1,
+        scale_inv_sqrt_m=True,
+    )
+)
+
+# DESMO_AE/DESMO_Cylinder_AE-Final.py:775-777,784-811,849-852,915; seed 43
+# (:822-842). Omega LR is 1e2 and everything else 1e-2 in the AE run.
+AE_CYLINDER = _register(
+    RunConfig(
+        name="ae_cylinder",
+        variant="ae",
+        n=3961,
+        m=1001,
+        r=2,
+        poly_order=2,
+        beta=1e-3,
+        l1_lambda=1e-6,
+        ae_beta=1e-3,
+        lr_coef=1e-2,
+        lr_phi=1e-2,  # AE weights use the default group lr=1e-2
+        lr_z=1e-2,
+        lr_omega=1e2,
+        num_epochs=100_000,
+        patience=5000,
+        sched_every=1,
+        seed=43,
+    )
+)
+
+
+def get(name: str) -> RunConfig:
+    try:
+        return _PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(_PRESETS)}") from None
+
+
+def names() -> list[str]:
+    return sorted(_PRESETS)

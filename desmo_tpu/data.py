@@ -1,0 +1,102 @@
+"""Snapshot-matrix preprocessing transforms.
+
+Pure NumPy host-side functions mirroring the reference's L2 layer
+(``DESMO/cylinder_flow/DESMO-Cylinder.py:88-191``; SURVEY §2.2). The snapshot
+matrix convention throughout the framework is the reference's: ``X (n, m)``
+with rows = spatial degrees of freedom ((u, v[, w]) interleaved per point for
+vector fields) and columns = timesteps (``CYL:69-80``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "drop_third_component",
+    "to_magnitude",
+    "subtract_temporal_mean",
+    "interleave_components",
+    "subsample_time",
+    "scale_inv_sqrt_m",
+    "preprocess",
+]
+
+
+def drop_third_component(x: np.ndarray) -> np.ndarray:
+    """Remove the w-velocity rows (every 3rd row) for planar 2D cases.
+
+    Reference ``convert3Dto2D_data`` (``CYL:88-106``)."""
+    keep = np.ones(x.shape[0], dtype=bool)
+    keep[2::3] = False
+    return x[keep]
+
+
+def to_magnitude(x: np.ndarray, n_components: int) -> np.ndarray:
+    """Per-point velocity magnitude: (n_components*p, m) -> (p, m).
+
+    Reference ``convertToMagnitude`` (``CYL:109-133``): each snapshot column is
+    reshaped to (p, d) point-major and reduced to sqrt(sum of squares).
+    """
+    n, m = x.shape
+    if n % n_components:
+        raise ValueError(f"rows {n} not divisible by n_components {n_components}")
+    pts = x.reshape(n // n_components, n_components, m)
+    return np.sqrt(np.sum(pts * pts, axis=1))
+
+
+def subtract_temporal_mean(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Remove the row-wise temporal mean; returns (fluctuations, mean).
+
+    Reference ``subtract_mean`` (``CYL:136-149``)."""
+    mean = x.mean(axis=1)
+    return x - mean[:, None], mean
+
+
+def interleave_components(x: np.ndarray, n_components: int) -> np.ndarray:
+    """Re-order component-blocked rows into point-interleaved rows.
+
+    Reference ``RearrangeDataForTranspose`` (``DESMO_AE/...py:129-159``), used
+    for vector-valued (non-magnitude) training. Input rows are grouped
+    [all u; all v; ...]; output rows are [u1, v1, u2, v2, ...].
+    """
+    n, m = x.shape
+    p = n // n_components
+    return x.reshape(n_components, p, m).transpose(1, 0, 2).reshape(n, m)
+
+
+def subsample_time(x: np.ndarray, stride: int) -> np.ndarray:
+    """Keep every ``stride``-th snapshot (turbulent channel uses stride 2,
+    ``DESMO/turbulent_channel/DESMO-TurbulentChannel.py:189``)."""
+    return x[:, ::stride]
+
+
+def scale_inv_sqrt_m(x: np.ndarray) -> np.ndarray:
+    """Scale by 1/sqrt(m) — aneurysm normalization (``DESMO/aneurysm/
+    DESMO_ICA_norm.py:143``)."""
+    return x / np.sqrt(x.shape[1])
+
+
+def preprocess(
+    x: np.ndarray,
+    dim: int = 2,
+    magnitude: bool = True,
+    mean_subtract: bool = True,
+    time_stride: int = 1,
+    inv_sqrt_m: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """The reference's standard preprocessing pipeline, flag-for-flag
+    (``CYL:171-187``). Returns (X, temporal mean or None)."""
+    if dim == 2 and x.shape[0] % 3 == 0:
+        x = drop_third_component(x)
+    if time_stride > 1:
+        x = subsample_time(x, time_stride)
+    if magnitude:
+        x = to_magnitude(x, dim)
+    mean = None
+    if mean_subtract:
+        x, mean = subtract_temporal_mean(x)
+    if inv_sqrt_m:
+        # the reference scales X but returns the *unscaled* mean
+        # (DESMO/aneurysm/DESMO_ICA_norm.py:143-147)
+        x = scale_inv_sqrt_m(x)
+    return np.ascontiguousarray(x, dtype=np.float32), mean

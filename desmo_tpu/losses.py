@@ -1,0 +1,47 @@
+"""Loss terms for DESMO training.
+
+Composite objective (``DESMO/cylinder_flow/DESMO-Cylinder.py:713-733``):
+
+    total = MSE(recon, X) + beta * ortho(latent) + l1_lambda * L1(coefs)
+
+* MSE over all (m*n) entries.
+* ortho = sum over mode pairs i<j of |phi_i . phi_j| — the reference computes
+  ``torch.norm(latent[:, i] @ latent[:, j].T, p='fro')`` of a *scalar* dot
+  product, i.e. its absolute value (``CYL:717-720``). We compute the Gram
+  matrix once and sum |off-diagonal| of the upper triangle — identical value,
+  one GEMM instead of r(r-1)/2 dots.
+* L1 over the sparsity coefficients only (c and the 3r trig scalars), NOT over
+  z or omega (``CYL:725-731``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mse(recon_nm: jnp.ndarray, x_nm: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over the full (n, m) snapshot matrix."""
+    d = recon_nm - x_nm
+    return jnp.mean(d * d)
+
+
+def orthogonality(latent_nr: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Sum of |pairwise dot products| between effective modes (i < j)."""
+    gram = jnp.dot(latent_nr.T, latent_nr, precision=precision)  # (r, r)
+    r = gram.shape[0]
+    iu = jnp.triu(jnp.ones((r, r), dtype=bool), k=1)
+    return jnp.sum(jnp.where(iu, jnp.abs(gram), 0.0))
+
+
+def sparsity_l1(params: dict) -> jnp.ndarray:
+    """L1 norm of the sparsity coefficients (c plus all trig coefficients)."""
+    total = jnp.sum(jnp.abs(params["c"]))
+    if "c_trig" in params:
+        total = total + jnp.sum(jnp.abs(params["c_trig"]))
+    return total
+
+
+def relative_frobenius_error(x_nm: jnp.ndarray, recon_nm: jnp.ndarray) -> jnp.ndarray:
+    """``||X - Xhat||_F / ||X||_F`` — the reference's headline metric (``CYL:1029``)."""
+    return jnp.linalg.norm(x_nm - recon_nm) / jnp.linalg.norm(x_nm)
