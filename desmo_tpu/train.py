@@ -130,6 +130,9 @@ def fit(
     train_chunk = make_train_chunk(loss_fn, group_of, cfg)
     if state is None:
         state = init_state(params, cfg)
+    # train_chunk donates its state buffers; copy so the caller's params /
+    # resume state stay alive after fit() returns.
+    state = jax.tree.map(jnp.array, state)
     batch = jax.tree.map(jnp.asarray, batch)
 
     histories: list[dict] = []

@@ -1,0 +1,98 @@
+"""End-to-end training: the compiled loop must converge on synthetic data."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from desmo_tpu import configs, losses, pod, train
+from desmo_tpu.io import synthetic
+from desmo_tpu.models import desmo
+
+
+def small_cfg(**kw):
+    base = dict(
+        name="test",
+        variant="desmo",
+        n=96,
+        m=64,
+        r=2,
+        poly_order=2,
+        omega_init=1.0,
+        lr_omega=1.0,  # omega_init is O(1) here, unlike the 1e4 presets
+        beta=1e-3,
+        l1_lambda=1e-5,
+        num_epochs=2000,
+        patience=500,
+        sched_every=10,
+        log_every=100,
+        checkpoint_every=10_000,
+    )
+    base.update(kw)
+    return configs.RunConfig(**base)
+
+
+def make_problem(cfg):
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=cfg.r, seed=0)
+    x = x - x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, cfg.r)
+    spec = desmo.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+    params = desmo.init_params(spec)
+    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    loss_fn = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    return x, spec, params, batch, loss_fn
+
+
+def test_fit_reduces_loss_and_beats_pod():
+    cfg = small_cfg()
+    x, spec, params, batch, loss_fn = make_problem(cfg)
+    res = train.fit(
+        loss_fn, desmo.param_groups(params), cfg, params, batch, log=None, chunk_size=500
+    )
+    hist = res.history
+    assert set(hist) >= {"rec", "ortho", "l1", "total"}
+    assert len(hist["rec"]) == cfg.num_epochs
+    assert hist["rec"][-1] < hist["rec"][0] * 1e-2
+    # reconstruction should approach the (exactly rank-2, library-representable)
+    # truth closely
+    recon, _, _ = desmo.apply(res.state.params, batch["pod_modes"], spec)
+    err = float(losses.relative_frobenius_error(batch["x"], recon))
+    assert err < 0.15, err
+
+
+def test_fit_resume_matches_uninterrupted():
+    """Chunked + checkpoint-resumed training is bit-identical to one run."""
+    cfg = small_cfg(num_epochs=100, sched_every=1, patience=10)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    groups = desmo.param_groups(params)
+
+    res_full = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=100)
+
+    res_a = train.fit(
+        loss_fn, groups, cfg, params, batch, num_epochs=40, log=None, chunk_size=40
+    )
+    res_b = train.fit(
+        loss_fn,
+        groups,
+        cfg,
+        None,
+        batch,
+        num_epochs=60,
+        log=None,
+        chunk_size=60,
+        state=res_a.state,
+    )
+    for k in res_full.state.params:
+        np.testing.assert_array_equal(
+            np.asarray(res_full.state.params[k]), np.asarray(res_b.state.params[k])
+        )
+    assert int(res_b.state.epoch) == 100
+
+
+def test_scheduler_reduces_lr_during_training():
+    cfg = small_cfg(num_epochs=300, patience=5, sched_every=1)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    res = train.fit(
+        loss_fn, desmo.param_groups(params), cfg, params, batch, log=None, chunk_size=300
+    )
+    lrs = np.asarray(res.state.sched.lrs)
+    assert (lrs <= np.asarray(cfg.group_lrs, np.float32) * (1 + 1e-6)).all()
