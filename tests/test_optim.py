@@ -59,7 +59,7 @@ def test_adamax_per_group_lrs():
     wt = torch.nn.Parameter(torch.tensor(w0.copy()))
     vt = torch.nn.Parameter(torch.tensor(v0.copy()))
     opt = torch.optim.Adamax(
-        [{"params": [wt], "lr": 1e-2}, {"params": [vt], "lr": 1e3}], weight_decay=0.0
+        [{"params": [wt], "lr": 1e-2}, {"params": [vt], "lr": 2.0}], weight_decay=0.0
     )
     for _ in range(20):
         opt.zero_grad()
@@ -69,7 +69,7 @@ def test_adamax_per_group_lrs():
 
     params = {"w": jnp.asarray(w0), "v": jnp.asarray(v0)}
     state = optim.adamax_init(params)
-    lr_tree = {"w": jnp.float32(1e-2), "v": jnp.float32(1e3)}
+    lr_tree = {"w": jnp.float32(1e-2), "v": jnp.float32(2.0)}
 
     def loss_fn(p):
         return jnp.sum(p["w"] ** 2) + jnp.sum(jnp.sin(p["v"]))
@@ -80,7 +80,7 @@ def test_adamax_per_group_lrs():
         params = jax.tree.map(lambda p, u: p + u, params, upd)
 
     np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(params["v"]), vt.detach().numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params["v"]), vt.detach().numpy(), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("patience", [0, 2, 5])
