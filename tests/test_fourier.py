@@ -1,0 +1,135 @@
+"""Fourier-temporal variant vs. a straightforward NumPy series oracle."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from desmo_tpu import checkpoint, configs, train
+from desmo_tpu.models import desmo, fourier
+from oracles import pool_data_oracle
+
+
+def fourier_series_oracle(t, period, coeffs):
+    """Direct loop transcription of the series definition (spec: a0 + sum
+    a_n cos(2 pi n t / T) + b_n sin(2 pi n t / T), coeffs [a0,a1,b1,...])."""
+    n_terms = (len(coeffs) - 1) // 2
+    out = coeffs[0] * np.ones_like(t)
+    for n in range(1, n_terms + 1):
+        out = out + coeffs[2 * n - 1] * np.cos(2 * np.pi * n * t / period)
+        out = out + coeffs[2 * n] * np.sin(2 * np.pi * n * t / period)
+    return out
+
+
+def random_params(spec, rng):
+    T = spec.num_poly_terms
+    ncoef = 2 * spec.n_fourier + 1
+    return {
+        "phi": jnp.asarray(rng.standard_normal((spec.r, spec.n)), jnp.float32),
+        "c": jnp.asarray(rng.standard_normal(T), jnp.float32),
+        "z": jnp.asarray(rng.standard_normal((T, ncoef)), jnp.float32),
+        "period": jnp.asarray(rng.uniform(20, 80, T), jnp.float32),
+        "z_trig": jnp.asarray(rng.standard_normal((3, spec.r, ncoef)), jnp.float32),
+        "trig_period": jnp.asarray(rng.uniform(20, 80, (3, spec.r)), jnp.float32),
+        "c_trig": jnp.asarray(rng.standard_normal((3, spec.r)), jnp.float32),
+        "omega": jnp.asarray(rng.uniform(0.5, 3.0, (3, spec.r)), jnp.float32),
+    }
+
+
+def test_t_points_endpoint_included():
+    t = fourier.t_points(5)
+    np.testing.assert_allclose(t, [0.0, 1.25, 2.5, 3.75, 5.0])
+
+
+def test_series_batch_matches_oracle():
+    rng = np.random.default_rng(0)
+    coeffs = rng.standard_normal((7, 9)).astype(np.float32)
+    period = rng.uniform(10, 100, 7).astype(np.float32)
+    t = fourier.t_points(33)
+    got = np.asarray(fourier.fourier_series_batch(jnp.asarray(coeffs), jnp.asarray(period), jnp.asarray(t)))
+    for c in range(7):
+        expect = fourier_series_oracle(t.astype(np.float64), float(period[c]), coeffs[c].astype(np.float64))
+        np.testing.assert_allclose(got[c], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_param_counts_match_reference():
+    # 8,204 (F-cylinder) and 54,762 (F-aneurysm) per BASELINE.md "Model sizes"
+    s1 = fourier.FourierSpec(n=3961, m=1001, r=2, poly_order=2, n_fourier=10)
+    assert desmo.count_params(fourier.init_params(s1)) == 8_204
+    s2 = fourier.FourierSpec(n=27_000, m=1000, r=2, poly_order=2, n_fourier=30)
+    assert desmo.count_params(fourier.init_params(s2)) == 54_762
+
+
+def test_forward_matches_composed_oracle():
+    rng = np.random.default_rng(1)
+    spec = fourier.FourierSpec(n=19, m=13, r=2, poly_order=2, n_fourier=3)
+    params = random_params(spec, rng)
+    pod_modes = jnp.asarray(rng.standard_normal((spec.n, spec.r)), jnp.float32)
+
+    recon, latent, z = fourier.apply(params, pod_modes, spec)
+
+    # oracle: materialize z's then reuse the plain-DESMO contraction oracle
+    t = fourier.t_points(spec.m).astype(np.float64)
+    pp = {k: np.asarray(v, np.float64) for k, v in params.items()}
+    latent_o = np.asarray(pod_modes, np.float64) * pp["phi"].T
+    theta = pool_data_oracle(latent_o, spec.r, spec.poly_order)
+    z_o = np.stack([fourier_series_oracle(t, pp["period"][i], pp["z"][i]) for i in range(pp["z"].shape[0])])
+    recon_o = (pp["c"][None, :] * theta) @ z_o
+    funcs = [np.sin, np.cos, np.tanh]
+    for i in range(spec.r):
+        for k in range(3):
+            zt = fourier_series_oracle(t, pp["trig_period"][k, i], pp["z_trig"][k, i])
+            spatial = funcs[k](pp["omega"][k, i] * latent_o[:, i])
+            recon_o += pp["c_trig"][k, i] * np.outer(spatial, zt)
+
+    np.testing.assert_allclose(np.asarray(latent), latent_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), z_o, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), recon_o, rtol=1e-3, atol=1e-3)
+
+
+def test_state_dict_roundtrip_fourier():
+    rng = np.random.default_rng(2)
+    spec = fourier.FourierSpec(n=9, m=7, r=2, poly_order=2, n_fourier=2)
+    params = {k: np.asarray(v) for k, v in random_params(spec, rng).items()}
+    sd = checkpoint.state_dict_from_params(params, "fourier")
+    assert "period_list.0" in sd and sd["period_list.0"].shape == (1,)
+    assert "trig_period_list.5" in sd
+    back = checkpoint.params_from_state_dict(sd, "fourier")
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]), params[k], rtol=1e-6)
+
+
+def test_fourier_training_converges():
+    rng = np.random.default_rng(3)
+    n, m, r = 64, 48, 2
+    spec = fourier.FourierSpec(n=n, m=m, r=r, poly_order=2, omega_init=1.0, n_fourier=4, period_init=float(m))
+    # periodic data: exactly representable by the model's series
+    t = fourier.t_points(m)
+    s = np.linspace(0, 2 * np.pi, n)
+    x = np.outer(np.sin(s), np.sin(2 * np.pi * 2 * t / m)) + 0.5 * np.outer(
+        np.cos(s), np.cos(2 * np.pi * 3 * t / m)
+    )
+    x = (x - x.mean(axis=1, keepdims=True)).astype(np.float32)
+    from desmo_tpu import pod as pod_mod
+
+    p = pod_mod.pod(x, r)
+    params = fourier.init_params(spec)
+    cfg = configs.RunConfig(
+        name="t",
+        variant="fourier",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=2,
+        lr_omega=1.0,
+        num_epochs=1500,
+        patience=400,
+        sched_every=10,
+        log_every=1000,
+        checkpoint_every=10_000,
+    )
+    loss_fn = fourier.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    res = train.fit(
+        loss_fn, fourier.param_groups(params), cfg, params, batch, log=None, chunk_size=500
+    )
+    assert res.history["rec"][-1] < res.history["rec"][0] * 1e-2
