@@ -30,7 +30,7 @@ def cylinder_wake(
     """
     rng = np.random.default_rng(seed)
     s = np.linspace(0.0, 8.0 * np.pi, n)
-    envelope = np.exp(-(((s - s.mean()) / (0.35 * s.ptp())) ** 2))
+    envelope = np.exp(-(((s - s.mean()) / (0.35 * np.ptp(s))) ** 2))
     t = np.linspace(0.0, 20.0 * np.pi, m)
     x = np.zeros((n, m))
     w = 1.0

@@ -1,0 +1,9 @@
+"""Multi-device scaling over a JAX device mesh."""
+
+from desmo_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    batch_shardings,
+    state_shardings,
+    shard_batch,
+    shard_state,
+)
