@@ -26,6 +26,35 @@ def mse(recon_nm: jnp.ndarray, x_nm: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(d * d)
 
 
+def factored_mse(
+    a_nk: jnp.ndarray,
+    b_km: jnp.ndarray,
+    x_nm: jnp.ndarray,
+    x_sq: jnp.ndarray | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``mean((A @ B - X)^2)`` without ever materializing the (n, m) product.
+
+    Uses ``||AB||_F^2 = <A^T A, B B^T>`` and ``<AB, X> = <A^T X, B>``: every
+    intermediate is (n, K), (K, m) or (K, K) with K = T + 3r ~ 50, so the
+    training step's HBM traffic drops from O(n*m) writes+reads to a single
+    read of X. Autodiff of this expression yields exactly the normal-equation
+    gradients ``2/nm (A B B^T - X B^T)`` / ``2/nm (A^T A B - A^T X)`` — again
+    GEMM-shaped with no (n, m) intermediate. This is the main reason the TPU
+    step is ~memory-speed-of-light rather than recon-materialization-bound.
+
+    ``x_sq``: precomputed ``sum(X*X)`` (X is constant across the training
+    loop; passing it saves one full read of X per step).
+    """
+    ga = jnp.dot(a_nk.T, a_nk, precision=precision)  # (K, K)
+    gb = jnp.dot(b_km, b_km.T, precision=precision)  # (K, K)
+    ax = jnp.dot(a_nk.T, x_nm, precision=precision)  # (K, m)
+    if x_sq is None:
+        x_sq = jnp.sum(x_nm * x_nm)
+    sq = jnp.sum(ga * gb) - 2.0 * jnp.sum(ax * b_km) + x_sq
+    return sq / (x_nm.shape[0] * x_nm.shape[1])
+
+
 def orthogonality(latent_nr: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Sum of |pairwise dot products| between effective modes (i < j)."""
     gram = jnp.dot(latent_nr.T, latent_nr, precision=precision)  # (r, r)

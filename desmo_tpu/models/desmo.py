@@ -143,19 +143,29 @@ def apply(
     return recon, latent, params["z"]
 
 
-def build_loss(spec: DesmoSpec, beta: float, l1_lambda: float):
+def build_loss(spec: DesmoSpec, beta: float, l1_lambda: float, method: str = "factored"):
     """Composite training loss closure for the main DESMO model.
 
-    ``batch = {'x': X (n, m), 'pod_modes': (n, r)}``. Returns
-    ``(total, {'rec','ortho','l1'})`` matching ``CYL:713-733``.
+    ``batch = {'x': X (n, m), 'pod_modes': (n, r)[, 'x_sq': sum(X*X)]}``.
+    Returns ``(total, {'rec','ortho','l1'})`` matching ``CYL:713-733``.
+
+    method='factored' (default) computes the reconstruction MSE through Gram
+    products without materializing the (n, m) reconstruction — identical value
+    up to fp32 rounding (tested), several times less HBM traffic per step.
+    method='direct' materializes the reconstruction like the reference.
     """
     from desmo_tpu import losses
 
     factors = spec.factor_table()
 
     def loss_fn(params: Params, batch: dict):
-        recon, latent, _ = apply(params, batch["pod_modes"], spec, factors)
-        rec = losses.mse(recon, batch["x"])
+        if method == "factored":
+            A, latent = spatial_dictionary(params, batch["pod_modes"], factors)
+            B = temporal_matrix(params)
+            rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))
+        else:
+            recon, latent, _ = apply(params, batch["pod_modes"], spec, factors)
+            rec = losses.mse(recon, batch["x"])
         ortho = losses.orthogonality(latent)
         l1 = losses.sparsity_l1(params)
         total = rec + beta * ortho + l1_lambda * l1

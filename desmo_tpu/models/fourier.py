@@ -124,7 +124,7 @@ def apply(
     return recon, latent, z
 
 
-def build_loss(spec: FourierSpec, beta: float, l1_lambda: float):
+def build_loss(spec: FourierSpec, beta: float, l1_lambda: float, method: str = "factored"):
     """Same composite objective as plain DESMO (``...py:760-790``)."""
     from desmo_tpu import losses
 
@@ -132,8 +132,13 @@ def build_loss(spec: FourierSpec, beta: float, l1_lambda: float):
     t = jnp.asarray(t_points(spec.m))
 
     def loss_fn(params: Params, batch: dict):
-        recon, latent, _ = apply(params, batch["pod_modes"], spec, factors, t)
-        rec = losses.mse(recon, batch["x"])
+        A, latent = desmo_model.spatial_dictionary(params, batch["pod_modes"], factors)
+        z, z_trig = temporal_values(params, t)
+        B = jnp.concatenate([z, z_trig.reshape(-1, z.shape[-1])], axis=0)
+        if method == "factored":
+            rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))
+        else:
+            rec = losses.mse(jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST), batch["x"])
         ortho = losses.orthogonality(latent)
         l1 = losses.sparsity_l1(params)
         total = rec + beta * ortho + l1_lambda * l1

@@ -98,6 +98,32 @@ def test_loss_matches_oracle():
     assert np.isclose(float(total), total_o, rtol=1e-4)
 
 
+def test_factored_loss_matches_direct():
+    rng = np.random.default_rng(7)
+    spec = desmo.DesmoSpec(n=200, m=150, r=4, poly_order=3)
+    params = random_params(spec, rng)
+    # keep magnitudes realistic (masks near 1, modest z) to avoid fp blowup
+    params["phi"] = 1.0 + 0.1 * params["phi"]
+    pod_modes = jnp.asarray(
+        rng.standard_normal((spec.n, spec.r)) / np.sqrt(spec.n), jnp.float32
+    )
+    x = jnp.asarray(rng.standard_normal((spec.n, spec.m)), jnp.float32)
+    batch = {"x": x, "pod_modes": pod_modes}
+    direct = desmo.build_loss(spec, 1e-3, 1e-4, method="direct")
+    fact = desmo.build_loss(spec, 1e-3, 1e-4, method="factored")
+    td, md = direct(params, batch)
+    tf, mf = fact(params, batch)
+    assert np.isclose(float(md["rec"]), float(mf["rec"]), rtol=1e-4)
+    assert np.isclose(float(td), float(tf), rtol=1e-4)
+    # gradients agree too
+    gd = jax.grad(lambda p: direct(p, batch)[0])(params)
+    gf = jax.grad(lambda p: fact(p, batch)[0])(params)
+    for k in gd:
+        np.testing.assert_allclose(
+            np.asarray(gd[k]), np.asarray(gf[k]), rtol=2e-3, atol=2e-4, err_msg=k
+        )
+
+
 def test_loss_is_differentiable_everywhere():
     rng = np.random.default_rng(3)
     spec = desmo.DesmoSpec(n=13, m=7, r=2, poly_order=3)

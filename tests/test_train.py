@@ -88,6 +88,43 @@ def test_fit_resume_matches_uninterrupted():
     assert int(res_b.state.epoch) == 100
 
 
+def test_flat_chunk_matches_pytree_step():
+    """The packed-buffer compiled chunk must be numerically equivalent to
+    scanning the readable pytree step."""
+    import jax
+
+    cfg = small_cfg(num_epochs=50, sched_every=1, patience=5)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    groups = desmo.param_groups(params)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    step = train.make_epoch_step(loss_fn, groups, cfg)
+    state_ref = train.init_state(params, cfg)
+    for _ in range(50):
+        state_ref, m_ref = step(state_ref, batch)
+
+    chunk = train.make_train_chunk(loss_fn, groups, cfg)
+    state_fast = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    state_fast, metrics = chunk(state_fast, batch, num_steps=50)
+
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(state_ref.params[k]),
+            np.asarray(state_fast.params[k]),
+            rtol=2e-5,
+            atol=1e-6,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        float(m_ref["total"]), float(np.asarray(metrics["total"])[-1]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_ref.sched.lrs), np.asarray(state_fast.sched.lrs), rtol=1e-6
+    )
+    assert int(state_fast.epoch) == 50
+    assert int(state_fast.opt.count) == 50
+
+
 def test_scheduler_reduces_lr_during_training():
     cfg = small_cfg(num_epochs=300, patience=5, sched_every=1)
     _, spec, params, batch, loss_fn = make_problem(cfg)
