@@ -1,0 +1,230 @@
+"""Sparsification and interpretability: term energies, threshold sweeps,
+greedy pruning, symbolic reporting (reference L7, SURVEY §2.7).
+
+Every candidate term contributes a rank-1 space-time field
+``c_t * theta_t(x) z_t(s)^T``; its "energy" is that field's Frobenius norm
+(``DESMO/cylinder_flow/DESMO-Cylinder.py:624-692``, ``poly_norm`` /
+``nonlinear_norm``). Because the field is rank-1 the norm factorizes:
+
+    ||c * (u v^T)||_F = |c| * ||u||_2 * ||v||_2
+
+so all T + 3r energies are column norms — no (n, m) outer products, unlike
+the reference which materializes one (n, m) field per term.
+
+Sweeps zero the sparsity coefficients (c / c_trig) whose term energy falls
+below a threshold, re-infer, and report relative error + nonzero term count
+(``CYL:1184-1307``). Greedy pruning (turbulent channel,
+``DESMO/turbulent_channel/DESMO-TurbulentChannel.py:1166-1245``) removes terms
+one at a time in ascending-energy order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desmo_tpu import library, losses
+from desmo_tpu.models import desmo as desmo_model
+from desmo_tpu.models import fourier as fourier_model
+
+
+@dataclasses.dataclass(frozen=True)
+class TermEnergies:
+    poly: np.ndarray  # (T,)
+    trig: np.ndarray  # (3, r) kind-major (sin, cos, tanh)
+
+    def interleaved_trig(self) -> np.ndarray:
+        """Reference ordering: sin(phi1), cos(phi1), tanh(phi1), sin(phi2)...
+        (the order ``nonlinear_norm`` appends, ``CYL:687-689``)."""
+        return np.asarray(self.trig).T.reshape(-1)
+
+
+def _temporal_blocks(params: dict, spec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(z (T, m), z_trig (3, r, m)) with Fourier series materialized if needed."""
+    if "period" in params:  # Fourier variant
+        t = jnp.asarray(fourier_model.t_points(spec.m))
+        return fourier_model.temporal_values(params, t)
+    return params["z"], params["z_trig"]
+
+
+def term_energies(params: dict, pod_modes_or_latent, spec) -> TermEnergies:
+    """Energies for every candidate term of a trained model.
+
+    ``pod_modes_or_latent``: (n, r) POD modes for the desmo/fourier variants
+    (masks are applied here), or the already-computed latent modes for the AE
+    variant (pass ``latent`` and a params dict without 'phi').
+    """
+    if "phi" in params:
+        latent = desmo_model.effective_modes(params, jnp.asarray(pod_modes_or_latent))
+    else:
+        latent = jnp.asarray(pod_modes_or_latent)
+    factors = library.factor_table(latent.shape[1], spec.poly_order)
+    theta = library.eval_library(latent, factors)  # (n, T)
+    z, z_trig = _temporal_blocks(params, spec)
+    poly = (
+        jnp.abs(params["c"])
+        * jnp.linalg.norm(theta, axis=0)
+        * jnp.linalg.norm(z, axis=1)
+    )
+    basis = desmo_model.trig_basis(latent, params["omega"])  # (3, r, n)
+    trig = (
+        jnp.abs(params["c_trig"])
+        * jnp.linalg.norm(basis, axis=2)
+        * jnp.linalg.norm(z_trig, axis=2)
+    )
+    return TermEnergies(poly=np.asarray(poly), trig=np.asarray(trig))
+
+
+def zero_below_threshold(params: dict, energies: TermEnergies, threshold: float) -> dict:
+    """Zero sparsity coefficients whose term energy < threshold (``CYL:1228-1238``)."""
+    out = dict(params)
+    out["c"] = jnp.where(jnp.asarray(energies.poly) < threshold, 0.0, params["c"])
+    out["c_trig"] = jnp.where(jnp.asarray(energies.trig) < threshold, 0.0, params["c_trig"])
+    return out
+
+
+def nonzero_terms(params: dict) -> int:
+    """Count of surviving terms (``CYL:1260-1265``)."""
+    return int(np.sum(np.asarray(params["c"]) != 0)) + int(
+        np.sum(np.asarray(params["c_trig"]) != 0)
+    )
+
+
+def default_thresholds(lo: float = 4.0, hi: float = -3.0, step: float = -0.5) -> np.ndarray:
+    """``10^-i for i in arange(lo, hi, step)`` — the cylinder sweep grid
+    (``CYL:1213``); Fourier runs use wider grids (arange(6,-5) / (5,-5))."""
+    return np.asarray([10.0 ** (-i) for i in np.arange(lo, hi, step)])
+
+
+@dataclasses.dataclass
+class SweepEntry:
+    threshold: float
+    error: float
+    nonzero_terms: int
+
+
+def _recon_error_fn(spec, variant: str):
+    """Jitted relative-error evaluator shared across sweep points."""
+
+    if variant == "fourier":
+        def recon(params, batch):
+            r, _, _ = fourier_model.apply(params, batch["pod_modes"], spec)
+            return r
+    elif variant == "ae":
+        from desmo_tpu.models import autoencoder as ae_model
+
+        def recon(params, batch):
+            r, _, _, _ = ae_model.apply(params, batch["x"], spec)
+            return r
+    else:
+        def recon(params, batch):
+            r, _, _ = desmo_model.apply(params, batch["pod_modes"], spec)
+            return r
+
+    @jax.jit
+    def err(params, batch):
+        return losses.relative_frobenius_error(batch["x"], recon(params, batch))
+
+    return err
+
+
+def threshold_sweep(
+    params: dict,
+    batch: dict,
+    spec,
+    variant: str = "desmo",
+    thresholds: Optional[Sequence[float]] = None,
+    energies: Optional[TermEnergies] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> list[SweepEntry]:
+    """Reproduce the reference's threshold table (``CYL:1217-1307``)."""
+    if thresholds is None:
+        thresholds = default_thresholds()
+    if energies is None:
+        modes = batch.get("pod_modes")
+        if variant == "ae":
+            from desmo_tpu.models import autoencoder as ae_model
+
+            modes, _ = ae_model.encode_decode(params, jnp.asarray(batch["x"]))
+        energies = term_energies(params, modes, spec)
+    err_fn = _recon_error_fn(spec, variant)
+    results = []
+    for threshold in thresholds:
+        pruned = zero_below_threshold(params, energies, float(threshold))
+        error = float(err_fn(pruned, batch))
+        count = nonzero_terms(pruned)
+        results.append(SweepEntry(float(threshold), error, count))
+        if log is not None:
+            log(f"Threshold: {threshold}, Error: {error:.6f}, Nonzero Terms: {count}")
+    if log is not None:
+        log("\nSummary of Results:")
+        log(f"{'Threshold':<10} {'Error':<15} {'Nonzero Terms':<15}")
+        for e in results:
+            log(f"{e.threshold:<10.1e} {e.error:<15.6f} {e.nonzero_terms:<15}")
+    return results
+
+
+def greedy_prune(
+    params: dict,
+    batch: dict,
+    spec,
+    variant: str = "desmo",
+    energies: Optional[TermEnergies] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> list[SweepEntry]:
+    """Remove terms one at a time in ascending-energy order, re-inferring at
+    each step (channel script, ``...TurbulentChannel.py:1166-1245``).
+    Entry k of the result has the k lowest-energy terms removed."""
+    if energies is None:
+        energies = term_energies(params, batch.get("pod_modes"), spec)
+    order = []  # (energy, kind, index)
+    for t, e in enumerate(energies.poly):
+        order.append((float(e), "poly", t))
+    r = energies.trig.shape[1]
+    for i in range(r):
+        for k in range(3):
+            order.append((float(energies.trig[k, i]), "trig", (k, i)))
+    order.sort(key=lambda x: x[0])
+
+    err_fn = _recon_error_fn(spec, variant)
+    results = []
+    c0 = np.asarray(params["c"]).copy()
+    ct0 = np.asarray(params["c_trig"]).copy()
+    for step in range(len(order) + 1):
+        c = c0.copy()
+        ct = ct0.copy()
+        for _, kind, idx in order[:step]:
+            if kind == "poly":
+                c[idx] = 0.0
+            else:
+                ct[idx] = 0.0
+        pruned = dict(params, c=jnp.asarray(c), c_trig=jnp.asarray(ct))
+        error = float(err_fn(pruned, batch))
+        count = nonzero_terms(pruned)
+        results.append(SweepEntry(float(step), error, count))
+        if log is not None:
+            log(f"Step: {step}, Error: {error:.6f}, Nonzero Terms: {count}")
+    return results
+
+
+def describe_nonzero_terms(params: dict, spec, var: str = "phi") -> list[tuple[str, float]]:
+    """Symbolic (name, coefficient) pairs for surviving terms — the
+    interpretability dump (``...TurbulentChannel.py:1268-1302``)."""
+    r = params["c_trig"].shape[1]
+    names = library.poly_term_names(r, spec.poly_order, var)
+    out = []
+    c = np.asarray(params["c"])
+    for t, name in enumerate(names):
+        if c[t] != 0:
+            out.append((name, float(c[t])))
+    ct = np.asarray(params["c_trig"])
+    tnames = library.trig_term_names(r, var)
+    for j, name in enumerate(tnames):
+        k, i = divmod(j, r)
+        if ct[k, i] != 0:
+            out.append((name, float(ct[k, i])))
+    return out
