@@ -1,0 +1,131 @@
+"""Command-line interface: ``python -m desmo_tpu <command>``.
+
+The reference has no CLI — each experiment is a script edited by hand and
+launched via SLURM (SURVEY §2.10, §5.6). Here the five shipped configurations
+are named presets:
+
+    python -m desmo_tpu run --preset cylinder --synthetic --epochs 2000
+    python -m desmo_tpu run --preset aneurysm --data-dir /data/ICA_data --array velocity --location cell
+    python -m desmo_tpu presets
+    python -m desmo_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def cmd_presets(_args) -> int:
+    from desmo_tpu import configs
+
+    for name in configs.names():
+        cfg = configs.get(name)
+        print(
+            f"{name:18s} variant={cfg.variant:8s} n={cfg.n:6d} m={cfg.m:5d} "
+            f"r={cfg.r} P={cfg.poly_order} epochs={cfg.num_epochs}"
+        )
+    return 0
+
+
+def cmd_run(args) -> int:
+    from desmo_tpu import configs, runner
+
+    cfg = configs.get(args.preset)
+    overrides = {}
+    if args.epochs is not None:
+        overrides["num_epochs"] = args.epochs
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    x, mesh = runner.load_data(
+        cfg,
+        data_dir=args.data_dir,
+        filename=args.filename,
+        extension=args.extension,
+        array=args.array,
+        location=args.location,
+        t_start=args.t_start,
+        t_end=args.t_end,
+        npz_path=args.npz,
+        synthetic=args.synthetic,
+        dim=args.dim,
+    )
+    artifacts = runner.run(
+        cfg,
+        x,
+        out_dir=args.out_dir,
+        make_figures=not args.no_figures,
+        mesh=mesh,
+        resume_from=args.resume,
+    )
+    summary = {
+        "preset": cfg.name,
+        "relative_error": artifacts.relative_error,
+        "pod_error_r": artifacts.pod_error_r,
+        "pod_error_2r": artifacts.pod_error_2r,
+        "steps_per_sec": artifacts.steps_per_sec,
+        "out_dir": artifacts.out_dir,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def cmd_import_pt(args) -> int:
+    """Inspect / convert a PyTorch checkpoint (reference or ours)."""
+    from desmo_tpu import checkpoint
+
+    sd = checkpoint.load_pt(args.path)
+    for k in sorted(sd):
+        print(f"{k:32s} {tuple(sd[k].shape)}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="desmo_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("presets", help="list named experiment presets")
+
+    p_run = sub.add_parser("run", help="train a preset end to end")
+    p_run.add_argument("--preset", required=True)
+    p_run.add_argument("--data-dir", default=None, help="directory of VTK snapshots")
+    p_run.add_argument("--filename", default="velocity_", help="snapshot basename")
+    p_run.add_argument("--extension", default=".vtu")
+    p_run.add_argument("--array", default="velocity", help="VTK array name")
+    p_run.add_argument("--location", default="point", choices=["point", "cell"])
+    p_run.add_argument("--t-start", type=int, default=0)
+    p_run.add_argument("--t-end", type=int, default=None)
+    p_run.add_argument("--npz", default=None, help="npz file with key 'X' instead of VTK")
+    p_run.add_argument("--synthetic", action="store_true", help="generate synthetic data")
+    p_run.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    p_run.add_argument("--epochs", type=int, default=None, help="override preset epochs")
+    p_run.add_argument("--out-dir", default="./runs")
+    p_run.add_argument("--resume", default=None, help="state_*.npz checkpoint to resume")
+    p_run.add_argument("--no-figures", action="store_true")
+
+    sub.add_parser("bench", help="run the throughput benchmark")
+
+    p_pt = sub.add_parser("inspect-pt", help="list arrays in a .pt checkpoint")
+    p_pt.add_argument("path")
+
+    args = parser.parse_args(argv)
+    return {
+        "presets": cmd_presets,
+        "run": cmd_run,
+        "bench": cmd_bench,
+        "inspect-pt": cmd_import_pt,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,8 +80,11 @@ def init_params(spec: AESpec, seed: int = 43, dtype=jnp.float32) -> Params:
             "z": jnp.ones((T, spec.m), dtype),
             "z_trig": jnp.ones((3, spec.r, spec.m), dtype),
             "c_trig": jnp.ones((3, spec.r), dtype),
-            # omega[k, i]: sin->1e4, cos->1e3, tanh->1e2 for both modes
-            "omega": jnp.asarray([[1e4, 1e4], [1e3, 1e3], [1e2, 1e2]], dtype),
+            # omega[k, i]: sin->1e4, cos->1e3, tanh->1e2 for both modes at the
+            # reference's omega_init=1e4; the 1 : 0.1 : 0.01 channel ratio is
+            # preserved for other omega_init values
+            "omega": (spec.omega_init / 1e4)
+            * jnp.asarray([[1e4, 1e4], [1e3, 1e3], [1e2, 1e2]], dtype),
         }
     )
     return params

@@ -1,0 +1,246 @@
+"""End-to-end experiment runner: the framework equivalent of one reference
+script's linear pipeline (read -> preprocess -> POD -> train -> sparsify ->
+report; SURVEY §0), driven by a `configs.RunConfig` preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from desmo_tpu import checkpoint, configs, data as data_mod, losses, pod, sparsify, train
+from desmo_tpu.logging_utils import MetricsLogger
+from desmo_tpu.models import autoencoder as ae_model
+from desmo_tpu.models import desmo as desmo_model
+from desmo_tpu.models import fourier as fourier_model
+
+
+@dataclasses.dataclass
+class RunArtifacts:
+    config: configs.RunConfig
+    state: train.TrainState
+    history: dict
+    relative_error: float
+    pod_error_r: float
+    pod_error_2r: float
+    steps_per_sec: float
+    sweep: list
+    out_dir: str
+
+
+def load_data(
+    cfg: configs.RunConfig,
+    data_dir: Optional[str] = None,
+    filename: str = "velocity_",
+    extension: str = ".vtu",
+    array: str = "velocity",
+    location: str = "point",
+    t_start: int = 0,
+    t_end: Optional[int] = None,
+    npz_path: Optional[str] = None,
+    synthetic: bool = False,
+    dim: int = 2,
+):
+    """Produce the preprocessed snapshot matrix X (n, m) from VTK series, an
+    npz file (key 'X'), or the synthetic generator."""
+    if synthetic:
+        from desmo_tpu.io import synthetic as synth
+
+        return synth.cylinder_wake(cfg.n, cfg.m, seed=cfg.seed), None
+    if npz_path is not None:
+        with np.load(npz_path) as d:
+            x = d["X"].astype(np.float32)
+        mesh = None
+    elif data_dir is not None:
+        from desmo_tpu.io import vtk as vio
+
+        x, mesh = vio.read_snapshot_series(
+            data_dir,
+            filename,
+            t_start,
+            t_end if t_end is not None else t_start + cfg.m * cfg.time_stride,
+            extension=extension,
+            array=array,
+            location=location,
+        )
+    else:
+        raise ValueError("provide data_dir, npz_path, or synthetic=True")
+    x, _mean = data_mod.preprocess(
+        x,
+        dim=dim,
+        magnitude=True,
+        mean_subtract=True,
+        time_stride=cfg.time_stride,
+        inv_sqrt_m=cfg.scale_inv_sqrt_m,
+    )
+    return x, mesh if data_dir is not None else None
+
+
+def build_model(cfg: configs.RunConfig):
+    """(spec, init_params, build_loss, param_groups) for the config's variant."""
+    if cfg.variant == "fourier":
+        spec = fourier_model.FourierSpec(
+            cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init, cfg.n_fourier, cfg.period_init
+        )
+        params = fourier_model.init_params(spec)
+        loss_fn = fourier_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+        groups = fourier_model.param_groups(params)
+    elif cfg.variant == "ae":
+        spec = ae_model.AESpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+        params = ae_model.init_params(spec, seed=cfg.seed)
+        loss_fn = ae_model.build_loss(spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta)
+        groups = ae_model.param_groups(params)
+    else:
+        spec = desmo_model.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+        params = desmo_model.init_params(spec)
+        loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+        groups = desmo_model.param_groups(params)
+    return spec, params, loss_fn, groups
+
+
+def reconstruct(params: dict, batch: dict, spec, variant: str) -> jnp.ndarray:
+    if variant == "fourier":
+        return fourier_model.apply(params, batch["pod_modes"], spec)[0]
+    if variant == "ae":
+        return ae_model.apply(params, batch["x"], spec)[0]
+    return desmo_model.apply(params, batch["pod_modes"], spec)[0]
+
+
+def run(
+    cfg: configs.RunConfig,
+    x: np.ndarray,
+    out_dir: str = "./runs",
+    num_epochs: Optional[int] = None,
+    make_figures: bool = True,
+    mesh=None,
+    resume_from: Optional[str] = None,
+    echo: bool = True,
+) -> RunArtifacts:
+    """Train + sparsify + report, mirroring the reference pipeline end to end."""
+    cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
+    out_dir = os.path.join(out_dir, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    spec, params, loss_fn, groups = build_model(cfg)
+
+    p = pod.pod(x, cfg.r)
+    p2 = pod.pod(x, 2 * cfg.r)
+    xd = jnp.asarray(x)
+    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if cfg.variant != "ae":
+        batch["pod_modes"] = p.modes
+
+    state = None
+    if resume_from:
+        template = train.init_state(params, cfg)
+        state = checkpoint.load_state(resume_from, template)
+
+    logger = MetricsLogger(out_dir, cfg.name, echo=echo)
+
+    def ckpt(state, epoch):
+        checkpoint.save_state(os.path.join(out_dir, f"state_epoch{epoch}.npz"), state)
+        checkpoint.save_pt(
+            os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_epoch{epoch}.pt"),
+            _to_state_dict(state.params, cfg.variant),
+        )
+
+    def log_line(line):
+        print(line, flush=True)
+
+    n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    result = train.fit(
+        loss_fn,
+        groups,
+        cfg,
+        params,
+        batch,
+        num_epochs=n_epochs,
+        log=log_line if echo else None,
+        checkpoint_fn=ckpt,
+        state=state,
+    )
+    for i in range(0, n_epochs, cfg.log_every):
+        logger.log_epoch(i, n_epochs, {k: v[i] for k, v in result.history.items()})
+    logger.close()
+
+    recon = reconstruct(result.state.params, batch, spec, cfg.variant)
+    err = float(losses.relative_frobenius_error(xd, recon))
+    err_pod = pod.pod_relative_error(x, p)
+    err_pod2 = pod.pod_relative_error(x, p2)
+    if echo:
+        # same comparison block as CYL:1029-1040
+        print(f"DESMO error with {cfg.r} modes: {err}")
+        print(f"POD error with {cfg.r} modes: {err_pod}")
+        print(f"POD error with {2 * cfg.r} modes: {err_pod2}")
+
+    sweep = sparsify.threshold_sweep(
+        result.state.params,
+        batch,
+        spec,
+        variant=cfg.variant,
+        log=print if echo else None,
+    )
+
+    if make_figures:
+        from desmo_tpu import viz
+
+        fig_dir = os.path.join(out_dir, "figures")
+        points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
+        grid_shape = None
+        plane = None
+        if mesh is not None and mesh.dimensions is not None:
+            dims = tuple(d for d in mesh.dimensions if d > 1)
+            grid_shape = dims
+            plane = dims[-1] // 2 if len(dims) == 3 else None
+            points = None
+        viz.loss_curve(result.history, os.path.join(fig_dir, "loss.png"))
+        if cfg.variant == "ae":
+            latent, _ = ae_model.encode_decode(result.state.params, xd)
+        else:
+            latent = desmo_model.effective_modes(result.state.params, batch["pod_modes"])
+        viz.mode_fields(
+            np.asarray(latent),
+            np.asarray(result.state.params["omega"]),
+            os.path.join(fig_dir, "modes.png"),
+            points=points,
+            grid_shape=grid_shape,
+            plane=plane,
+        )
+        viz.true_vs_predicted(
+            x,
+            np.asarray(recon),
+            timestep=min(300, cfg.m - 1),
+            path=os.path.join(fig_dir, "reconstruction.png"),
+            points=points,
+            grid_shape=grid_shape,
+            plane=plane,
+            pod_recon=np.asarray(p.reconstruction),
+        )
+        viz.pod_spectrum(np.asarray(p2.singular_values), os.path.join(fig_dir, "pod_spectrum.png"))
+        viz.sweep_curve(sweep, os.path.join(fig_dir, "sweep.png"))
+
+    final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
+    checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))
+    checkpoint.save_state(os.path.join(out_dir, "state_final.npz"), result.state)
+
+    return RunArtifacts(
+        config=cfg,
+        state=result.state,
+        history=result.history,
+        relative_error=err,
+        pod_error_r=err_pod,
+        pod_error_2r=err_pod2,
+        steps_per_sec=result.steps_per_sec,
+        sweep=sweep,
+        out_dir=out_dir,
+    )
+
+
+def _to_state_dict(params: dict, variant: str) -> dict:
+    if variant == "ae":
+        return ae_model.state_dict_from_params(params)
+    return checkpoint.state_dict_from_params(params, variant)

