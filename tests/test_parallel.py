@@ -1,0 +1,112 @@
+"""Multi-device sharding: 8-way CPU mesh must match single-device numerics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from desmo_tpu import configs, pod, train
+from desmo_tpu.io import synthetic
+from desmo_tpu.models import desmo
+from desmo_tpu.parallel import make_mesh, shard_batch, shard_state
+
+
+def problem(n=128, m=64, r=2):
+    cfg = configs.RunConfig(
+        name="par",
+        variant="desmo",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=2,
+        omega_init=1.0,
+        lr_omega=1.0,
+        num_epochs=60,
+        patience=20,
+        sched_every=1,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, r)
+    spec = desmo.DesmoSpec(n, m, r, 2, 1.0)
+    params = desmo.init_params(spec)
+    loss_fn = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    return cfg, spec, params, loss_fn, batch
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def run_chunk(cfg, params, loss_fn, batch, mesh=None, steps=60):
+    chunk = train.make_train_chunk(loss_fn, desmo.param_groups(params), cfg)
+    state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    if mesh is not None:
+        state = shard_state(state, mesh, cfg.m)
+        batch = shard_batch(batch, mesh)
+    state, metrics = chunk(state, batch, num_steps=steps)
+    return state, {k: np.asarray(v) for k, v in metrics.items()}
+
+
+def test_space_mesh_matches_single_device():
+    cfg, spec, params, loss_fn, batch = problem()
+    s1, m1 = run_chunk(cfg, params, loss_fn, batch, mesh=None)
+    mesh = make_mesh(n_space=8, n_time=1)
+    s8, m8 = run_chunk(cfg, params, loss_fn, batch, mesh=mesh)
+    np.testing.assert_allclose(m1["total"], m8["total"], rtol=5e-4, atol=1e-6)
+    for k in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[k]), np.asarray(s8.params[k]), rtol=5e-3, atol=5e-5, err_msg=k
+        )
+
+
+def test_space_time_mesh_matches_single_device():
+    cfg, spec, params, loss_fn, batch = problem()
+    s1, m1 = run_chunk(cfg, params, loss_fn, batch, mesh=None)
+    mesh = make_mesh(n_space=4, n_time=2)
+    s42, m42 = run_chunk(cfg, params, loss_fn, batch, mesh=mesh)
+    np.testing.assert_allclose(m1["total"], m42["total"], rtol=5e-4, atol=1e-6)
+
+
+def test_batch_actually_sharded():
+    cfg, spec, params, loss_fn, batch = problem()
+    mesh = make_mesh(n_space=8, n_time=1)
+    sharded = shard_batch(batch, mesh)
+    x = sharded["x"]
+    assert len(x.sharding.device_set) == 8
+    # each device holds 1/8 of the rows
+    shard = next(iter(x.addressable_shards))
+    assert shard.data.shape[0] == cfg.n // 8
+
+
+def test_state_sharding_specs():
+    cfg, spec, params, loss_fn, batch = problem()
+    mesh = make_mesh(n_space=8, n_time=1)
+    state = shard_state(jax.tree.map(jnp.array, train.init_state(params, cfg)), mesh, cfg.m)
+    phi_shard = next(iter(state.params["phi"].addressable_shards))
+    assert phi_shard.data.shape == (cfg.r, cfg.n // 8)
+    # scheduler state replicated
+    assert len(state.sched.lrs.sharding.device_set) == 8
+    lrs_shard = next(iter(state.sched.lrs.addressable_shards))
+    assert lrs_shard.data.shape == state.sched.lrs.shape
+
+
+def test_fit_under_mesh_context():
+    """fit() composes with pre-sharded inputs (sharding propagates)."""
+    cfg, spec, params, loss_fn, batch = problem()
+    mesh = make_mesh(n_space=8, n_time=1)
+    batch_sh = shard_batch(batch, mesh)
+    res = train.fit(
+        loss_fn,
+        desmo.param_groups(params),
+        cfg,
+        params,
+        batch_sh,
+        num_epochs=30,
+        log=None,
+        chunk_size=30,
+    )
+    assert np.isfinite(res.history["total"]).all()
