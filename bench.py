@@ -29,7 +29,10 @@ def main() -> None:
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     p = pod.pod(x, cfg.r)
     params = desmo.init_params(spec)
-    loss_fn = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    loss_fn = desmo.build_loss(
+        spec, cfg.beta, cfg.l1_lambda,
+        method="fused" if jax.default_backend() == "tpu" else "factored",
+    )
     xd = jnp.asarray(x)
     batch = {"x": xd, "pod_modes": p.modes, "x_sq": jnp.sum(xd * xd)}
 

@@ -48,6 +48,9 @@ class RunConfig:
     seed: int = 42
     log_every: int = 10
     checkpoint_every: int = 2000
+    # --- loss evaluation path: 'auto' = Pallas-fused on TPU, factored Gram
+    # products elsewhere; 'direct' materializes the (n, m) reconstruction ---
+    loss_method: str = "auto"
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
     time_stride: int = 1  # channel subsamples every 2nd snapshot

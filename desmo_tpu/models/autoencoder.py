@@ -39,6 +39,7 @@ from desmo_tpu.models import desmo as desmo_model
 
 Params = dict[str, jnp.ndarray]
 
+
 ENCODER_WIDTHS = (256, 128, 64, 16, 8, 4)  # hidden layers; latent r follows
 
 
@@ -162,7 +163,14 @@ def build_loss(spec: AESpec, beta: float, l1_lambda: float, ae_beta: float, meth
         latent, ae_rec = encode_decode(params, x)
         A = _dictionary(params, latent, spec, factors)
         B = desmo_model.temporal_matrix(params)
-        if method == "factored":
+        if method == "fused":
+            from desmo_tpu.pallas import factored_mse_fused
+
+            x_sq = batch.get("x_sq")
+            if x_sq is None:
+                x_sq = jnp.sum(x * x)
+            rec = factored_mse_fused(A, B, x, x_sq, jax.default_backend() != "tpu")
+        elif method == "factored":
             rec = losses.factored_mse(A, B, x, batch.get("x_sq"))
         else:
             rec = losses.mse(jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST), x)

@@ -44,6 +44,7 @@ from desmo_tpu.models import desmo as desmo_model
 Params = dict[str, jnp.ndarray]
 
 
+
 @dataclasses.dataclass(frozen=True)
 class FourierSpec(desmo_model.DesmoSpec):
     n_fourier: int = 10
@@ -135,7 +136,16 @@ def build_loss(spec: FourierSpec, beta: float, l1_lambda: float, method: str = "
         A, latent = desmo_model.spatial_dictionary(params, batch["pod_modes"], factors)
         z, z_trig = temporal_values(params, t)
         B = jnp.concatenate([z, z_trig.reshape(-1, z.shape[-1])], axis=0)
-        if method == "factored":
+        if method == "fused":
+            from desmo_tpu.pallas import factored_mse_fused
+
+            x_sq = batch.get("x_sq")
+            if x_sq is None:
+                x_sq = jnp.sum(batch["x"] * batch["x"])
+            rec = factored_mse_fused(
+                A, B, batch["x"], x_sq, jax.default_backend() != "tpu"
+            )
+        elif method == "factored":
             rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))
         else:
             rec = losses.mse(jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST), batch["x"])

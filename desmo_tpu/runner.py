@@ -81,24 +81,33 @@ def load_data(
     return x, mesh if data_dir is not None else None
 
 
+def resolve_loss_method(cfg: configs.RunConfig) -> str:
+    if cfg.loss_method != "auto":
+        return cfg.loss_method
+    import jax
+
+    return "fused" if jax.default_backend() == "tpu" else "factored"
+
+
 def build_model(cfg: configs.RunConfig):
     """(spec, init_params, build_loss, param_groups) for the config's variant."""
+    method = resolve_loss_method(cfg)
     if cfg.variant == "fourier":
         spec = fourier_model.FourierSpec(
             cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init, cfg.n_fourier, cfg.period_init
         )
         params = fourier_model.init_params(spec)
-        loss_fn = fourier_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+        loss_fn = fourier_model.build_loss(spec, cfg.beta, cfg.l1_lambda, method=method)
         groups = fourier_model.param_groups(params)
     elif cfg.variant == "ae":
         spec = ae_model.AESpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
         params = ae_model.init_params(spec, seed=cfg.seed)
-        loss_fn = ae_model.build_loss(spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta)
+        loss_fn = ae_model.build_loss(spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta, method=method)
         groups = ae_model.param_groups(params)
     else:
         spec = desmo_model.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
         params = desmo_model.init_params(spec)
-        loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+        loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda, method=method)
         groups = desmo_model.param_groups(params)
     return spec, params, loss_fn, groups
 
