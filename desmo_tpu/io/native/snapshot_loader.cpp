@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -148,21 +149,18 @@ std::vector<char> decode_vtu(const std::vector<char> &blob,
     uint64_t nbytes = load_uint(p, header_size);
     return std::vector<char>(p + header_size, p + header_size + nbytes);
   }
+  // header layout: [nblocks, block_size, last_block_size, csize_0..]
   uint64_t nblocks = load_uint(p, header_size);
+  uint64_t block_size = load_uint(p + header_size, header_size);
+  uint64_t last_size = load_uint(p + 2 * header_size, header_size);
   std::vector<char> out;
   const char *cursor_p = p + (3 + nblocks) * header_size;
   for (uint64_t b = 0; b < nblocks; ++b) {
-    uint64_t raw_len = load_uint(p + header_size * (1 + (b == nblocks - 1 ? 1 : 0)),
-                                 header_size);
-    // header layout: [nblocks, block_size, last_block_size, csize_0..]
-    uint64_t block_size = load_uint(p + header_size, header_size);
-    uint64_t last_size = load_uint(p + 2 * header_size, header_size);
     uint64_t dst = (b == nblocks - 1 && last_size != 0) ? last_size : block_size;
     uint64_t csize = load_uint(p + (3 + b) * header_size, header_size);
     auto chunk = zlib_inflate(cursor_p, csize, dst);
     out.insert(out.end(), chunk.begin(), chunk.end());
     cursor_p += csize;
-    (void)raw_len;
   }
   return out;
 }
