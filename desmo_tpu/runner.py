@@ -57,17 +57,26 @@ def load_data(
             x = d["X"].astype(np.float32)
         mesh = None
     elif data_dir is not None:
-        from desmo_tpu.io import vtk as vio
+        from desmo_tpu.io import native, vtk as vio
 
-        x, mesh = vio.read_snapshot_series(
-            data_dir,
-            filename,
-            t_start,
-            t_end if t_end is not None else t_start + cfg.m * cfg.time_stride,
-            extension=extension,
-            array=array,
-            location=location,
-        )
+        stop = t_end if t_end is not None else t_start + cfg.m * cfg.time_stride
+        x = None
+        if native.available():
+            try:
+                x = native.read_snapshot_series_native(
+                    data_dir, filename, t_start, stop,
+                    extension=extension, array=array, location=location,
+                )
+                # mesh (geometry for viz) still comes from one Python read
+                sep = "" if data_dir.endswith("/") else "/"
+                mesh = vio.read_mesh(f"{data_dir}{sep}{filename}{t_start}{extension}")
+            except RuntimeError:
+                x = None  # unsupported sub-format: fall back to Python reader
+        if x is None:
+            x, mesh = vio.read_snapshot_series(
+                data_dir, filename, t_start, stop,
+                extension=extension, array=array, location=location,
+            )
     else:
         raise ValueError("provide data_dir, npz_path, or synthetic=True")
     x, _mean = data_mod.preprocess(

@@ -75,6 +75,33 @@ def test_run_resume(tmp_path):
     assert int(art2.state.epoch) == 200
 
 
+def test_load_data_from_vtk_dir(tmp_path):
+    """load_data over a VTK directory: native fast path and Python fallback
+    must agree after preprocessing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_vtk_io import _vtu_appended_raw
+
+    rng = np.random.default_rng(0)
+    m = 6
+    for i in range(m):
+        v = rng.standard_normal((10, 3))
+        (tmp_path / f"velocity_{i}.vtu").write_bytes(_vtu_appended_raw(v, True))
+    cfg = dataclasses.replace(tiny_cfg(), m=m)
+    x, mesh = runner.load_data(
+        cfg,
+        data_dir=str(tmp_path),
+        array="velocity",
+        location="cell",
+        t_end=m,
+        dim=3,
+    )
+    # magnitude of a 3-vector field with mean subtracted: (10, m)
+    assert x.shape == (10, m)
+    assert np.allclose(x.mean(axis=1), 0.0, atol=1e-6)
+
+
 def test_cli_presets_and_run(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
