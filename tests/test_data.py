@@ -1,0 +1,71 @@
+"""Preprocessing transforms vs. the documented reference behavior."""
+
+import numpy as np
+
+from desmo_tpu import data
+
+
+def test_drop_third_component():
+    x = np.arange(9 * 4, dtype=float).reshape(9, 4)
+    out = data.drop_third_component(x)
+    assert out.shape == (6, 4)
+    np.testing.assert_array_equal(out[0], x[0])
+    np.testing.assert_array_equal(out[1], x[1])
+    np.testing.assert_array_equal(out[2], x[3])  # row 2 (w) dropped
+    np.testing.assert_array_equal(out[3], x[4])
+
+
+def test_to_magnitude_2d_and_3d():
+    rng = np.random.default_rng(0)
+    for d in (2, 3):
+        pts, m = 7, 5
+        x = rng.standard_normal((pts * d, m))
+        out = data.to_magnitude(x, d)
+        assert out.shape == (pts, m)
+        # check one entry by hand
+        expect = np.sqrt(sum(x[0 * d + c, 2] ** 2 for c in range(d)))
+        assert np.isclose(out[0, 2], expect)
+
+
+def test_subtract_temporal_mean():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((10, 20))
+    out, mean = data.subtract_temporal_mean(x)
+    np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-12)
+    np.testing.assert_allclose(mean, x.mean(axis=1))
+
+
+def test_interleave_components():
+    # blocked [u1 u2; v1 v2] -> interleaved [u1 v1 u2 v2]
+    x = np.array([[1.0], [2.0], [10.0], [20.0]])
+    out = data.interleave_components(x, 2)
+    np.testing.assert_array_equal(out[:, 0], [1.0, 10.0, 2.0, 20.0])
+
+
+def test_subsample_and_scale():
+    x = np.arange(4 * 10, dtype=float).reshape(4, 10)
+    assert data.subsample_time(x, 2).shape == (4, 5)
+    scaled = data.scale_inv_sqrt_m(x)
+    np.testing.assert_allclose(scaled, x / np.sqrt(10))
+
+
+def test_preprocess_pipeline_2d():
+    rng = np.random.default_rng(2)
+    pts, m = 8, 6
+    x = rng.standard_normal((pts * 3, m))  # 3D input, w dropped for dim=2
+    out, mean = data.preprocess(x, dim=2, magnitude=True, mean_subtract=True)
+    assert out.shape == (pts, m)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-6)
+
+
+def test_preprocess_inv_sqrt_m_leaves_mean_unscaled():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((9, 8)) + 5.0  # nonzero mean
+    out, mean = data.preprocess(
+        x, dim=3, magnitude=True, mean_subtract=True, inv_sqrt_m=True
+    )
+    mags = data.to_magnitude(x, 3)
+    np.testing.assert_allclose(mean, mags.mean(axis=1), rtol=1e-6)
+    expect = (mags - mags.mean(axis=1, keepdims=True)) / np.sqrt(8)
+    np.testing.assert_allclose(out, expect, rtol=1e-5)

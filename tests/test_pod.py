@@ -1,0 +1,51 @@
+"""POD: method of snapshots vs. full SVD vs. the host oracle."""
+
+import numpy as np
+import pytest
+
+from desmo_tpu import pod
+from desmo_tpu.io import synthetic
+
+
+def test_snapshots_matches_svd_oracle():
+    x = synthetic.separable_rank_k(200, 50, k=6, seed=0).astype(np.float64)
+    r = 4
+    x_approx_o, modes_o, temporal_o, s_o = pod.pod_numpy(x, r)
+    res = pod.pod(x, r, method="snapshots")
+    np.testing.assert_allclose(np.asarray(res.singular_values), s_o, rtol=1e-3)
+    # modes match up to per-mode sign
+    got = np.asarray(res.modes)
+    for i in range(r):
+        dot = abs(float(got[:, i] @ modes_o[:, i]))
+        assert dot > 1 - 1e-3, f"mode {i} misaligned: |dot|={dot}"
+    # reconstruction is sign-invariant
+    np.testing.assert_allclose(
+        np.asarray(res.reconstruction), x_approx_o, rtol=2e-3, atol=2e-4
+    )
+
+
+def test_exact_svd_method():
+    x = synthetic.separable_rank_k(40, 60, k=5, seed=1)
+    res = pod.pod(x, 3, method="svd")
+    _, modes_o, _, s_o = pod.pod_numpy(x.astype(np.float64), 3)
+    np.testing.assert_allclose(np.asarray(res.singular_values), s_o, rtol=1e-4)
+
+
+def test_energy_normalized():
+    x = synthetic.separable_rank_k(64, 32, k=4, seed=2)
+    res = pod.pod(x, 4)
+    e = np.asarray(res.energy)
+    assert np.isclose(e.sum(), 1.0, rtol=1e-5)
+    assert (np.diff(e) <= 1e-6).all()  # descending
+
+
+def test_relative_error_decreases_with_rank():
+    x = synthetic.separable_rank_k(100, 40, k=8, seed=3)
+    errs = [pod.pod_relative_error(x, pod.pod(x, r)) for r in (1, 2, 4, 8)]
+    assert all(a >= b - 1e-6 for a, b in zip(errs, errs[1:]))
+    assert errs[-1] < 1e-3  # rank-8 data, rank-8 POD
+
+
+def test_exactly_rank_r_data():
+    x = synthetic.separable_rank_k(80, 30, k=2, seed=4)
+    assert pod.pod_relative_error(x, pod.pod(x, 2)) < 1e-3
