@@ -80,6 +80,39 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_sr(args) -> int:
+    """DESMO-SR: load a trained checkpoint, identify dz/dt = f(z), reinject."""
+    import numpy as np
+
+    from desmo_tpu import checkpoint, configs, pod, runner, sr
+    from desmo_tpu.models import desmo as desmo_model
+
+    cfg = configs.get(args.preset)
+    x, _mesh = runner.load_data(
+        cfg,
+        data_dir=args.data_dir,
+        npz_path=args.npz,
+        synthetic=args.synthetic,
+    )
+    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], cfg.r, cfg.poly_order, cfg.omega_init)
+    sd = checkpoint.load_pt(args.checkpoint)
+    params = checkpoint.params_from_state_dict(sd, "desmo")
+    import jax.numpy as jnp
+
+    p = pod.pod(x, cfg.r)
+    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    result = sr.identify_and_reinject(
+        params,
+        batch,
+        spec,
+        energy_threshold=args.energy_threshold,
+        degree=args.degree,
+        log=print,
+    )
+    print(f"channels: {result.channels}")
+    return 0
+
+
 def cmd_import_pt(args) -> int:
     """Inspect / convert a PyTorch checkpoint (reference or ours)."""
     from desmo_tpu import checkpoint
@@ -118,12 +151,22 @@ def main(argv=None) -> int:
     p_pt = sub.add_parser("inspect-pt", help="list arrays in a .pt checkpoint")
     p_pt.add_argument("path")
 
+    p_sr = sub.add_parser("sr", help="DESMO-SR: identify dz/dt=f(z) from a checkpoint")
+    p_sr.add_argument("--preset", required=True)
+    p_sr.add_argument("--checkpoint", required=True, help=".pt state_dict to analyze")
+    p_sr.add_argument("--data-dir", default=None)
+    p_sr.add_argument("--npz", default=None)
+    p_sr.add_argument("--synthetic", action="store_true")
+    p_sr.add_argument("--energy-threshold", type=float, default=1.0)
+    p_sr.add_argument("--degree", type=int, default=1)
+
     args = parser.parse_args(argv)
     return {
         "presets": cmd_presets,
         "run": cmd_run,
         "bench": cmd_bench,
         "inspect-pt": cmd_import_pt,
+        "sr": cmd_sr,
     }[args.command](args)
 
 

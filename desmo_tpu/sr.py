@@ -223,6 +223,89 @@ def inject_channels(
 
 
 # ---------------------------------------------------------------------------
+# Full pipeline (the DESMO-SR script end to end, ...py:986-1391)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SRResult:
+    channels: list  # extracted Channel selections
+    model: SINDyModel
+    z_data: np.ndarray  # (m, k) extracted trajectories
+    z_sim: np.ndarray  # (m, k) integrated trajectories
+    params_injected: dict
+    error_original: float
+    error_simulated: float
+    equations: list[str]
+
+
+def identify_and_reinject(
+    params: dict,
+    batch: dict,
+    spec,
+    channels: Optional[Sequence[Channel]] = None,
+    energy_threshold: float = 1.0,
+    degree: int = 1,
+    stlsq_threshold: float = 0.005,
+    stlsq_alpha: float = 0.05,
+    t: Optional[np.ndarray] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> SRResult:
+    """The DESMO-SR pipeline on a trained (plain-variant) model:
+
+    1. pick the active temporal channels (explicitly, like the reference's
+       hand-picked z2/zsin/ztanh list, or by term energy);
+    2. fit dz/dt = f(z) with STLSQ over a polynomial library (...py:1020-1035);
+    3. integrate from z(0) with RK45 (...py:1228-1280);
+    4. inject the simulated trajectories back into the model and report the
+       reconstruction error before/after (...py:1350-1391).
+    """
+    import jax.numpy as jnp
+
+    from desmo_tpu import losses as losses_mod
+    from desmo_tpu import sparsify
+    from desmo_tpu.models import desmo as desmo_model
+
+    if channels is None:
+        energies = sparsify.term_energies(params, batch["pod_modes"], spec)
+        channels = active_channels(energies, energy_threshold)
+    if not channels:
+        raise ValueError("no active channels selected")
+    z_data = extract_channels(params, channels)
+    m = z_data.shape[0]
+    if t is None:
+        t = np.arange(m, dtype=np.float64)
+
+    model = fit_sindy(
+        z_data, t, degree=degree, threshold=stlsq_threshold, alpha=stlsq_alpha
+    )
+    if log is not None:
+        for eq in model.equations():
+            log(eq)
+    z_sim = simulate(model, z_data[0], t)
+
+    injected = inject_channels(params, channels, z_sim.astype(np.float32))
+    x = jnp.asarray(batch["x"])
+    recon0, _, _ = desmo_model.apply(params, batch["pod_modes"], spec)
+    recon1, _, _ = desmo_model.apply(injected, batch["pod_modes"], spec)
+    err0 = float(losses_mod.relative_frobenius_error(x, recon0))
+    err1 = float(losses_mod.relative_frobenius_error(x, recon1))
+    if log is not None:
+        log(f"error with trained z(t): {err0:.6f}")
+        log(f"error with simulated dynamics: {err1:.6f}")
+    return SRResult(
+        channels=list(channels),
+        model=model,
+        z_data=z_data,
+        z_sim=z_sim,
+        params_injected=injected,
+        error_original=err0,
+        error_simulated=err1,
+        equations=model.equations(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Optional PySR (genetic symbolic regression) — reference ...py:1120-1134
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,66 @@ def test_active_channels_from_energies():
     assert len(ch) == 3
 
 
+def test_full_sr_pipeline_on_trained_model():
+    """Train a tiny DESMO on oscillatory data, then identify + reinject the
+    dynamics: the simulated reconstruction must stay close to the trained one."""
+    import jax.numpy as jnp
+
+    from desmo_tpu import configs, pod, train
+    from desmo_tpu.models import desmo as desmo_model
+
+    n, m, r = 96, 200, 2
+    s = np.linspace(0, 2 * np.pi, n)
+    t = np.linspace(0, 8 * np.pi, m)
+    x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
+    x = (x - x.mean(axis=1, keepdims=True)).astype(np.float32)
+
+    cfg = configs.RunConfig(
+        name="sr",
+        variant="desmo",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=2,
+        omega_init=1.0,
+        lr_omega=1.0,
+        beta=1e-3,
+        l1_lambda=1e-4,
+        num_epochs=2500,
+        patience=600,
+        sched_every=10,
+        log_every=1000,
+        checkpoint_every=10_000,
+    )
+    spec = desmo_model.DesmoSpec(n, m, r, 2, 1.0)
+    p = pod.pod(x, r)
+    params = desmo_model.init_params(spec)
+    loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    res = train.fit(
+        loss_fn, desmo_model.param_groups(params), cfg, params, batch, log=None, chunk_size=500
+    )
+
+    from desmo_tpu import sr as sr_mod
+
+    out = sr_mod.identify_and_reinject(
+        res.state.params,
+        batch,
+        spec,
+        energy_threshold=None or 0.5,
+        degree=1,
+        stlsq_threshold=1e-3,
+        stlsq_alpha=1e-6,
+    )
+    assert out.error_original < 0.2
+    # simulated dynamics should not blow up the reconstruction
+    assert out.error_simulated < max(3 * out.error_original, 0.3), (
+        out.error_original,
+        out.error_simulated,
+    )
+    assert len(out.equations) == out.z_data.shape[1]
+
+
 def test_pysr_gated():
     with pytest.raises(ImportError, match="PySR"):
         sr.fit_pysr(np.zeros((10, 2)), np.zeros((10, 2)))
