@@ -33,8 +33,15 @@ def main() -> None:
         spec, cfg.beta, cfg.l1_lambda,
         method="fused" if jax.default_backend() == "tpu" else "factored",
     )
+    from desmo_tpu.pallas import pad_snapshots
+
     xd = jnp.asarray(x)
-    batch = {"x": xd, "pod_modes": p.modes, "x_sq": jnp.sum(xd * xd)}
+    batch = {
+        "x": xd,
+        "x_padded": pad_snapshots(xd),
+        "pod_modes": p.modes,
+        "x_sq": jnp.sum(xd * xd),
+    }
 
     train_chunk = train.make_train_chunk(loss_fn, desmo.param_groups(params), cfg)
     state = train.init_state(params, cfg)

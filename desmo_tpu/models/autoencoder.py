@@ -169,7 +169,9 @@ def build_loss(spec: AESpec, beta: float, l1_lambda: float, ae_beta: float, meth
             x_sq = batch.get("x_sq")
             if x_sq is None:
                 x_sq = jnp.sum(x * x)
-            rec = factored_mse_fused(A, B, x, x_sq, jax.default_backend() != "tpu")
+            rec = factored_mse_fused(
+                A, B, batch.get("x_padded", x), x_sq, jax.default_backend() != "tpu"
+            )
         elif method == "factored":
             rec = losses.factored_mse(A, B, x, batch.get("x_sq"))
         else:

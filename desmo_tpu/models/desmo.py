@@ -173,7 +173,9 @@ def build_loss(spec: DesmoSpec, beta: float, l1_lambda: float, method: str = "fa
                 x_sq = batch.get("x_sq")
                 if x_sq is None:
                     x_sq = jnp.sum(batch["x"] * batch["x"])
-                rec = factored_mse_fused(A, B, batch["x"], x_sq, interpret)
+                rec = factored_mse_fused(
+                    A, B, batch.get("x_padded", batch["x"]), x_sq, interpret
+                )
             else:
                 rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))
         else:

@@ -143,7 +143,11 @@ def build_loss(spec: FourierSpec, beta: float, l1_lambda: float, method: str = "
             if x_sq is None:
                 x_sq = jnp.sum(batch["x"] * batch["x"])
             rec = factored_mse_fused(
-                A, B, batch["x"], x_sq, jax.default_backend() != "tpu"
+                A,
+                B,
+                batch.get("x_padded", batch["x"]),
+                x_sq,
+                jax.default_backend() != "tpu",
             )
         elif method == "factored":
             rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))

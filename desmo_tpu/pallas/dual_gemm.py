@@ -42,15 +42,36 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _split_bf16(v):
+    """f32 -> (hi, lo) bf16 pair with v ~= hi + lo (error ~2^-16 relative)."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a32, b32, dims):
+    """3-pass bf16 matmul ~ fp32 accuracy (XLA's Precision.HIGH, which Mosaic
+    does not support in-kernel): split both operands into bf16 hi/lo and sum
+    hi*hi + hi*lo + lo*hi with fp32 accumulation, dropping the ~2^-32 lo*lo
+    term. Without this, Mosaic lowers f32 dots to a single-pass bf16 MXU op
+    (~2e-3 relative error) or, with HIGHEST, to 6 passes (~1.7x step cost);
+    the reference trains in full fp32 and the factored loss' cancellation is
+    precision-sensitive near convergence."""
+    a_hi, a_lo = _split_bf16(a32)
+    b_hi, b_lo = _split_bf16(b32)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _dual_kernel(a_ref, b_ref, x_ref, ax_ref, xb_ref):
     i = pl.program_id(0)
     x_blk = x_ref[:]  # (BN, m_pad)
-    partial_ax = jax.lax.dot_general(
-        a_ref[:],  # (BN, K_pad)
-        x_blk,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (K_pad, m_pad)
+    partial_ax = _dot3(a_ref[:], x_blk, (((0,), (0,)), ((), ())))  # (K_pad, m_pad)
 
     @pl.when(i == 0)
     def _():
@@ -60,12 +81,7 @@ def _dual_kernel(a_ref, b_ref, x_ref, ax_ref, xb_ref):
     def _():
         ax_ref[:] = ax_ref[:] + partial_ax
 
-    xb_ref[:] = jax.lax.dot_general(
-        x_blk,
-        b_ref[:],  # (K_pad, m_pad)
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BN, K_pad)
+    xb_ref[:] = _dot3(x_blk, b_ref[:], (((1,), (1,)), ((), ())))  # (BN, K_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -73,15 +89,20 @@ def dual_contractions(a: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray, interpret:
     """Returns ``(ax, xb) = (a.T @ x, x @ b.T)`` reading x once.
 
     a: (n, K), b: (K, m), x: (n, m); result shapes (K, m) and (n, K).
+
+    ``x`` may be pre-padded with zero rows/columns to tile multiples
+    ((multiple of 512) x (multiple of 128)) — pass it padded when calling in a
+    loop, so the pad is not re-materialized every step (zero rows/cols change
+    neither product). a and b are padded here (small copies).
     """
     n, k = a.shape
-    m = x.shape[1]
-    n_pad = _round_up(n, _BN)
-    m_pad = _round_up(m, 128)
+    m = b.shape[1]
+    n_pad = max(_round_up(n, _BN), _round_up(x.shape[0], _BN))
+    m_pad = max(_round_up(m, 128), _round_up(x.shape[1], 128))
     k_pad = _round_up(k, 128)
     a_p = jnp.pad(a, ((0, n_pad - n), (0, k_pad - k)))
     b_p = jnp.pad(b, ((0, k_pad - k), (0, m_pad - m)))
-    x_p = jnp.pad(x, ((0, n_pad - n), (0, m_pad - m)))
+    x_p = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, m_pad - x.shape[1])))
 
     grid = (n_pad // _BN,)
     ax, xb = pl.pallas_call(
@@ -122,13 +143,14 @@ def factored_mse_fused(a, b, x, x_sq, interpret: bool = False):
     """``mean((a @ b - x)^2)`` with a single fused read of x per step and an
     x-free backward. Value matches ``losses.factored_mse`` (tested)."""
     ax, _ = dual_contractions(a, b, x, interpret=interpret)
-    val, _, _ = _mse_value(a, b, ax, x_sq, a.shape[0] * x.shape[1])
+    # true sizes from a/b — x may be zero-padded (see dual_contractions)
+    val, _, _ = _mse_value(a, b, ax, x_sq, a.shape[0] * b.shape[1])
     return val
 
 
 def _fwd(a, b, x, x_sq, interpret):
     ax, xb = dual_contractions(a, b, x, interpret=interpret)
-    nm = a.shape[0] * x.shape[1]
+    nm = a.shape[0] * b.shape[1]
     val, ga, gb = _mse_value(a, b, ax, x_sq, nm)
     return val, (a, b, ax, xb, ga, gb, nm, x.shape)
 
@@ -149,3 +171,10 @@ def _bwd(interpret, res, g):
 
 
 factored_mse_fused.defvjp(_fwd, _bwd)
+
+
+def pad_snapshots(x, bn: int = _BN, bm: int = 128):
+    """Zero-pad X once, outside the training loop, to the kernel's tile
+    multiples. The fused loss accepts padded X directly."""
+    n, m = x.shape
+    return jnp.pad(jnp.asarray(x), ((0, _round_up(n, bn) - n), (0, _round_up(m, bm) - m)))

@@ -149,6 +149,10 @@ def run(
     p2 = pod.pod(x, 2 * cfg.r)
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if resolve_loss_method(cfg) == "fused":
+        from desmo_tpu.pallas import pad_snapshots
+
+        batch["x_padded"] = pad_snapshots(xd)
     if cfg.variant != "ae":
         batch["pod_modes"] = p.modes
 

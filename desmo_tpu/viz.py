@@ -182,6 +182,33 @@ def true_vs_predicted(
     return _save(fig, path)
 
 
+def render_mesh_field(mesh, field: np.ndarray, path: str, title: str = "", cmap: str = "turbo") -> str:
+    """Render a field on the original unstructured mesh with PyVista, exactly
+    like the reference's plotters (``CYL:736-763``). Optional dependency:
+    falls back to the matplotlib scatter path when pyvista is absent.
+
+    ``mesh`` is a ``desmo_tpu.io.vtk.Mesh`` (points + cells)."""
+    try:
+        import pyvista as pv
+    except ImportError:
+        fig, ax = plt.subplots(figsize=(5, 4))
+        pts = mesh.points if mesh is not None and mesh.points is not None else None
+        _render_field(ax, field, points=pts[:, :2] if pts is not None else None)
+        ax.set_title(title or "field", fontsize=10)
+        return _save(fig, path)
+    cloud = pv.PolyData(np.asarray(mesh.points, float))  # pragma: no cover
+    cloud["field"] = np.asarray(field)  # pragma: no cover
+    plotter = pv.Plotter(off_screen=True)  # pragma: no cover
+    plotter.add_mesh(cloud, scalars="field", cmap=cmap)  # pragma: no cover
+    if title:  # pragma: no cover
+        plotter.add_title(title, font_size=10)
+    plotter.view_xy()  # pragma: no cover
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)  # pragma: no cover
+    plotter.screenshot(path)  # pragma: no cover
+    plotter.close()  # pragma: no cover
+    return path  # pragma: no cover
+
+
 def sweep_curve(entries, path: str) -> str:
     """Error vs. surviving-term-count curve from a threshold sweep or greedy
     pruning run (``...TurbulentChannel.py:1166-1245`` summary)."""

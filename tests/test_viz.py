@@ -1,0 +1,53 @@
+"""Visualization reports: every figure function must produce a file."""
+
+import os
+
+import numpy as np
+
+from desmo_tpu import sparsify, viz
+from desmo_tpu.models import desmo
+
+
+def test_all_reports_render(tmp_path):
+    rng = np.random.default_rng(0)
+    n, m, r = 50, 30, 2
+    spec = desmo.DesmoSpec(n=n, m=m, r=r, poly_order=2)
+    history = {"rec": np.exp(-np.linspace(0, 5, 100))}
+    latent = rng.standard_normal((n, r))
+    omega = rng.uniform(0.5, 2.0, (3, r))
+    points = rng.standard_normal((n, 2))
+    x = rng.standard_normal((n, m))
+    recon = x + 0.1 * rng.standard_normal((n, m))
+    c = rng.standard_normal(spec.num_poly_terms)
+
+    paths = [
+        viz.loss_curve(history, str(tmp_path / "loss.png")),
+        viz.temporal_coefficients(rng.standard_normal((4, m)), str(tmp_path / "z.png")),
+        viz.pod_spectrum(np.sort(rng.uniform(0.1, 10, 8))[::-1], str(tmp_path / "pod.png")),
+        viz.mode_fields(latent, omega, str(tmp_path / "modes.png"), points=points),
+        viz.term_fields(latent, c, spec, str(tmp_path / "terms.png"), points=points),
+        viz.true_vs_predicted(x, recon, 3, str(tmp_path / "cmp.png"), points=points),
+        viz.sweep_curve(
+            [sparsify.SweepEntry(1e-2, 0.1, 10), sparsify.SweepEntry(1.0, 0.2, 4)],
+            str(tmp_path / "sweep.png"),
+        ),
+    ]
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 1000, p
+
+
+def test_grid_rendering(tmp_path):
+    """Voxel-grid rendering path (aneurysm 30^3, channel 128^2 analogs)."""
+    rng = np.random.default_rng(1)
+    n = 4 * 4 * 4
+    latent = rng.standard_normal((n, 2))
+    omega = np.ones((3, 2))
+    p = viz.mode_fields(
+        latent, omega, str(tmp_path / "vox.png"), grid_shape=(4, 4, 4), plane=2
+    )
+    assert os.path.getsize(p) > 1000
+    x = rng.standard_normal((16, 5))
+    p = viz.true_vs_predicted(
+        x, x, 0, str(tmp_path / "grid.png"), grid_shape=(4, 4)
+    )
+    assert os.path.getsize(p) > 1000
