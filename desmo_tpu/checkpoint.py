@@ -253,7 +253,9 @@ def save_pt(path: str, state_dict: Mapping[str, np.ndarray]) -> None:
     dtype_to_storage = {np.dtype(v): k for k, v in _STORAGE_DTYPES.items()}
     arrays: dict[str, np.ndarray] = {}
     for k, v in state_dict.items():
-        arr = np.ascontiguousarray(v)
+        arr = np.asarray(v)
+        if arr.ndim:  # NB: ascontiguousarray would promote 0-d to 1-d
+            arr = np.ascontiguousarray(arr)
         if arr.dtype == np.float64:
             arr = arr.astype(np.float32)
         if arr.dtype not in dtype_to_storage:
