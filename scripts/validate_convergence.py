@@ -1,0 +1,49 @@
+"""Convergence validation: run a full-length preset on synthetic data and
+check the DESMO error lands between POD(r) and POD(2r) — the reference's
+implicit correctness oracle (SURVEY §4).
+
+    python scripts/validate_convergence.py [--preset cylinder] [--epochs 100000]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="cylinder")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--out-dir", default="/tmp/desmo_validate")
+    args = ap.parse_args()
+
+    from desmo_tpu import configs, runner
+    from desmo_tpu.io import synthetic
+
+    cfg = configs.get(args.preset)
+    x = synthetic.cylinder_wake(cfg.n, cfg.m, n_harmonics=4, noise=0.002, seed=0)
+    art = runner.run(
+        cfg, x, out_dir=args.out_dir, num_epochs=args.epochs, make_figures=True, echo=False
+    )
+    ok = art.pod_error_2r <= art.relative_error <= art.pod_error_r * 1.05
+    print(
+        json.dumps(
+            {
+                "preset": cfg.name,
+                "epochs": args.epochs or cfg.num_epochs,
+                "desmo_error": round(art.relative_error, 6),
+                "pod_r_error": round(art.pod_error_r, 6),
+                "pod_2r_error": round(art.pod_error_2r, 6),
+                "between_pod_bounds": bool(ok),
+                "steps_per_sec": round(art.steps_per_sec, 1),
+                "final_rec_mse": float(art.history["rec"][-1]),
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
