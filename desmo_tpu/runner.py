@@ -244,6 +244,12 @@ def run(
         )
         viz.pod_spectrum(np.asarray(p2.singular_values), os.path.join(fig_dir, "pod_spectrum.png"))
         viz.sweep_curve(sweep, os.path.join(fig_dir, "sweep.png"))
+        if cfg.variant == "fourier":
+            t = jnp.asarray(fourier_model.t_points(cfg.m))
+            z_plot, _ = fourier_model.temporal_values(result.state.params, t)
+        else:
+            z_plot = result.state.params["z"]
+        viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
 
     final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
     checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))

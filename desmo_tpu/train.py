@@ -236,6 +236,14 @@ def fit(
         # host transfer doubles as the synchronization fence (some TPU
         # runtimes do not block in block_until_ready)
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        if not np.isfinite(metrics["total"][-1]):
+            # failure detection (SURVEY §5.3): stop at the chunk boundary with
+            # the last finite state still checkpointable by the caller
+            bad = int(np.argmax(~np.isfinite(metrics["total"])))
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {done + bad}; "
+                "inspect LRs/omega_init or enable profiling.debug_nans"
+            )
         if t0 is None:
             t0 = time.perf_counter()
             first_chunk = n
