@@ -80,6 +80,24 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Load a .pt checkpoint, infer, report errors + sparsification table."""
+    import json as _json
+
+    from desmo_tpu import configs, runner
+
+    cfg = configs.get(args.preset)
+    x, _mesh = runner.load_data(
+        cfg,
+        data_dir=args.data_dir,
+        npz_path=args.npz,
+        synthetic=args.synthetic,
+    )
+    out = runner.evaluate(cfg, x, args.checkpoint)
+    print(_json.dumps({k: v for k, v in out.items() if k != "sweep"}))
+    return 0
+
+
 def cmd_sr(args) -> int:
     """DESMO-SR: load a trained checkpoint, identify dz/dt = f(z), reinject."""
     import numpy as np
@@ -151,6 +169,13 @@ def main(argv=None) -> int:
     p_pt = sub.add_parser("inspect-pt", help="list arrays in a .pt checkpoint")
     p_pt.add_argument("path")
 
+    p_ev = sub.add_parser("evaluate", help="inference + error report from a .pt checkpoint")
+    p_ev.add_argument("--preset", required=True)
+    p_ev.add_argument("--checkpoint", required=True)
+    p_ev.add_argument("--data-dir", default=None)
+    p_ev.add_argument("--npz", default=None)
+    p_ev.add_argument("--synthetic", action="store_true")
+
     p_sr = sub.add_parser("sr", help="DESMO-SR: identify dz/dt=f(z) from a checkpoint")
     p_sr.add_argument("--preset", required=True)
     p_sr.add_argument("--checkpoint", required=True, help=".pt state_dict to analyze")
@@ -166,6 +191,7 @@ def main(argv=None) -> int:
         "run": cmd_run,
         "bench": cmd_bench,
         "inspect-pt": cmd_import_pt,
+        "evaluate": cmd_evaluate,
         "sr": cmd_sr,
     }[args.command](args)
 

@@ -322,18 +322,20 @@ def params_from_state_dict(sd: Mapping[str, np.ndarray], variant: str = "desmo")
             raise KeyError(f"no entries for {prefix!r}")
         return np.stack(items)
 
+    def scalar(key: str) -> float:
+        # reference stores these 0-d; tolerate (1,) from older exports
+        return float(np.asarray(sd[key]).reshape(()))
+
     phi = collect("phi_list")  # (r, n)
     r = phi.shape[0]
     c = np.asarray(sd["c_coef"])
     z = collect("z_list")
     z_trig = np.stack([collect("zsin_list"), collect("zcos_list"), collect("ztanh_list")])
-    c_trig = np.stack(
-        [
-            np.stack([np.asarray(sd[f"{k}_coef_list.{i}"]) for i in range(r)])
-            for k in ("sin", "cos", "tanh")
-        ]
+    c_trig = np.array(
+        [[scalar(f"{k}_coef_list.{i}") for i in range(r)] for k in ("sin", "cos", "tanh")],
+        np.float32,
     )
-    omega_flat = np.stack([np.asarray(sd[f"omega_list.{j}"]) for j in range(3 * r)])
+    omega_flat = np.array([scalar(f"omega_list.{j}") for j in range(3 * r)], np.float32)
     omega = omega_flat.reshape(r, 3).T  # omega_list[3i+k] -> omega[k, i]
     params = {
         "phi": phi,

@@ -15,7 +15,7 @@ __all__ = [
     "drop_third_component",
     "to_magnitude",
     "subtract_temporal_mean",
-    "interleave_components",
+    "rearrange_for_transpose",
     "subsample_time",
     "scale_inv_sqrt_m",
     "preprocess",
@@ -52,16 +52,22 @@ def subtract_temporal_mean(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x - mean[:, None], mean
 
 
-def interleave_components(x: np.ndarray, n_components: int) -> np.ndarray:
-    """Re-order component-blocked rows into point-interleaved rows.
+def rearrange_for_transpose(x: np.ndarray, n_components: int = 2) -> np.ndarray:
+    """Vector-valued (non-magnitude) training layout: (d*p, m) -> (p, d*m).
 
-    Reference ``RearrangeDataForTranspose`` (``DESMO_AE/...py:129-159``), used
-    for vector-valued (non-magnitude) training. Input rows are grouped
-    [all u; all v; ...]; output rows are [u1, v1, u2, v2, ...].
+    Reference ``RearrangeDataForTranspose`` (``DESMO_AE/...py:129-159``): input
+    rows are component-interleaved per point (u1, v1, u2, v2, ...); the output
+    has one row per spatial point with columns interleaved per timestep
+    (u(t1), v(t1), u(t2), v(t2), ...), so rows are comparable data points for
+    the transpose-based temporal autoencoder.
     """
     n, m = x.shape
+    if n % n_components:
+        raise ValueError(f"rows {n} not divisible by n_components {n_components}")
     p = n // n_components
-    return x.reshape(n_components, p, m).transpose(1, 0, 2).reshape(n, m)
+    return np.ascontiguousarray(
+        x.reshape(p, n_components, m).transpose(0, 2, 1).reshape(p, m * n_components)
+    )
 
 
 def subsample_time(x: np.ndarray, stride: int) -> np.ndarray:
@@ -92,6 +98,9 @@ def preprocess(
         x = subsample_time(x, time_stride)
     if magnitude:
         x = to_magnitude(x, dim)
+    # vector-valued mode: the reference's else-branch re-orders rows for the
+    # transpose-based AE (CYL:180 -> RearrangeDataForTranspose); our reader
+    # already produces interleaved rows, so nothing to do here.
     mean = None
     if mean_subtract:
         x, mean = subtract_temporal_mean(x)

@@ -206,6 +206,13 @@ def run(
         variant=cfg.variant,
         log=print if echo else None,
     )
+    if cfg.name == "channel":
+        # the turbulent-channel reference additionally runs greedy one-at-a-
+        # time term removal (...TurbulentChannel.py:1166-1245)
+        sparsify.greedy_prune(
+            result.state.params, batch, spec, variant=cfg.variant,
+            log=print if echo else None,
+        )
 
     if make_figures:
         from desmo_tpu import viz
@@ -272,3 +279,42 @@ def _to_state_dict(params: dict, variant: str) -> dict:
     if variant == "ae":
         return ae_model.state_dict_from_params(params)
     return checkpoint.state_dict_from_params(params, variant)
+
+
+def evaluate(
+    cfg: configs.RunConfig,
+    x: np.ndarray,
+    checkpoint_path: str,
+    echo: bool = True,
+) -> dict:
+    """Load a ``.pt`` checkpoint (ours or the reference's), run inference, and
+    report error + POD baselines + sparsification table — the reference's
+    read-and-infer workflow (``DESMO-SR/...py:620-713``), no training."""
+    cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
+    spec, _params, _loss, _groups = build_model(cfg)
+    sd = checkpoint.load_pt(checkpoint_path)
+    if cfg.variant == "ae":
+        params = ae_model.params_from_state_dict(sd, spec)
+    else:
+        params = checkpoint.params_from_state_dict(sd, cfg.variant)
+    p = pod.pod(x, cfg.r)
+    p2 = pod.pod(x, 2 * cfg.r)
+    xd = jnp.asarray(x)
+    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if cfg.variant != "ae":
+        batch["pod_modes"] = p.modes
+    recon = reconstruct(params, batch, spec, cfg.variant)
+    err = float(losses.relative_frobenius_error(xd, recon))
+    if echo:
+        print(f"DESMO error with {cfg.r} modes: {err}")
+        print(f"POD error with {cfg.r} modes: {pod.pod_relative_error(x, p)}")
+        print(f"POD error with {2 * cfg.r} modes: {pod.pod_relative_error(x, p2)}")
+    sweep = sparsify.threshold_sweep(
+        params, batch, spec, variant=cfg.variant, log=print if echo else None
+    )
+    return {
+        "relative_error": err,
+        "pod_error_r": pod.pod_relative_error(x, p),
+        "pod_error_2r": pod.pod_relative_error(x, p2),
+        "sweep": [(e.threshold, e.error, e.nonzero_terms) for e in sweep],
+    }

@@ -35,11 +35,20 @@ def test_subtract_temporal_mean():
     np.testing.assert_allclose(mean, x.mean(axis=1))
 
 
-def test_interleave_components():
-    # blocked [u1 u2; v1 v2] -> interleaved [u1 v1 u2 v2]
-    x = np.array([[1.0], [2.0], [10.0], [20.0]])
-    out = data.interleave_components(x, 2)
-    np.testing.assert_array_equal(out[:, 0], [1.0, 10.0, 2.0, 20.0])
+def test_rearrange_for_transpose():
+    """Loop-free equivalent of the reference's RearrangeDataForTranspose
+    (DESMO_AE/...py:129-159): (2p, m) interleaved rows -> (p, 2m)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 5))  # 4 points x (u, v), 5 snapshots
+    out = data.rearrange_for_transpose(x, 2)
+    assert out.shape == (4, 10)
+    # reference loop oracle
+    u, v = x[0::2, :], x[1::2, :]
+    expect = np.zeros((4, 10))
+    for i in range(5):
+        expect[:, 2 * i] = u[:, i]
+        expect[:, 2 * i + 1] = v[:, i]
+    np.testing.assert_array_equal(out, expect)
 
 
 def test_subsample_and_scale():
