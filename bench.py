@@ -79,4 +79,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU runtime occasionally throws transient
+    # FailedPrecondition errors; retry before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)

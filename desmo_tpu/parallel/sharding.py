@@ -114,6 +114,16 @@ def shard_state(state, mesh: Mesh, m: Optional[int]):
     return jax.tree.map(jax.device_put, state, sh)
 
 
+def distributed_init(**kwargs) -> None:
+    """Multi-host setup (SURVEY §5.8): thin wrapper over
+    ``jax.distributed.initialize``. On a single TPU pod slice the ICI
+    collectives need no setup; call this only for multi-host (DCN) runs —
+    coordinator address/process counts come from the TPU environment or can be
+    passed explicitly. All sharding in this package then applies unchanged
+    over ``jax.devices()`` spanning hosts."""
+    jax.distributed.initialize(**kwargs)
+
+
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     """Zero-pad an axis so it divides evenly across mesh shards.
 
