@@ -158,7 +158,7 @@ def main(argv=None) -> int:
     p_run.add_argument("--t-end", type=int, default=None)
     p_run.add_argument("--npz", default=None, help="npz file with key 'X' instead of VTK")
     p_run.add_argument("--synthetic", action="store_true", help="generate synthetic data")
-    p_run.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    p_run.add_argument("--dim", type=int, default=None, choices=[2, 3], help="override the preset's component-dimension handling")
     p_run.add_argument("--epochs", type=int, default=None, help="override preset epochs")
     p_run.add_argument("--out-dir", default="./runs")
     p_run.add_argument("--resume", default=None, help="state_*.npz checkpoint to resume")

@@ -54,6 +54,9 @@ class RunConfig:
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
     time_stride: int = 1  # channel subsamples every 2nd snapshot
+    dim: int = 2  # 2: strip w + planar magnitude; 3: 3-component magnitude
+    # --- post-analysis: greedy one-at-a-time pruning (channel only) ---
+    run_greedy_prune: bool = False
 
     @property
     def group_lrs(self) -> tuple[float, ...]:
@@ -102,6 +105,7 @@ ANEURYSM = _register(
         patience=200,
         sched_every=1,
         scale_inv_sqrt_m=True,
+        dim=3,  # aneurysm keeps 3 components for the magnitude (DESMO_ICA_norm.py:104-127)
     )
 )
 
@@ -121,6 +125,8 @@ CHANNEL = _register(
         patience=2000,
         sched_every=1,
         time_stride=2,
+        dim=3,  # channel converts 3-component data to magnitude (...py:170-178)
+        run_greedy_prune=True,
     )
 )
 
@@ -160,6 +166,7 @@ FOURIER_ANEURYSM = _register(
         patience=500,
         sched_every=1,
         scale_inv_sqrt_m=True,
+        dim=3,
     )
 )
 

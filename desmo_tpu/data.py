@@ -89,23 +89,31 @@ def preprocess(
     mean_subtract: bool = True,
     time_stride: int = 1,
     inv_sqrt_m: bool = False,
+    components_in: int = 3,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """The reference's standard preprocessing pipeline, flag-for-flag
-    (``CYL:171-187``). Returns (X, temporal mean or None)."""
-    if dim == 2 and x.shape[0] % 3 == 0:
+    """The reference's standard preprocessing pipeline, flag-for-flag and in
+    the reference's order (``CYL:169-191``): [3D->2D strip if dim==2 on
+    3-component data] -> magnitude -> temporal-mean subtraction (aneurysm's
+    1/sqrt(m) scaling happens inside it, ``DESMO_ICA_norm.py:143-147``, with
+    the mean returned *unscaled*) -> temporal subsampling LAST (the channel
+    strides after mean subtraction, ``...TurbulentChannel.py:182-189``).
+
+    ``components_in`` declares how many components per point the input rows
+    interleave (3 for the VTK readers' output) — dropping the w rows is only
+    valid on declared 3-component data, never inferred from divisibility.
+    Returns (X, temporal mean or None)."""
+    if dim == 2 and components_in == 3:
         x = drop_third_component(x)
-    if time_stride > 1:
-        x = subsample_time(x, time_stride)
+        components_in = 2
     if magnitude:
-        x = to_magnitude(x, dim)
-    # vector-valued mode: the reference's else-branch re-orders rows for the
-    # transpose-based AE (CYL:180 -> RearrangeDataForTranspose); our reader
-    # already produces interleaved rows, so nothing to do here.
+        x = to_magnitude(x, components_in)
+    elif components_in > 1:
+        x = rearrange_for_transpose(x, components_in)
     mean = None
     if mean_subtract:
         x, mean = subtract_temporal_mean(x)
     if inv_sqrt_m:
-        # the reference scales X but returns the *unscaled* mean
-        # (DESMO/aneurysm/DESMO_ICA_norm.py:143-147)
         x = scale_inv_sqrt_m(x)
+    if time_stride > 1:
+        x = subsample_time(x, time_stride)
     return np.ascontiguousarray(x, dtype=np.float32), mean

@@ -320,6 +320,7 @@ def read_legacy_vtk(path: str) -> Mesh:
         origin = np.zeros(3)
         spacing = np.ones(3)
         while True:
+            line_start = sc.pos
             line = sc.line()
             tok = line.split()
             key = tok[0].upper()
@@ -334,7 +335,7 @@ def read_legacy_vtk(path: str) -> Mesh:
             elif key == "POINTS":
                 mesh.points = sc.values(int(tok[1]) * 3, tok[2]).reshape(-1, 3)
             elif key in ("POINT_DATA", "CELL_DATA"):
-                sc.pos -= len(line) + 1
+                sc.pos = line_start
                 break
             if sc.at_end():
                 break
@@ -355,6 +356,7 @@ def read_legacy_vtk(path: str) -> Mesh:
         ncells = int(np.prod([max(d - 1, 1) for d in dims]))
     elif kind == "UNSTRUCTURED_GRID":
         while True:
+            line_start = sc.pos
             line = sc.line()
             tok = line.split()
             key = tok[0].upper()
@@ -368,7 +370,7 @@ def read_legacy_vtk(path: str) -> Mesh:
             elif key == "CELL_TYPES":
                 mesh.cell_types = sc.values(int(tok[1]), "int")
             elif key in ("POINT_DATA", "CELL_DATA"):
-                sc.pos -= len(line) + 1
+                sc.pos = line_start
                 break
             if sc.at_end():
                 break

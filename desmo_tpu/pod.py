@@ -79,6 +79,25 @@ def pod(
     )
 
 
+def truncate(x, result: PODResult, r: int, precision=jax.lax.Precision.HIGHEST) -> PODResult:
+    """Rank-r views of an existing rank-R factorization (r <= R): the modes and
+    singular values are exact prefixes; only the rank-r reconstruction needs
+    one cheap GEMM (avoids re-running the decomposition)."""
+    if r > result.modes.shape[1]:
+        raise ValueError(f"cannot truncate rank-{result.modes.shape[1]} POD to r={r}")
+    u_r = result.modes[:, :r]
+    s_r = result.singular_values[:r]
+    vt_r = result.temporal[:r, :]
+    recon = jnp.dot(u_r * s_r[None, :], vt_r, precision=precision)
+    return PODResult(
+        modes=u_r,
+        temporal=vt_r,
+        singular_values=s_r,
+        energy=result.energy,
+        reconstruction=recon,
+    )
+
+
 def pod_relative_error(x, result: PODResult) -> float:
     """Relative Frobenius error of the rank-r POD reconstruction (``CYL:210``)."""
     x = jnp.asarray(x, jnp.float32)

@@ -44,10 +44,12 @@ def load_data(
     t_end: Optional[int] = None,
     npz_path: Optional[str] = None,
     synthetic: bool = False,
-    dim: int = 2,
+    dim: Optional[int] = None,
 ):
     """Produce the preprocessed snapshot matrix X (n, m) from VTK series, an
     npz file (key 'X'), or the synthetic generator."""
+    if dim is None:
+        dim = cfg.dim
     if synthetic:
         from desmo_tpu.io import synthetic as synth
 
@@ -145,8 +147,8 @@ def run(
     os.makedirs(out_dir, exist_ok=True)
     spec, params, loss_fn, groups = build_model(cfg)
 
-    p = pod.pod(x, cfg.r)
     p2 = pod.pod(x, 2 * cfg.r)
+    p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if resolve_loss_method(cfg) == "fused":
@@ -161,7 +163,9 @@ def run(
         template = train.init_state(params, cfg)
         state = checkpoint.load_state(resume_from, template)
 
-    logger = MetricsLogger(out_dir, cfg.name, echo=echo)
+    # fit() already echoes the reference-format epoch lines; the logger only
+    # persists CSV/JSONL (echo would duplicate every line)
+    logger = MetricsLogger(out_dir, cfg.name, echo=False)
 
     def ckpt(state, epoch):
         checkpoint.save_state(os.path.join(out_dir, f"state_epoch{epoch}.npz"), state)
@@ -185,8 +189,12 @@ def run(
         checkpoint_fn=ckpt,
         state=state,
     )
+    start_epoch = int(result.state.epoch) - n_epochs
     for i in range(0, n_epochs, cfg.log_every):
-        logger.log_epoch(i, n_epochs, {k: v[i] for k, v in result.history.items()})
+        logger.log_epoch(
+            start_epoch + i, start_epoch + n_epochs,
+            {k: v[i] for k, v in result.history.items()},
+        )
     logger.close()
 
     recon = reconstruct(result.state.params, batch, spec, cfg.variant)
@@ -206,7 +214,7 @@ def run(
         variant=cfg.variant,
         log=print if echo else None,
     )
-    if cfg.name == "channel":
+    if cfg.run_greedy_prune:
         # the turbulent-channel reference additionally runs greedy one-at-a-
         # time term removal (...TurbulentChannel.py:1166-1245)
         sparsify.greedy_prune(
@@ -297,8 +305,8 @@ def evaluate(
         params = ae_model.params_from_state_dict(sd, spec)
     else:
         params = checkpoint.params_from_state_dict(sd, cfg.variant)
-    p = pod.pod(x, cfg.r)
     p2 = pod.pod(x, 2 * cfg.r)
+    p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if cfg.variant != "ae":

@@ -51,17 +51,20 @@ def _temporal_blocks(params: dict, spec) -> tuple[jnp.ndarray, jnp.ndarray]:
     return params["z"], params["z_trig"]
 
 
-def term_energies(params: dict, pod_modes_or_latent, spec) -> TermEnergies:
+def term_energies(params: dict, latent_override=None, spec=None) -> TermEnergies:
     """Energies for every candidate term of a trained model.
 
-    ``pod_modes_or_latent``: (n, r) POD modes for the desmo/fourier variants
-    (masks are applied here), or the already-computed latent modes for the AE
-    variant (pass ``latent`` and a params dict without 'phi').
+    Reference quirk preserved: ``poly_norm``/``nonlinear_norm`` evaluate the
+    library and trig bases on the RAW phi masks (``param.data``, ``CYL:626-628,
+    656-657``) — NOT on the POD-scaled effective modes the forward pass uses.
+    The sweep tables in the shipped logs are defined by this convention, so we
+    match it. For the AE variant (no 'phi' masks) pass the encoder latent as
+    ``latent_override``.
     """
-    if "phi" in params:
-        latent = desmo_model.effective_modes(params, jnp.asarray(pod_modes_or_latent))
+    if latent_override is not None:
+        latent = jnp.asarray(latent_override)
     else:
-        latent = jnp.asarray(pod_modes_or_latent)
+        latent = params["phi"].T  # raw masks (n, r)
     factors = library.factor_table(latent.shape[1], spec.poly_order)
     theta = library.eval_library(latent, factors)  # (n, T)
     z, z_trig = _temporal_blocks(params, spec)
@@ -145,12 +148,12 @@ def threshold_sweep(
     if thresholds is None:
         thresholds = default_thresholds()
     if energies is None:
-        modes = batch.get("pod_modes")
+        latent = None
         if variant == "ae":
             from desmo_tpu.models import autoencoder as ae_model
 
-            modes, _ = ae_model.encode_decode(params, jnp.asarray(batch["x"]))
-        energies = term_energies(params, modes, spec)
+            latent, _ = ae_model.encode_decode(params, jnp.asarray(batch["x"]))
+        energies = term_energies(params, latent_override=latent, spec=spec)
     err_fn = _recon_error_fn(spec, variant)
     results = []
     for threshold in thresholds:
@@ -180,7 +183,7 @@ def greedy_prune(
     each step (channel script, ``...TurbulentChannel.py:1166-1245``).
     Entry k of the result has the k lowest-energy terms removed."""
     if energies is None:
-        energies = term_energies(params, batch.get("pod_modes"), spec)
+        energies = term_energies(params, spec=spec)
     order = []  # (energy, kind, index)
     for t, e in enumerate(energies.poly):
         order.append((float(e), "poly", t))

@@ -267,7 +267,7 @@ def identify_and_reinject(
     from desmo_tpu.models import desmo as desmo_model
 
     if channels is None:
-        energies = sparsify.term_energies(params, batch["pod_modes"], spec)
+        energies = sparsify.term_energies(params, spec=spec)
         channels = active_channels(energies, energy_threshold)
     if not channels:
         raise ValueError("no active channels selected")

@@ -215,6 +215,9 @@ def fit(
     — but from chunk boundaries, never from inside the compiled loop.
     """
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
+    if num_epochs <= 0:
+        state = init_state(params, cfg) if state is None else state
+        return TrainResult(state=state, history={}, steps_per_sec=float("nan"), wall_seconds=0.0)
     chunk_size = chunk_size or min(cfg.checkpoint_every, num_epochs)
     train_chunk = make_train_chunk(loss_fn, group_of, cfg)
     if state is None:
@@ -253,7 +256,7 @@ def fit(
                 if i % cfg.log_every == 0 or i == end_epoch - 1:
                     j = i - done
                     log(
-                        f"Epoch [{i + 1}/{num_epochs}], "
+                        f"Epoch [{i + 1}/{end_epoch}], "
                         f"Rec Loss: {metrics['rec'][j]:.12f}, "
                         f"Spatial ortho loss: {metrics['ortho'][j]:.8f}, "
                         f"L1 loss: {metrics['l1'][j]:.4f} "

@@ -78,7 +78,8 @@ def _render_field(ax, field: np.ndarray, points=None, grid_shape=None, plane=Non
     """Scatter a point-cloud field, or imshow a slice of a voxel/grid field."""
     field = np.asarray(field)
     if grid_shape is not None:
-        vol = field.reshape(grid_shape)
+        # VTK structured point data is x-fastest: Fortran-order reshape
+        vol = field.reshape(grid_shape, order="F")
         img = vol[:, :, plane] if len(grid_shape) == 3 else vol
         h = ax.imshow(img.T, origin="lower", cmap=cmap)
     elif points is not None:

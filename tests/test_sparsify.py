@@ -27,11 +27,13 @@ def setup_model(seed=0, n=25, m=17, r=3, p=2):
 
 
 def test_energies_match_bruteforce_rank1_norms():
+    """The reference computes term energies on the RAW masks (param.data at
+    CYL:626-628), not the POD-scaled modes — the oracle mirrors that."""
     spec, params, pod_modes, _ = setup_model()
-    e = sparsify.term_energies(params, pod_modes, spec)
+    e = sparsify.term_energies(params, spec=spec)
 
     pp = {k: np.asarray(v, np.float64) for k, v in params.items()}
-    latent = pod_modes.astype(np.float64) * pp["phi"].T
+    latent = pp["phi"].T
     theta = pool_data_oracle(latent, spec.r, spec.poly_order)
     for t in range(theta.shape[1]):
         field = pp["c"][t] * np.outer(theta[:, t], pp["z"][t])
@@ -50,7 +52,7 @@ def test_energies_match_bruteforce_rank1_norms():
 
 def test_threshold_zero_and_counts():
     spec, params, pod_modes, x = setup_model()
-    e = sparsify.term_energies(params, pod_modes, spec)
+    e = sparsify.term_energies(params, spec=spec)
     all_e = np.concatenate([e.poly, e.trig.reshape(-1)])
     thr = float(np.median(all_e))
     pruned = sparsify.zero_below_threshold(params, e, thr)
@@ -97,8 +99,7 @@ def test_fourier_energies_use_series():
         k: jnp.asarray(rng.standard_normal(v.shape), jnp.float32) if k != "period" and k != "trig_period" else v
         for k, v in params.items()
     }
-    pod_modes = rng.standard_normal((15, 2)).astype(np.float32)
-    e = sparsify.term_energies(params, pod_modes, spec)
+    e = sparsify.term_energies(params, spec=spec)
     assert e.poly.shape == (spec.num_poly_terms,)
     assert np.isfinite(e.poly).all() and np.isfinite(e.trig).all()
 
