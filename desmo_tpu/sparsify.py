@@ -68,11 +68,17 @@ def term_energies(params: dict, latent_override=None, spec=None) -> TermEnergies
     factors = library.factor_table(latent.shape[1], spec.poly_order)
     theta = library.eval_library(latent, factors)  # (n, T)
     z, z_trig = _temporal_blocks(params, spec)
-    poly = (
-        jnp.abs(params["c"])
-        * jnp.linalg.norm(theta, axis=0)
-        * jnp.linalg.norm(z, axis=1)
-    )
+    if "period" in params:
+        # Faithfully reproduced reference bug (DESMO_Fourier/*/...py:673,680):
+        # the Fourier poly_norm stacks the series as (T, m) but slices COLUMNS
+        # as if it were (m, T), so term i's temporal factor is the time-slice
+        # zs[:, i] (all T series at timestep i), not series i. The shipped
+        # sweep tables are defined by this convention (test_golden_sweep).
+        T = params["c"].shape[0]
+        z_norm = jnp.linalg.norm(z[:, :T], axis=0)  # norm over zs[:, i] per term i
+    else:
+        z_norm = jnp.linalg.norm(z, axis=1)
+    poly = jnp.abs(params["c"]) * jnp.linalg.norm(theta, axis=0) * z_norm
     basis = desmo_model.trig_basis(latent, params["omega"])  # (3, r, n)
     trig = (
         jnp.abs(params["c_trig"])

@@ -1,0 +1,80 @@
+"""Golden sparsification parity: the nonzero-term counts printed in the
+reference's shipped training logs must be reproduced exactly from the shipped
+checkpoints.
+
+Term energies depend only on checkpoint parameters (raw phi masks, c, z,
+omega, periods — no flow data), so the sweep tables' "Nonzero Terms" columns
+are a data-free golden contract. The tables below are transcribed from the
+``Summary of Results`` blocks of each ``DESMO.out``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from desmo_tpu import checkpoint, sparsify
+from desmo_tpu.models import desmo, fourier
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference repo not mounted"
+)
+
+# (checkpoint, variant, r, poly_order, n_fourier, threshold grid (lo, hi), counts)
+GOLDEN = [
+    (
+        "DESMO/cylinder_flow/DESMO_r4_final_2025-01-25_17-08-31.pt",
+        "desmo", 4, 3, 0, (4.0, -3.0),
+        # DESMO/cylinder_flow/DESMO.out:10096-10110
+        [47, 47, 47, 47, 47, 41, 36, 21, 18, 14, 11, 7, 4, 4],
+    ),
+    (
+        "DESMO/aneurysm/DESMO_r4_final_2025-01-27_19-06-26.pt",
+        "desmo", 4, 2, 0, (4.0, -3.0),
+        # DESMO/aneurysm/DESMO.out:10106-
+        [20, 18, 11, 10, 9, 9, 9, 9, 9, 8, 8, 8, 8, 7],
+    ),
+    (
+        "DESMO/turbulent_channel/DESMO_r4_final_2025-04-15_15-44-04.pt",
+        "desmo", 4, 2, 0, (4.0, -3.0),
+        # DESMO/turbulent_channel/DESMO.out:6069-
+        [27, 27, 27, 27, 27, 25, 24, 22, 19, 13, 12, 11, 8, 4],
+    ),
+    (
+        "DESMO_Fourier/cylinder_flow/DESMOCF_r2_final_2025-02-11_16-45-07.pt",
+        "fourier", 2, 2, 10, (6.0, -5.0),
+        # DESMO_Fourier/cylinder_flow/DESMO.out:9092- (m=1001 t-grid)
+        [12, 12, 12, 12, 12, 12, 11, 11, 11, 11, 11, 10, 8, 7, 7, 4, 4, 2, 0, 0, 0, 0],
+    ),
+    (
+        "DESMO_Fourier/aneurysm/DESMOFourier_r2_final_2025-02-05_03-17-57.pt",
+        "fourier", 2, 2, 30, (5.0, -5.0),
+        # DESMO_Fourier/aneurysm/DESMO.out:10111- (m=1000 t-grid)
+        [12, 12, 12, 12, 12, 11, 9, 9, 9, 9, 9, 9, 8, 6, 6, 5, 2, 1, 0, 0],
+    ),
+]
+
+FOURIER_M = {"cylinder_flow": 1001, "aneurysm": 1000}
+
+
+@pytest.mark.parametrize("rel,variant,r,P,nF,grid,golden", GOLDEN, ids=[g[0].split("/")[-2] + "-" + g[1] for g in GOLDEN])
+def test_sweep_counts_match_shipped_logs(rel, variant, r, P, nF, grid, golden):
+    sd = checkpoint.load_pt(os.path.join(REFERENCE, rel))
+    params = checkpoint.params_from_state_dict(sd, variant)
+    n = params["phi"].shape[1]
+    if variant == "fourier":
+        m = FOURIER_M[rel.split("/")[1]]
+        spec = fourier.FourierSpec(n=n, m=m, r=r, poly_order=P, n_fourier=nF)
+    else:
+        m = params["z"].shape[1]
+        spec = desmo.DesmoSpec(n=n, m=m, r=r, poly_order=P)
+
+    energies = sparsify.term_energies(params, spec=spec)
+    thresholds = sparsify.default_thresholds(*grid)
+    assert len(thresholds) == len(golden), "threshold grid mismatch"
+    counts = [
+        sparsify.nonzero_terms(sparsify.zero_below_threshold(params, energies, float(t)))
+        for t in thresholds
+    ]
+    assert counts == golden, f"{rel}: {counts} != {golden}"
