@@ -58,6 +58,47 @@ GOLDEN = [
 FOURIER_M = {"cylinder_flow": 1001, "aneurysm": 1000}
 
 
+def _spec_and_params(rel, variant, r, P, nF):
+    sd = checkpoint.load_pt(os.path.join(REFERENCE, rel))
+    params = checkpoint.params_from_state_dict(sd, variant)
+    n = params["phi"].shape[1]
+    if variant == "fourier":
+        m = FOURIER_M[rel.split("/")[1]]
+        spec = fourier.FourierSpec(n=n, m=m, r=r, poly_order=P, n_fourier=nF)
+    else:
+        m = params["z"].shape[1]
+        spec = desmo.DesmoSpec(n=n, m=m, r=r, poly_order=P)
+    return spec, params
+
+
+@pytest.mark.parametrize(
+    "rel,variant,r,P,nF,grid,golden", GOLDEN,
+    ids=[g[0].split("/")[-2] + "-" + g[1] for g in GOLDEN],
+)
+def test_energy_values_match_shipped_logs(rel, variant, r, P, nF, grid, golden):
+    """The raw poly/nonlinear energy arrays are printed in every log
+    ('Poly norms: [...]' / 'Nonlinear terms norms: [...]', CYL:1204-1205) —
+    compare value-for-value (fp32 accuracy)."""
+    import re
+
+    log_path = os.path.join(REFERENCE, os.path.dirname(rel), "DESMO.out")
+    if not os.path.exists(log_path):
+        pytest.skip("log not shipped")
+    log = open(log_path, errors="replace").read()
+    m_poly = re.search(r"Poly norms:\s*\[([^\]]*)\]", log)
+    m_nl = re.search(r"Nonlinear terms norms:\s*\[([^\]]*)\]", log)
+    if m_poly is None or m_nl is None:
+        pytest.skip("log prints no energy arrays")
+    poly_ref = np.array([float(v) for v in m_poly.group(1).split()])
+    nl_ref = np.array([float(v) for v in m_nl.group(1).split()])
+
+    spec, params = _spec_and_params(rel, variant, r, P, nF)
+    e = sparsify.term_energies(params, spec=spec)
+    assert np.max(np.abs(e.poly - poly_ref) / (np.abs(poly_ref) + 1e-12)) < 1e-4
+    nl_ours = e.interleaved_trig()
+    assert np.max(np.abs(nl_ours - nl_ref) / (np.abs(nl_ref) + 1e-12)) < 1e-4
+
+
 @pytest.mark.parametrize("rel,variant,r,P,nF,grid,golden", GOLDEN, ids=[g[0].split("/")[-2] + "-" + g[1] for g in GOLDEN])
 def test_sweep_counts_match_shipped_logs(rel, variant, r, P, nF, grid, golden):
     sd = checkpoint.load_pt(os.path.join(REFERENCE, rel))
