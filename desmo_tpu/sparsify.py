@@ -96,6 +96,46 @@ def zero_below_threshold(params: dict, energies: TermEnergies, threshold: float)
     return out
 
 
+def zero_coefficients_below(
+    params: dict, threshold: float, include_tanh: bool = True
+) -> dict:
+    """Raw-magnitude thresholding of the sparsity coefficients themselves —
+    the AE and SR scripts' convention (``DESMO_AE/...py:1153-1163`` with
+    threshold 2e-4 and tanh excluded; ``DESMO-SR/...py:1460-1538`` sweep)."""
+    out = dict(params)
+    out["c"] = jnp.where(jnp.abs(params["c"]) < threshold, 0.0, params["c"])
+    ct = jnp.where(jnp.abs(params["c_trig"]) < threshold, 0.0, params["c_trig"])
+    if not include_tanh:  # AE: tanh coefficients left untouched
+        ct = ct.at[2].set(params["c_trig"][2])
+    out["c_trig"] = ct
+    return out
+
+
+def coefficient_sweep(
+    params: dict,
+    batch: dict,
+    spec,
+    variant: str = "ae",
+    thresholds: Optional[Sequence[float]] = None,
+    include_tanh: bool = True,
+    log: Optional[Callable[[str], None]] = None,
+) -> list[SweepEntry]:
+    """Threshold sweep over raw coefficient magnitudes (the SR script's grid
+    ``10^-i, i in arange(8, 2, -0.5)`` by default, ``DESMO-SR/...py:1460``)."""
+    if thresholds is None:
+        thresholds = default_thresholds(8.0, 2.0)
+    err_fn = _recon_error_fn(spec, variant)
+    results = []
+    for threshold in thresholds:
+        pruned = zero_coefficients_below(params, float(threshold), include_tanh)
+        error = float(err_fn(pruned, batch))
+        count = nonzero_terms(pruned)
+        results.append(SweepEntry(float(threshold), error, count))
+        if log is not None:
+            log(f"Threshold: {threshold}, Error: {error:.6f}, Nonzero Terms: {count}")
+    return results
+
+
 def nonzero_terms(params: dict) -> int:
     """Count of surviving terms (``CYL:1260-1265``)."""
     return int(np.sum(np.asarray(params["c"]) != 0)) + int(

@@ -104,6 +104,25 @@ def test_fourier_energies_use_series():
     assert np.isfinite(e.poly).all() and np.isfinite(e.trig).all()
 
 
+def test_coefficient_thresholding_raw_magnitudes():
+    """AE/SR convention: threshold |coef| directly; AE leaves tanh untouched."""
+    spec, params, pod_modes, x = setup_model(r=2, p=2)
+    c = np.array([1.0, 1e-5, 0.5, 1e-6, 2.0, 3e-4], np.float32)
+    ct = np.array([[1e-5, 1.0], [0.5, 1e-6], [1e-7, 1e-7]], np.float32)
+    params = dict(params, c=__import__("jax").numpy.asarray(c), c_trig=__import__("jax").numpy.asarray(ct))
+    pruned = sparsify.zero_coefficients_below(params, 1e-4, include_tanh=True)
+    np.testing.assert_array_equal(np.asarray(pruned["c"]) != 0, [1, 0, 1, 0, 1, 1])
+    assert np.count_nonzero(np.asarray(pruned["c_trig"])) == 2
+    # AE mode: tanh row untouched even below threshold
+    pruned_ae = sparsify.zero_coefficients_below(params, 1e-4, include_tanh=False)
+    np.testing.assert_array_equal(np.asarray(pruned_ae["c_trig"][2]), ct[2])
+
+    batch = {"x": __import__("jax").numpy.asarray(x), "pod_modes": __import__("jax").numpy.asarray(pod_modes)}
+    res = sparsify.coefficient_sweep(params, batch, spec, variant="desmo")
+    assert len(res) == 12  # arange(8, 2, -0.5) grid
+    assert all(np.isfinite(e.error) for e in res)
+
+
 def test_describe_nonzero_terms():
     spec, params, pod_modes, x = setup_model(r=2, p=2)
     c = np.zeros(spec.num_poly_terms, np.float32)
