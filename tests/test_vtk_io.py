@@ -192,3 +192,15 @@ def test_snapshot_series_layout(tmp_path, rng):
     # row layout: u1, v1, w1, u2, ...
     np.testing.assert_allclose(X[0:3, 0], vels[0][0], rtol=1e-7)
     np.testing.assert_allclose(X[3:6, 0], vels[0][1], rtol=1e-7)
+
+
+def test_legacy_crlf_line_endings(tmp_path, rng):
+    """Windows-style CRLF legacy files must parse (exact scanner pushback)."""
+    vel = rng.standard_normal((12, 3))
+    blob = _legacy_rectilinear(vel, binary=False)
+    # convert header/ascii lines to CRLF
+    blob_crlf = blob.replace(b"\n", b"\r\n")
+    path = tmp_path / "crlf.vtk"
+    path.write_bytes(blob_crlf)
+    mesh = vio.read_legacy_vtk(str(path))
+    np.testing.assert_allclose(mesh.point_data["Velocity"], vel, rtol=1e-10)
