@@ -33,12 +33,14 @@ def main() -> None:
         spec, cfg.beta, cfg.l1_lambda,
         method="fused" if jax.default_backend() == "tpu" else "factored",
     )
-    from desmo_tpu.pallas import pad_snapshots
+    from desmo_tpu.pallas import split_snapshots
 
     xd = jnp.asarray(x)
+    x_hi, x_lo = split_snapshots(xd)
     batch = {
         "x": xd,
-        "x_padded": pad_snapshots(xd),
+        "x_hi": x_hi,
+        "x_lo": x_lo,
         "pod_modes": p.modes,
         "x_sq": jnp.sum(xd * xd),
     }

@@ -168,14 +168,19 @@ def build_loss(spec: DesmoSpec, beta: float, l1_lambda: float, method: str = "fa
             A, latent = spatial_dictionary(params, batch["pod_modes"], factors)
             B = temporal_matrix(params)
             if method == "fused":
-                from desmo_tpu.pallas import factored_mse_fused
+                from desmo_tpu.pallas import factored_mse_fused, factored_mse_fused_split
 
                 x_sq = batch.get("x_sq")
                 if x_sq is None:
                     x_sq = jnp.sum(batch["x"] * batch["x"])
-                rec = factored_mse_fused(
-                    A, B, batch.get("x_padded", batch["x"]), x_sq, interpret
-                )
+                if "x_hi" in batch:  # pre-split bf16 planes (split_snapshots)
+                    rec = factored_mse_fused_split(
+                        A, B, batch["x_hi"], batch["x_lo"], x_sq, interpret
+                    )
+                else:
+                    rec = factored_mse_fused(
+                        A, B, batch.get("x_padded", batch["x"]), x_sq, interpret
+                    )
             else:
                 rec = losses.factored_mse(A, B, batch["x"], batch.get("x_sq"))
         else:

@@ -178,3 +178,106 @@ def pad_snapshots(x, bn: int = _BN, bm: int = 128):
     multiples. The fused loss accepts padded X directly."""
     n, m = x.shape
     return jnp.pad(jnp.asarray(x), ((0, _round_up(n, bn) - n), (0, _round_up(m, bm) - m)))
+
+
+def split_snapshots(x, bn: int = _BN, bm: int = 128):
+    """Pad + hi/lo-split X ONCE outside the loop: returns two bf16 planes with
+    x ~= hi + lo. The split-input kernel then skips the per-step f32->bf16
+    casts of the X block (X is the only large per-step operand)."""
+    xp = pad_snapshots(x, bn, bm)
+    hi = xp.astype(jnp.bfloat16)
+    lo = (xp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dual_kernel_split(a_ref, b_ref, xhi_ref, xlo_ref, ax_ref, xb_ref):
+    i = pl.program_id(0)
+    a_hi, a_lo = _split_bf16(a_ref[:])
+    b_hi, b_lo = _split_bf16(b_ref[:])
+    x_hi = xhi_ref[:]
+    x_lo = xlo_ref[:]
+
+    def d(u, v, dims):
+        return jax.lax.dot_general(
+            u, v, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    ax_dims = (((0,), (0,)), ((), ()))
+    partial_ax = d(a_hi, x_hi, ax_dims) + d(a_hi, x_lo, ax_dims) + d(a_lo, x_hi, ax_dims)
+
+    @pl.when(i == 0)
+    def _():
+        ax_ref[:] = partial_ax
+
+    @pl.when(i > 0)
+    def _():
+        ax_ref[:] = ax_ref[:] + partial_ax
+
+    xb_dims = (((1,), (1,)), ((), ()))
+    xb_ref[:] = d(x_hi, b_hi, xb_dims) + d(x_hi, b_lo, xb_dims) + d(x_lo, b_hi, xb_dims)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dual_contractions_split(a, b, x_hi, x_lo, interpret: bool = False):
+    """Like ``dual_contractions`` but over a pre-split bf16 X (see
+    ``split_snapshots``); identical 3-pass accuracy."""
+    n, k = a.shape
+    m = b.shape[1]
+    n_pad, m_pad = x_hi.shape
+    k_pad = _round_up(k, 128)
+    a_p = jnp.pad(a, ((0, n_pad - n), (0, k_pad - k)))
+    b_p = jnp.pad(b, ((0, k_pad - k), (0, m_pad - m)))
+
+    grid = (n_pad // _BN,)
+    ax, xb = pl.pallas_call(
+        _dual_kernel_split,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BN, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_pad * m_pad * k_pad,
+            bytes_accessed=(2 * n_pad * m_pad + n_pad * k_pad + k_pad * m_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, b_p, x_hi, x_lo)
+    return ax[:k, :m], xb[:n, :k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def factored_mse_fused_split(a, b, x_hi, x_lo, x_sq, interpret: bool = False):
+    """``factored_mse_fused`` over pre-split bf16 X planes."""
+    ax, _ = dual_contractions_split(a, b, x_hi, x_lo, interpret=interpret)
+    val, _, _ = _mse_value(a, b, ax, x_sq, a.shape[0] * b.shape[1])
+    return val
+
+
+def _fwd_split(a, b, x_hi, x_lo, x_sq, interpret):
+    ax, xb = dual_contractions_split(a, b, x_hi, x_lo, interpret=interpret)
+    nm = a.shape[0] * b.shape[1]
+    val, ga, gb = _mse_value(a, b, ax, x_sq, nm)
+    return val, (a, b, ax, xb, ga, gb, nm, x_hi.shape)
+
+
+def _bwd_split(interpret, res, g):
+    a, b, ax, xb, ga, gb, nm, x_shape = res
+    scale = 2.0 * g / nm
+    da = scale * (jnp.dot(a, gb, precision=jax.lax.Precision.HIGHEST) - xb)
+    db = scale * (jnp.dot(ga, b, precision=jax.lax.Precision.HIGHEST) - ax)
+    dx = jnp.zeros(x_shape, jnp.bfloat16)  # unused; DCE'd
+    return da, db, dx, dx, g / nm
+
+
+factored_mse_fused_split.defvjp(_fwd_split, _bwd_split)

@@ -152,9 +152,14 @@ def run(
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if resolve_loss_method(cfg) == "fused":
-        from desmo_tpu.pallas import pad_snapshots
+        if cfg.variant == "desmo":
+            from desmo_tpu.pallas import split_snapshots
 
-        batch["x_padded"] = pad_snapshots(xd)
+            batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+        else:
+            from desmo_tpu.pallas import pad_snapshots
+
+            batch["x_padded"] = pad_snapshots(xd)
     if cfg.variant != "ae":
         batch["pod_modes"] = p.modes
 

@@ -65,3 +65,33 @@ def test_fused_loss_in_model():
     for key in g1:
         scale = np.abs(np.asarray(g1[key])).max() + 1e-30
         assert np.abs(np.asarray(g1[key]) - np.asarray(g2[key])).max() < 2e-4 * scale, key
+
+
+def test_split_kernel_matches_fused():
+    from desmo_tpu.pallas import (
+        dual_contractions_split,
+        factored_mse_fused_split,
+        split_snapshots,
+    )
+
+    rng = np.random.default_rng(3)
+    n, k, m = 300, 11, 90
+    a = jnp.asarray(rng.standard_normal((n, k)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((k, m)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    x_sq = jnp.sum(x * x)
+    xh, xl = split_snapshots(x)
+
+    ax, xb = dual_contractions_split(a, b, xh, xl, interpret=True)
+    ax_ref = np.asarray(a.T @ x)
+    assert np.abs(np.asarray(ax) - ax_ref).max() < 5e-5 * np.abs(ax_ref).max()
+
+    v = factored_mse_fused_split(a, b, xh, xl, x_sq, True)
+    v_ref = losses.mse(a @ b, x)
+    assert np.isclose(float(v), float(v_ref), rtol=1e-3)
+
+    g = jax.grad(lambda a, b: factored_mse_fused_split(a, b, xh, xl, x_sq, True), argnums=(0, 1))(a, b)
+    g_ref = jax.grad(lambda a, b: losses.factored_mse(a, b, x, x_sq), argnums=(0, 1))(a, b)
+    for gs, gr in zip(g, g_ref):
+        scale = np.abs(np.asarray(gr)).max() + 1e-30
+        assert np.abs(np.asarray(gs) - np.asarray(gr)).max() < 2e-4 * scale
