@@ -34,7 +34,14 @@ from xml.etree import ElementTree
 
 import numpy as np
 
-__all__ = ["Mesh", "read_vtu", "read_legacy_vtk", "read_mesh", "read_snapshot_series"]
+__all__ = [
+    "Mesh",
+    "read_vtu",
+    "read_legacy_vtk",
+    "read_mesh",
+    "read_snapshot_series",
+    "write_vtu",
+]
 
 _XML_DTYPES = {
     "Float32": np.dtype("<f4"),
@@ -412,6 +419,64 @@ def read_legacy_vtk(path: str) -> Mesh:
                 data = sc.values(ncomp * tuples, vtk_type)
                 target[aname] = data.reshape(-1, ncomp) if ncomp > 1 else data
     return mesh
+
+
+# ---------------------------------------------------------------------------
+# Writing (fields back onto the mesh, for ParaView etc.)
+# ---------------------------------------------------------------------------
+
+
+def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_data: Optional[dict] = None) -> str:
+    """Write an XML .vtu with ascii DataArrays: the mesh geometry plus any
+    fields (e.g. DESMO modes or reconstructions). The reference only renders
+    to figures; exporting VTK lets results round-trip into ParaView/VTK
+    tooling. Readable back by ``read_vtu`` (tested) and by VTK itself."""
+    point_data = {**mesh.point_data, **(point_data or {})}
+    cell_data = {**mesh.cell_data, **(cell_data or {})}
+    if mesh.points is None:
+        raise ValueError("mesh has no points")
+    n = len(mesh.points)
+    cells = mesh.cells if mesh.cells is not None else np.array([], np.int64)
+    offsets = mesh.cell_offsets if mesh.cell_offsets is not None else np.array([], np.int64)
+    types = mesh.cell_types if mesh.cell_types is not None else np.array([], np.uint8)
+    ncells = len(types)
+
+    def da(name, arr, vtk_type):
+        arr = np.asarray(arr)
+        ncomp = arr.shape[1] if arr.ndim > 1 else 1
+        vals = " ".join(f"{v:.9g}" for v in arr.reshape(-1))
+        return (
+            f'<DataArray type="{vtk_type}" Name="{name}" '
+            f'NumberOfComponents="{ncomp}" format="ascii">{vals}</DataArray>'
+        )
+
+    def section(tag, data, vtk_type="Float32"):
+        if not data:
+            return f"<{tag}/>"
+        inner = "\n".join(da(k, v, vtk_type) for k, v in data.items())
+        return f"<{tag}>\n{inner}\n</{tag}>"
+
+    doc = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+<UnstructuredGrid>
+<Piece NumberOfPoints="{n}" NumberOfCells="{ncells}">
+{section("PointData", point_data)}
+{section("CellData", cell_data)}
+<Points>
+{da("Points", np.asarray(mesh.points, np.float32), "Float32")}
+</Points>
+<Cells>
+{da("connectivity", np.asarray(cells, np.int64), "Int64")}
+{da("offsets", np.asarray(offsets, np.int64), "Int64")}
+{da("types", np.asarray(types, np.uint8), "UInt8")}
+</Cells>
+</Piece>
+</UnstructuredGrid>
+</VTKFile>
+"""
+    with open(path, "w") as f:
+        f.write(doc)
+    return path
 
 
 # ---------------------------------------------------------------------------

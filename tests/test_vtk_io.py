@@ -204,3 +204,26 @@ def test_legacy_crlf_line_endings(tmp_path, rng):
     path.write_bytes(blob_crlf)
     mesh = vio.read_legacy_vtk(str(path))
     np.testing.assert_allclose(mesh.point_data["Velocity"], vel, rtol=1e-10)
+
+
+def test_write_vtu_roundtrip(tmp_path, rng):
+    """write_vtu output must read back with identical geometry and fields."""
+    pts = rng.standard_normal((6, 3)).astype(np.float32)
+    mesh = vio.Mesh(
+        points=pts,
+        point_data={},
+        cell_data={},
+        cells=np.array([0, 1, 2, 1, 2, 3], np.int64),
+        cell_offsets=np.array([3, 6], np.int64),
+        cell_types=np.array([5, 5], np.uint8),  # triangles
+    )
+    field = rng.standard_normal(6)
+    vec = rng.standard_normal((6, 3))
+    path = str(tmp_path / "out.vtu")
+    vio.write_vtu(path, mesh, point_data={"mode1": field, "velocity": vec})
+    back = vio.read_vtu(path)
+    np.testing.assert_allclose(back.points, pts, rtol=1e-6)
+    np.testing.assert_allclose(back.point_data["mode1"], field, rtol=1e-7)
+    np.testing.assert_allclose(back.point_data["velocity"], vec, rtol=1e-7)
+    np.testing.assert_array_equal(back.cells, mesh.cells)
+    np.testing.assert_array_equal(back.cell_types, mesh.cell_types)
