@@ -33,17 +33,12 @@ def main() -> None:
         spec, cfg.beta, cfg.l1_lambda,
         method="fused" if jax.default_backend() == "tpu" else "factored",
     )
-    from desmo_tpu.pallas import split_snapshots
-
     xd = jnp.asarray(x)
-    x_hi, x_lo = split_snapshots(xd)
-    batch = {
-        "x": xd,
-        "x_hi": x_hi,
-        "x_lo": x_lo,
-        "pod_modes": p.modes,
-        "x_sq": jnp.sum(xd * xd),
-    }
+    batch = {"x": xd, "pod_modes": p.modes, "x_sq": jnp.sum(xd * xd)}
+    if jax.default_backend() == "tpu":
+        from desmo_tpu.pallas import split_snapshots
+
+        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
 
     train_chunk = train.make_train_chunk(loss_fn, desmo.param_groups(params), cfg)
     state = train.init_state(params, cfg)

@@ -441,19 +441,36 @@ def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_dat
     types = mesh.cell_types if mesh.cell_types is not None else np.array([], np.uint8)
     ncells = len(types)
 
-    def da(name, arr, vtk_type):
+    from xml.sax.saxutils import quoteattr
+
+    _NP_TO_VTK = {
+        "float32": "Float32", "float64": "Float64",
+        "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+        "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32", "uint64": "UInt64",
+    }
+
+    def da(name, arr, vtk_type=None):
         arr = np.asarray(arr)
+        if vtk_type is None:
+            vtk_type = _NP_TO_VTK.get(arr.dtype.name)
+            if vtk_type is None:  # e.g. float16/bool: promote
+                arr = arr.astype(np.float32)
+                vtk_type = "Float32"
         ncomp = arr.shape[1] if arr.ndim > 1 else 1
-        vals = " ".join(f"{v:.9g}" for v in arr.reshape(-1))
+        if np.issubdtype(arr.dtype, np.integer):
+            vals = " ".join(str(int(v)) for v in arr.reshape(-1))
+        else:
+            fmt = "{:.17g}" if arr.dtype == np.float64 else "{:.9g}"
+            vals = " ".join(fmt.format(float(v)) for v in arr.reshape(-1))
         return (
-            f'<DataArray type="{vtk_type}" Name="{name}" '
+            f'<DataArray type="{vtk_type}" Name={quoteattr(str(name))} '
             f'NumberOfComponents="{ncomp}" format="ascii">{vals}</DataArray>'
         )
 
-    def section(tag, data, vtk_type="Float32"):
+    def section(tag, data):
         if not data:
             return f"<{tag}/>"
-        inner = "\n".join(da(k, v, vtk_type) for k, v in data.items())
+        inner = "\n".join(da(k, v) for k, v in data.items())
         return f"<{tag}>\n{inner}\n</{tag}>"
 
     doc = f"""<?xml version="1.0"?>

@@ -180,11 +180,12 @@ def pad_snapshots(x, bn: int = _BN, bm: int = 128):
     return jnp.pad(jnp.asarray(x), ((0, _round_up(n, bn) - n), (0, _round_up(m, bm) - m)))
 
 
-def split_snapshots(x, bn: int = _BN, bm: int = 128):
+def split_snapshots(x):
     """Pad + hi/lo-split X ONCE outside the loop: returns two bf16 planes with
     x ~= hi + lo. The split-input kernel then skips the per-step f32->bf16
-    casts of the X block (X is the only large per-step operand)."""
-    xp = pad_snapshots(x, bn, bm)
+    casts of the X block (X is the only large per-step operand). Padding is
+    fixed to the kernel's tile multiples."""
+    xp = pad_snapshots(x, _BN, 128)
     hi = xp.astype(jnp.bfloat16)
     lo = (xp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -224,6 +225,11 @@ def dual_contractions_split(a, b, x_hi, x_lo, interpret: bool = False):
     n, k = a.shape
     m = b.shape[1]
     n_pad, m_pad = x_hi.shape
+    if n_pad % _BN or m_pad % 128 or n_pad < n or m_pad < m:
+        raise ValueError(
+            f"x_hi/x_lo must be padded to ({_BN}, 128) multiples covering "
+            f"(n={n}, m={m}); got {x_hi.shape} — use split_snapshots()"
+        )
     k_pad = _round_up(k, 128)
     a_p = jnp.pad(a, ((0, n_pad - n), (0, k_pad - k)))
     b_p = jnp.pad(b, ((0, k_pad - k), (0, m_pad - m)))

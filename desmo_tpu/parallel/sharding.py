@@ -78,7 +78,7 @@ def batch_shardings(batch: dict, mesh: Mesh) -> dict:
     specs = {}
     for k, v in batch.items():
         nd = np.ndim(v)
-        if k == "x" and nd == 2:
+        if k in ("x", "x_padded", "x_hi", "x_lo") and nd == 2:
             specs[k] = P("space", "time")
         elif k == "pod_modes" and nd == 2:
             specs[k] = P("space", None)

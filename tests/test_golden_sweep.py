@@ -101,15 +101,7 @@ def test_energy_values_match_shipped_logs(rel, variant, r, P, nF, grid, golden):
 
 @pytest.mark.parametrize("rel,variant,r,P,nF,grid,golden", GOLDEN, ids=[g[0].split("/")[-2] + "-" + g[1] for g in GOLDEN])
 def test_sweep_counts_match_shipped_logs(rel, variant, r, P, nF, grid, golden):
-    sd = checkpoint.load_pt(os.path.join(REFERENCE, rel))
-    params = checkpoint.params_from_state_dict(sd, variant)
-    n = params["phi"].shape[1]
-    if variant == "fourier":
-        m = FOURIER_M[rel.split("/")[1]]
-        spec = fourier.FourierSpec(n=n, m=m, r=r, poly_order=P, n_fourier=nF)
-    else:
-        m = params["z"].shape[1]
-        spec = desmo.DesmoSpec(n=n, m=m, r=r, poly_order=P)
+    spec, params = _spec_and_params(rel, variant, r, P, nF)
 
     energies = sparsify.term_energies(params, spec=spec)
     thresholds = sparsify.default_thresholds(*grid)
