@@ -104,6 +104,17 @@ def pod_relative_error(x, result: PODResult) -> float:
     return float(jnp.linalg.norm(x - result.reconstruction) / jnp.linalg.norm(x))
 
 
+def rank_sweep(x, max_r: int, method: str = "auto") -> list[tuple[int, float]]:
+    """Relative reconstruction error for every rank 1..max_r from ONE
+    factorization — the AE script's inline mode-count sweep
+    (``DESMO_AE/...py:283-407``, swept to 20 modes)."""
+    full = pod(jnp.asarray(x, jnp.float32), max_r, method=method)
+    out = []
+    for r in range(1, max_r + 1):
+        out.append((r, pod_relative_error(x, truncate(x, full, r))))
+    return out
+
+
 def pod_numpy(x: np.ndarray, r: int):
     """Host-side full-SVD oracle, exactly the reference's path (``CYL:199-208``).
 

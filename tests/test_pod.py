@@ -49,3 +49,13 @@ def test_relative_error_decreases_with_rank():
 def test_exactly_rank_r_data():
     x = synthetic.separable_rank_k(80, 30, k=2, seed=4)
     assert pod.pod_relative_error(x, pod.pod(x, 2)) < 1e-3
+
+
+def test_rank_sweep_monotone():
+    """AE-script mode-count sweep equivalent: one factorization, all ranks."""
+    x = synthetic.separable_rank_k(90, 40, k=6, seed=5)
+    sweep = pod.rank_sweep(x, 8)
+    assert [r for r, _ in sweep] == list(range(1, 9))
+    errs = [e for _, e in sweep]
+    assert all(a >= b - 1e-6 for a, b in zip(errs, errs[1:]))
+    assert errs[5] < 1e-3  # rank-6 data fully captured at r=6
