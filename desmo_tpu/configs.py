@@ -10,7 +10,6 @@ CLI and benchmarks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 GROUP_ORDER = ("coef", "phi", "z", "omega", "period")
 

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import base64
 import dataclasses
-import re
-import struct
 import zlib
 from typing import Optional
 from xml.etree import ElementTree

@@ -20,7 +20,6 @@ from __future__ import annotations
 import itertools
 import math
 from functools import lru_cache
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from desmo_tpu import library
 from desmo_tpu.models import desmo as desmo_model
 
 Params = dict[str, jnp.ndarray]

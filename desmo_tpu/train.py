@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
