@@ -20,6 +20,7 @@ def cylinder_wake(
     noise: float = 0.0,
     seed: int = 0,
     dtype=np.float32,
+    period_steps: float | None = None,
 ) -> np.ndarray:
     """Traveling-wave wake surrogate: X (n, m), temporal-mean-free.
 
@@ -27,11 +28,18 @@ def cylinder_wake(
     ``a_k [ sin(k s) g(s) sin(k w t), cos(k s) g(s) cos(k w t) ]`` — the
     classic POD structure of vortex shedding (paired modes per frequency),
     with a Gaussian spatial envelope g and 1/k^2 energy decay.
+
+    ``period_steps``: fundamental shedding period in snapshot indices (e.g. 60
+    to match the Fourier presets' ``period_init``); default keeps the historic
+    ~100-step period.
     """
     rng = np.random.default_rng(seed)
     s = np.linspace(0.0, 8.0 * np.pi, n)
     envelope = np.exp(-(((s - s.mean()) / (0.35 * np.ptp(s))) ** 2))
-    t = np.linspace(0.0, 20.0 * np.pi, m)
+    if period_steps is None:
+        t = np.linspace(0.0, 20.0 * np.pi, m)
+    else:
+        t = 2.0 * np.pi * np.arange(m) / float(period_steps)
     x = np.zeros((n, m))
     w = 1.0
     for k in range(1, n_harmonics + 1):
