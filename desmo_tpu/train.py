@@ -80,6 +80,8 @@ class _FlatLayout:
         self.group_index = gidx
 
     def flatten(self, tree: dict) -> jnp.ndarray:
+        if not self.keys:  # every leaf sharded: nothing packed
+            return jnp.zeros((0,), jnp.float32)
         return jnp.concatenate(
             [jnp.ravel(tree[k]).astype(jnp.float32) for k in self.keys]
         )
@@ -132,53 +134,116 @@ def make_epoch_step(loss_fn: LossFn, group_of: dict[str, str], cfg: RunConfig):
     return step
 
 
-def make_train_chunk(loss_fn: LossFn, group_of: dict[str, str], cfg: RunConfig):
+def _is_sharded(sharding) -> bool:
+    """True when a NamedSharding actually splits data over mesh axes."""
+    spec = getattr(sharding, "spec", None)
+    return spec is not None and any(ax is not None for ax in spec)
+
+
+def make_train_chunk(
+    loss_fn: LossFn,
+    group_of: dict[str, str],
+    cfg: RunConfig,
+    param_shardings: Optional[dict] = None,
+):
     """Jitted scan of `num_steps` epochs. Returns (state, stacked metrics).
 
     Semantically identical to scanning `make_epoch_step` (tested), but packs
     params and Adamax moments into single flat buffers for the duration of the
     chunk so the update is three fused vector ops.
+
+    ``param_shardings`` (key -> ``NamedSharding``, from
+    ``parallel.param_shardings``) makes the compiled loop **sharding-aware**:
+    leaves whose spec splits a mesh axis (phi over 'space', z/z_trig over
+    'time') are carried per-leaf through the scan, pinned each iteration with
+    ``lax.with_sharding_constraint`` so their parameters AND Adamax moments
+    stay distributed — per-device memory for the O(r*n) state scales as 1/
+    n_space. Packing them into the flat buffer would let XLA resolve the
+    concatenated vector (and both moments) to fully-replicated, defeating
+    spatial sharding. Replicated leaves keep the packed fast path, so the
+    single-chip step is unchanged when no sharding is requested.
     """
+    sharded_sh = {
+        k: s for k, s in (param_shardings or {}).items() if _is_sharded(s)
+    }
 
     def chunk_impl(state: TrainState, batch: dict, num_steps: int):
-        layout = _FlatLayout(state.params, group_of)
+        packed_keys = [k for k in state.params if k not in sharded_sh]
+        layout = _FlatLayout({k: state.params[k] for k in packed_keys}, group_of)
         gidx = jnp.asarray(layout.group_index)
+        # one static scalar LR index per sharded leaf (each leaf has one group)
+        sh_lr_idx = {k: GROUP_ORDER.index(group_of[k]) for k in sharded_sh}
 
-        def flat_loss(vec, batch):
-            return loss_fn(layout.unflatten(vec), batch)
+        def pin(tree: dict) -> dict:
+            return {
+                k: jax.lax.with_sharding_constraint(v, sharded_sh[k])
+                for k, v in tree.items()
+            }
+
+        def full_loss(vec, sh_params, batch):
+            params = layout.unflatten(vec)
+            params.update(sh_params)
+            return loss_fn(params, batch)
 
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def body(carry, _):
-            vec, mu, nu, count, sched, epoch = carry
-            (total, metrics), g = jax.value_and_grad(flat_loss, has_aux=True)(
-                vec, batch
-            )
+            vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch = carry
+            sh_p = pin(sh_p)
+            (total, metrics), (g, g_sh) = jax.value_and_grad(
+                full_loss, argnums=(0, 1), has_aux=True
+            )(vec, sh_p, batch)
+            g_sh = pin(g_sh)
             count = count + 1
             bias = 1.0 - b1 ** count.astype(jnp.float32)
             mu = b1 * mu + (1.0 - b1) * g
             nu = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
             lr_elem = sched.lrs[gidx]  # per-element LR via one gather
             vec = vec - (lr_elem / bias) * mu / nu
+            sh_mu = pin(
+                {k: b1 * sh_mu[k] + (1.0 - b1) * g_sh[k] for k in sh_mu}
+            )
+            sh_nu = pin(
+                {
+                    k: jnp.maximum(b2 * sh_nu[k], jnp.abs(g_sh[k]) + eps)
+                    for k in sh_nu
+                }
+            )
+            sh_p = pin(
+                {
+                    k: sh_p[k]
+                    - (sched.lrs[sh_lr_idx[k]] / bias) * sh_mu[k] / sh_nu[k]
+                    for k in sh_p
+                }
+            )
             sched = _sched_update(sched, total, epoch, cfg)
             metrics = dict(metrics)
             metrics["total"] = total
-            return (vec, mu, nu, count, sched, epoch + 1), metrics
+            return (vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch + 1), metrics
 
         carry = (
-            layout.flatten(state.params),
-            layout.flatten(state.opt.mu),
-            layout.flatten(state.opt.nu),
+            layout.flatten({k: state.params[k] for k in packed_keys}),
+            layout.flatten({k: state.opt.mu[k] for k in packed_keys}),
+            layout.flatten({k: state.opt.nu[k] for k in packed_keys}),
+            {k: state.params[k] for k in sharded_sh},
+            {k: state.opt.mu[k] for k in sharded_sh},
+            {k: state.opt.nu[k] for k in sharded_sh},
             state.opt.count,
             state.sched,
             state.epoch,
         )
-        (vec, mu, nu, count, sched, epoch), metrics = jax.lax.scan(
+        (vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch), metrics = jax.lax.scan(
             body, carry, None, length=num_steps
         )
+
+        def rebuild(vec, sh_tree):
+            out = layout.unflatten(vec)
+            out.update(sh_tree)
+            return {k: out[k] for k in state.params}  # original key order
+
         out_state = TrainState(
-            params=layout.unflatten(vec),
-            opt=optim.AdamaxState(count, layout.unflatten(mu), layout.unflatten(nu)),
+            params=rebuild(vec, sh_p),
+            opt=optim.AdamaxState(count, rebuild(mu, sh_mu), rebuild(nu, sh_nu)),
             sched=sched,
             epoch=epoch,
         )
@@ -206,6 +271,7 @@ def fit(
     log: Optional[Callable[[str], None]] = print,
     checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
     state: Optional[TrainState] = None,
+    param_shardings: Optional[dict] = None,
 ) -> TrainResult:
     """Run (or resume) training; host code only between compiled chunks.
 
@@ -218,7 +284,7 @@ def fit(
         state = init_state(params, cfg) if state is None else state
         return TrainResult(state=state, history={}, steps_per_sec=float("nan"), wall_seconds=0.0)
     chunk_size = chunk_size or min(cfg.checkpoint_every, num_epochs)
-    train_chunk = make_train_chunk(loss_fn, group_of, cfg)
+    train_chunk = make_train_chunk(loss_fn, group_of, cfg, param_shardings)
     if state is None:
         state = init_state(params, cfg)
     # train_chunk donates its state buffers; copy so the caller's params /
