@@ -117,7 +117,8 @@ def cmd_sr(args) -> int:
     params = checkpoint.params_from_state_dict(sd, "desmo")
     import jax.numpy as jnp
 
-    p = pod.pod(x, cfg.r)
+    # imported checkpoints pair with the reference's np.linalg.svd mode signs
+    p = pod.pod_host(x, cfg.r)
     batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
     result = sr.identify_and_reinject(
         params,
@@ -125,6 +126,7 @@ def cmd_sr(args) -> int:
         spec,
         energy_threshold=args.energy_threshold,
         degree=args.degree,
+        engine=args.engine,
         log=print,
     )
     print(f"channels: {result.channels}")
@@ -184,6 +186,10 @@ def main(argv=None) -> int:
     p_sr.add_argument("--synthetic", action="store_true")
     p_sr.add_argument("--energy-threshold", type=float, default=1.0)
     p_sr.add_argument("--degree", type=int, default=1)
+    p_sr.add_argument(
+        "--engine", choices=("stlsq", "pysr"), default="stlsq",
+        help="sparse-regression engine (pysr needs the optional pysr package)",
+    )
 
     args = parser.parse_args(argv)
     return {

@@ -122,3 +122,45 @@ def pod_numpy(x: np.ndarray, r: int):
     u, s, vt = np.linalg.svd(x, full_matrices=False)
     x_approx = u[:, :r] @ np.diag(s[:r]) @ vt[:r, :]
     return x_approx, u[:, :r], vt[:r, :], s[:r]
+
+
+def pod_host(x, r: int) -> PODResult:
+    """Rank-r POD with the REFERENCE's exact mode signs: ``np.linalg.svd`` on
+    host (``CYL:199-205``), packaged as a :class:`PODResult`.
+
+    Use this whenever POD modes must pair with *frozen* trained masks — e.g.
+    importing a reference ``.pt`` checkpoint for inference. The device paths
+    (`pod` with method-of-snapshots or ``jnp.linalg.svd``) may flip individual
+    mode signs relative to LAPACK-on-host; during *training* a flip is absorbed
+    by the learnable phi masks, but at inference with imported phi it silently
+    corrupts the reconstruction."""
+    x = np.asarray(x, np.float32)
+    u, s, vt = np.linalg.svd(x, full_matrices=False)
+    energy = (s * s) / np.sum(s * s)
+    u_r, s_r, vt_r = u[:, :r], s[:r], vt[:r, :]
+    recon = (u_r * s_r[None, :]) @ vt_r
+    return PODResult(
+        modes=jnp.asarray(u_r),
+        temporal=jnp.asarray(vt_r),
+        singular_values=jnp.asarray(s_r),
+        energy=jnp.asarray(energy),
+        reconstruction=jnp.asarray(recon),
+    )
+
+
+def sign_align(result: PODResult, reference_modes) -> PODResult:
+    """Flip modes (and their temporal rows) whose sign convention disagrees
+    with ``reference_modes`` (n, r'); detection = sign of the mode/reference
+    inner product. Returns an aligned :class:`PODResult` (reconstruction is
+    sign-invariant and reused)."""
+    ref = jnp.asarray(reference_modes, jnp.float32)
+    r = result.modes.shape[1]
+    dots = jnp.sum(result.modes * ref[:, :r], axis=0)  # (r,)
+    flip = jnp.where(dots < 0, -1.0, 1.0)
+    return PODResult(
+        modes=result.modes * flip[None, :],
+        temporal=result.temporal * flip[:, None],
+        singular_values=result.singular_values,
+        energy=result.energy,
+        reconstruction=result.reconstruction,
+    )

@@ -310,7 +310,11 @@ def evaluate(
         params = ae_model.params_from_state_dict(sd, spec)
     else:
         params = checkpoint.params_from_state_dict(sd, cfg.variant)
-    p2 = pod.pod(x, 2 * cfg.r)
+    # Imported checkpoints pair frozen phi masks with the SIGNS of the POD
+    # modes they were trained against — np.linalg.svd on host (CYL:199-205).
+    # Device POD (eigh-based snapshots method) can flip individual mode signs,
+    # which would silently corrupt inference; rebuild POD the reference's way.
+    p2 = pod.pod_host(x, 2 * cfg.r)
     p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from desmo_tpu import pod
 from desmo_tpu.io import synthetic
 
@@ -59,3 +61,53 @@ def test_rank_sweep_monotone():
     errs = [e for _, e in sweep]
     assert all(a >= b - 1e-6 for a, b in zip(errs, errs[1:]))
     assert errs[5] < 1e-3  # rank-6 data fully captured at r=6
+
+
+def test_pod_host_matches_reference_signs_exactly():
+    """pod_host must reproduce np.linalg.svd bit-for-bit including mode signs
+    (the reference's POD provenance, CYL:199-205)."""
+    x = synthetic.separable_rank_k(50, 30, k=4, seed=6)
+    res = pod.pod_host(x, 4)
+    _, modes_o, temporal_o, s_o = pod.pod_numpy(x.astype(np.float32), 4)
+    np.testing.assert_array_equal(np.asarray(res.modes), modes_o)
+    np.testing.assert_array_equal(np.asarray(res.temporal), temporal_o)
+    np.testing.assert_array_equal(np.asarray(res.singular_values), s_o)
+
+
+def test_sign_align_detects_and_fixes_flips():
+    """A deliberately sign-flipped mode corrupts frozen-mask inference; after
+    sign_align against the reference modes the pairing is restored (VERDICT r1
+    Missing #4)."""
+    import dataclasses
+
+    x = synthetic.separable_rank_k(60, 40, k=3, seed=7)
+    ref = pod.pod_host(x, 3)
+    flip = np.array([1.0, -1.0, 1.0], np.float32)
+    flipped = dataclasses.replace(
+        ref,
+        modes=ref.modes * flip[None, :],
+        temporal=ref.temporal * flip[:, None],
+    )
+    # flipped modes no longer pair with masks trained against ref signs
+    assert float(np.max(np.abs(np.asarray(flipped.modes) - np.asarray(ref.modes)))) > 0.01
+    aligned = pod.sign_align(flipped, ref.modes)
+    np.testing.assert_array_equal(np.asarray(aligned.modes), np.asarray(ref.modes))
+    np.testing.assert_array_equal(np.asarray(aligned.temporal), np.asarray(ref.temporal))
+
+
+def test_sign_flip_changes_frozen_mask_reconstruction():
+    """Demonstrate the failure mode evaluate() guards against: the same frozen
+    phi with a sign-flipped POD basis yields a different reconstruction."""
+    from desmo_tpu.models import desmo
+
+    x = synthetic.separable_rank_k(48, 32, k=2, seed=8)
+    x -= x.mean(axis=1, keepdims=True)
+    spec = desmo.DesmoSpec(48, 32, 2, 2, omega_init=1.0)
+    params = desmo.init_params(spec)
+    rng = np.random.default_rng(0)
+    params = dict(params, phi=jnp.asarray(rng.standard_normal((2, 48)), jnp.float32))
+    ref = pod.pod_host(x, 2)
+    recon_ref, _, _ = desmo.apply(params, ref.modes, spec)
+    flipped_modes = ref.modes * jnp.asarray([-1.0, 1.0])[None, :]
+    recon_flip, _, _ = desmo.apply(params, flipped_modes, spec)
+    assert float(np.max(np.abs(np.asarray(recon_ref) - np.asarray(recon_flip)))) > 1e-3
