@@ -223,6 +223,111 @@ def inject_channels(
 
 
 # ---------------------------------------------------------------------------
+# Symbolic-regression equation tables (PySR semantics, engine-agnostic)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EquationCandidate:
+    """One row of a symbolic-regression hall-of-fame table (PySR's
+    ``equations_`` DataFrame row: 'equation', 'score', 'complexity', 'loss')."""
+
+    equation: str  # sympy-parseable expression over the channel variable names
+    score: float
+    complexity: int = 0
+    loss: float = float("nan")
+
+
+def channel_names(channels: Sequence[Channel], spec) -> list[str]:
+    """Reference-consistent variable names for selected channels: the flat
+    index into the conceptual [z_0..z_{T-1}, sin0, cos0, tanh0, sin1, ...]
+    stack — the reference's hand-picked run names its r=2 channels
+    z2, z6, z8, z9, z11 this way (``...py:986-990, 1243-1246``)."""
+    T = spec.num_poly_terms
+    names = []
+    for kind, idx in channels:
+        if kind == "poly":
+            names.append(f"z{idx}")
+        else:
+            names.append(f"z{T + 3 * idx + _KIND_INDEX[kind]}")
+    return names
+
+
+def _as_candidates(table) -> list[EquationCandidate]:
+    """Accept a list of EquationCandidate, dicts, or a pandas DataFrame with
+    'equation'/'score' columns (PySR's per-target ``equations_`` table)."""
+    if hasattr(table, "iterrows"):  # pandas DataFrame
+        return [
+            EquationCandidate(
+                equation=str(row["equation"]),
+                score=float(row["score"]),
+                complexity=int(row.get("complexity", 0)),
+                loss=float(row.get("loss", float("nan"))),
+            )
+            for _, row in table.iterrows()
+        ]
+    out = []
+    for c in table:
+        if isinstance(c, EquationCandidate):
+            out.append(c)
+        else:
+            out.append(EquationCandidate(**dict(c)))
+    return out
+
+
+def equation_tables_from_pysr(model) -> list[list[EquationCandidate]]:
+    """Convert a fitted multi-target ``PySRRegressor`` into plain candidate
+    tables (``model_SR.equations_`` is a list of DataFrames for multi-target
+    fits, ``...py:1204-1216``)."""
+    tables = model.equations_
+    if hasattr(tables, "iterrows"):  # single-target fit: one DataFrame
+        tables = [tables]
+    return [_as_candidates(t) for t in tables]
+
+
+def select_equations(
+    tables: Sequence,
+    second_best_for: Sequence[int] = (),
+) -> list[str]:
+    """Score-based equation selection, exactly the reference's two recipes
+    (``...py:1196-1226``): per target, take the HIGHEST-score equation; for
+    target indices in ``second_best_for`` take the second-highest-score one
+    when it exists (the reference hand-picks targets 1 and 4 this way when the
+    best equation over-fits)."""
+    chosen = []
+    for i, table in enumerate(tables):
+        cands = _as_candidates(table)
+        if not cands:
+            raise ValueError(f"empty equation table for target {i}")
+        ranked = sorted(cands, key=lambda c: c.score, reverse=True)
+        if i in second_best_for and len(ranked) > 1:
+            chosen.append(ranked[1].equation)
+        else:
+            chosen.append(ranked[0].equation)
+    return chosen
+
+
+def lambdify_system(
+    equations: Sequence[str], var_names: Sequence[str]
+) -> Callable[[np.ndarray], np.ndarray]:
+    """sympy-lambdify the selected equations into one vector ODE RHS
+    (``create_function`` + ``discovered_ode_system``, ``...py:1228-1260``)."""
+    import sympy
+
+    syms = sympy.symbols(list(var_names))
+    funcs = [
+        sympy.lambdify(syms, sympy.sympify(eq), modules="numpy")
+        for eq in equations
+    ]
+
+    def rhs(z: np.ndarray) -> np.ndarray:
+        vals = [np.asarray(f(*np.asarray(z, np.float64)), np.float64) for f in funcs]
+        return np.stack([np.broadcast_to(v, ()) for v in vals]).reshape(-1)
+
+    return rhs
+
+
+# ---------------------------------------------------------------------------
 # Full pipeline (the DESMO-SR script end to end, ...py:986-1391)
 # ---------------------------------------------------------------------------
 
@@ -230,7 +335,7 @@ def inject_channels(
 @dataclasses.dataclass
 class SRResult:
     channels: list  # extracted Channel selections
-    model: SINDyModel
+    model: Optional[SINDyModel]  # None for the PySR engine
     z_data: np.ndarray  # (m, k) extracted trajectories
     z_sim: np.ndarray  # (m, k) integrated trajectories
     params_injected: dict
@@ -250,12 +355,22 @@ def identify_and_reinject(
     stlsq_alpha: float = 0.05,
     t: Optional[np.ndarray] = None,
     log: Optional[Callable[[str], None]] = None,
+    engine: str = "stlsq",
+    equation_tables: Optional[Sequence] = None,
+    second_best_for: Sequence[int] = (),
+    pysr_kwargs: Optional[dict] = None,
 ) -> SRResult:
     """The DESMO-SR pipeline on a trained (plain-variant) model:
 
     1. pick the active temporal channels (explicitly, like the reference's
        hand-picked z2/zsin/ztanh list, or by term energy);
-    2. fit dz/dt = f(z) with STLSQ over a polynomial library (...py:1020-1035);
+    2. fit dz/dt = f(z) — ``engine='stlsq'``: STLSQ over a polynomial library
+       (...py:1020-1035); ``engine='pysr'``: genetic symbolic regression with
+       score-based equation selection (...py:1116-1226) — pass a fitted
+       result via ``equation_tables`` (per-target candidate tables, e.g.
+       :func:`equation_tables_from_pysr`) or let it call :func:`fit_pysr`;
+       ``second_best_for`` lists target indices that take the second-highest-
+       score equation, like the reference's hand-picked targets 1 and 4;
     3. integrate from z(0) with RK45 (...py:1228-1280);
     4. inject the simulated trajectories back into the model and report the
        reconstruction error before/after (...py:1350-1391).
@@ -276,13 +391,34 @@ def identify_and_reinject(
     if t is None:
         t = np.arange(m, dtype=np.float64)
 
-    model = fit_sindy(
-        z_data, t, degree=degree, threshold=stlsq_threshold, alpha=stlsq_alpha
-    )
+    model: Optional[SINDyModel] = None
+    if engine == "pysr":
+        names = channel_names(channels, spec)
+        if equation_tables is None:  # pragma: no cover - needs Julia
+            dzdt = finite_difference(
+                np.asarray(z_data, np.float64), np.asarray(t, np.float64)
+            )
+            fitted = fit_pysr(
+                z_data, dzdt, variable_names=names, **(pysr_kwargs or {})
+            )
+            equation_tables = equation_tables_from_pysr(fitted)
+        eq_strings = select_equations(equation_tables, second_best_for)
+        rhs = lambdify_system(eq_strings, names)
+        equations = [
+            f"d{n}/dt = {eq}" for n, eq in zip(names, eq_strings)
+        ]
+    elif engine == "stlsq":
+        model = fit_sindy(
+            z_data, t, degree=degree, threshold=stlsq_threshold, alpha=stlsq_alpha
+        )
+        rhs = model
+        equations = model.equations()
+    else:
+        raise ValueError(f"unknown SR engine {engine!r} (use 'stlsq' or 'pysr')")
     if log is not None:
-        for eq in model.equations():
+        for eq in equations:
             log(eq)
-    z_sim = simulate(model, z_data[0], t)
+    z_sim = simulate(rhs, z_data[0], t)
 
     injected = inject_channels(params, channels, z_sim.astype(np.float32))
     x = jnp.asarray(batch["x"])
@@ -301,7 +437,7 @@ def identify_and_reinject(
         params_injected=injected,
         error_original=err0,
         error_simulated=err1,
-        equations=model.equations(),
+        equations=equations,
     )
 
 
@@ -310,10 +446,17 @@ def identify_and_reinject(
 # ---------------------------------------------------------------------------
 
 
-def fit_pysr(z: np.ndarray, dzdt: np.ndarray, **overrides):
+def fit_pysr(
+    z: np.ndarray,
+    dzdt: np.ndarray,
+    variable_names: Optional[Sequence[str]] = None,
+    **overrides,
+):
     """Genetic symbolic regression of dz/dt (requires the optional ``pysr``
-    package + Julia). Configured like the reference: +,-,*,/ binary ops, sin
-    unary, nesting/complexity constraints, squared-error loss."""
+    package + Julia). Configured like the reference (``...py:1118-1134``):
+    +,-,*,/ binary ops, sin unary, nesting/complexity constraints,
+    squared-error loss, named channel variables. Feed the fitted model to
+    :func:`equation_tables_from_pysr` + :func:`select_equations`."""
     try:
         from pysr import PySRRegressor
     except ImportError as exc:  # pragma: no cover - optional dependency
@@ -328,8 +471,11 @@ def fit_pysr(z: np.ndarray, dzdt: np.ndarray, **overrides):
         constraints={"add": 10, "mul": 10, "sin": 5},
         nested_constraints={"sin": {"sin": 0}},
         elementwise_loss="loss(x, y) = (x - y)^2",
+        denoise=False,
     )
     kwargs.update(overrides)
     model = PySRRegressor(**kwargs)  # pragma: no cover
-    model.fit(z, dzdt)  # pragma: no cover
+    model.fit(  # pragma: no cover
+        z, dzdt, variable_names=list(variable_names) if variable_names else None
+    )
     return model  # pragma: no cover

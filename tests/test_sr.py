@@ -153,3 +153,176 @@ def test_full_sr_pipeline_on_trained_model():
 def test_pysr_gated():
     with pytest.raises(ImportError, match="PySR"):
         sr.fit_pysr(np.zeros((10, 2)), np.zeros((10, 2)))
+
+
+# ---------------------------------------------------------------------------
+# PySR branch: selection -> lambdify -> integrate -> inject, driven by fake
+# equation tables (no Julia required) — reference ...py:1116-1362.
+# ---------------------------------------------------------------------------
+
+
+def test_channel_names_match_reference_flat_indexing():
+    """r=2, poly_order=2 (T=6): the reference names its extracted channels
+    z2, z6, z8, z9, z11 (...py:986-990) — poly index t -> z{t}; trig
+    (kind k, mode i) -> z{T + 3i + k}."""
+    spec = desmo.DesmoSpec(16, 8, 2, 2, 1.0)
+    names = sr.channel_names(sr.REFERENCE_CYLINDER_CHANNELS, spec)
+    assert names == ["z2", "z6", "z8", "z9", "z11"]
+
+
+def test_select_equations_best_and_second_best():
+    tables = [
+        [
+            sr.EquationCandidate("1.0*a", score=0.2, complexity=3),
+            sr.EquationCandidate("2.0*a", score=0.9, complexity=5),
+            sr.EquationCandidate("3.0*a", score=0.5, complexity=7),
+        ],
+        [
+            sr.EquationCandidate("4.0*b", score=0.8),
+            sr.EquationCandidate("5.0*b", score=0.1),
+        ],
+    ]
+    # default: highest score per target
+    assert sr.select_equations(tables) == ["2.0*a", "4.0*b"]
+    # reference's second-best recipe for designated targets (...py:1210-1226)
+    assert sr.select_equations(tables, second_best_for=(1,)) == ["2.0*a", "5.0*b"]
+    # second-best on a single-row table falls back to the only equation
+    single = [[sr.EquationCandidate("7.0*a", score=0.3)]]
+    assert sr.select_equations(single, second_best_for=(0,)) == ["7.0*a"]
+
+
+def test_select_equations_accepts_pysr_dataframes():
+    pd = pytest.importorskip("pandas")
+    df = pd.DataFrame(
+        {
+            "equation": ["x0", "sin(x0)", "x0*x0"],
+            "score": [0.1, 0.7, 0.3],
+            "complexity": [1, 2, 3],
+            "loss": [1.0, 0.1, 0.5],
+        }
+    )
+    assert sr.select_equations([df]) == ["sin(x0)"]
+
+    class FakePySR:
+        equations_ = [df, df]
+
+    tables = sr.equation_tables_from_pysr(FakePySR())
+    assert len(tables) == 2 and tables[0][1].equation == "sin(x0)"
+
+
+def test_lambdify_system_integrates_oscillator():
+    """lambdified sympy equations -> solve_ivp reproduces a harmonic
+    oscillator (the reference's discovered_ode_system flow, ...py:1232-1280)."""
+    rhs = sr.lambdify_system(["0.5*zb", "-0.5*za"], ["za", "zb"])
+    np.testing.assert_allclose(rhs(np.array([1.0, 2.0])), [1.0, -0.5])
+    t = np.linspace(0, 4 * np.pi, 400)
+    z = sr.simulate(rhs, np.array([1.0, 0.0]), t)
+    np.testing.assert_allclose(z[:, 0], np.cos(0.5 * t), atol=2e-4)
+    np.testing.assert_allclose(z[:, 1], -np.sin(0.5 * t), atol=2e-4)
+
+
+def test_identify_and_reinject_pysr_engine():
+    """Full PySR-branch pipeline on a synthetic 2-channel oscillator: fake
+    equation tables stand in for the Julia fit; selection -> lambdify ->
+    RK45 -> injection must reproduce the dynamics and keep the
+    reconstruction error unchanged (the dynamics are exact)."""
+    n, m, r = 64, 300, 2
+    w = 2 * np.pi / 100.0  # period 100 steps
+    t = np.arange(m, dtype=np.float64)
+    spec = desmo.DesmoSpec(n, m, r, 2, 1.0)
+    params = desmo.init_params(spec)
+    # put an exact harmonic pair on two poly channels; zero everything else
+    z = np.zeros((spec.num_poly_terms, m), np.float32)
+    z[1] = np.cos(w * t)
+    z[2] = np.sin(w * t)
+    c = np.zeros(spec.num_poly_terms, np.float32)
+    c[1] = c[2] = 1.0
+    params = dict(
+        params,
+        z=jnp.asarray(z),
+        c=jnp.asarray(c),
+        c_trig=jnp.zeros((3, r), jnp.float32),
+        z_trig=jnp.zeros((3, r, m), jnp.float32),
+    )
+    rng = np.random.default_rng(0)
+    pod_modes = jnp.asarray(rng.standard_normal((n, r)) / np.sqrt(n), jnp.float32)
+    recon, _, _ = desmo.apply(params, pod_modes, spec)
+    batch = {"x": recon, "pod_modes": pod_modes}
+
+    channels = [("poly", 1), ("poly", 2)]
+    names = sr.channel_names(channels, spec)
+    assert names == ["z1", "z2"]
+    tables = [
+        [
+            sr.EquationCandidate(f"{-w}*z2", score=0.9),
+            sr.EquationCandidate("z1*z2", score=0.2),
+        ],
+        [
+            sr.EquationCandidate("0.1*z1", score=0.4),
+            sr.EquationCandidate(f"{w}*z1", score=0.8),
+        ],
+    ]
+    out = sr.identify_and_reinject(
+        params,
+        batch,
+        spec,
+        channels=channels,
+        engine="pysr",
+        equation_tables=tables,
+        t=t,
+    )
+    # exact dynamics: integrated trajectories match the extracted ones
+    np.testing.assert_allclose(out.z_sim, out.z_data, atol=2e-3)
+    assert out.error_simulated < out.error_original + 1e-3
+    assert out.model is None
+    assert out.equations[0].startswith("dz1/dt = ")
+    # injected params actually carry the simulated trajectories
+    np.testing.assert_allclose(
+        np.asarray(out.params_injected["z"][1]), out.z_sim[:, 0], atol=1e-6
+    )
+
+
+def test_identify_and_reinject_pysr_second_best():
+    """second_best_for picks the lower-scored equation for that target."""
+    n, m, r = 32, 120, 2
+    w = 0.05
+    t = np.arange(m, dtype=np.float64)
+    spec = desmo.DesmoSpec(n, m, r, 2, 1.0)
+    params = desmo.init_params(spec)
+    z = np.zeros((spec.num_poly_terms, m), np.float32)
+    z[1] = np.cos(w * t)
+    z[2] = np.sin(w * t)
+    params = dict(
+        params,
+        z=jnp.asarray(z),
+        c_trig=jnp.zeros((3, r), jnp.float32),
+        z_trig=jnp.zeros((3, r, m), jnp.float32),
+    )
+    rng = np.random.default_rng(1)
+    pod_modes = jnp.asarray(rng.standard_normal((n, r)) / np.sqrt(n), jnp.float32)
+    recon, _, _ = desmo.apply(params, pod_modes, spec)
+    batch = {"x": recon, "pod_modes": pod_modes}
+    channels = [("poly", 1), ("poly", 2)]
+    # best equation for target 0 is wrong; second-best is the true one
+    tables = [
+        [
+            sr.EquationCandidate("5.0*z1", score=0.9),
+            sr.EquationCandidate(f"{-w}*z2", score=0.5),
+        ],
+        [sr.EquationCandidate(f"{w}*z1", score=0.8)],
+    ]
+    out = sr.identify_and_reinject(
+        params, batch, spec, channels=channels, engine="pysr",
+        equation_tables=tables, second_best_for=(0,), t=t,
+    )
+    np.testing.assert_allclose(out.z_sim, out.z_data, atol=2e-3)
+
+
+def test_unknown_engine_rejected():
+    spec = desmo.DesmoSpec(8, 10, 2, 2, 1.0)
+    params = desmo.init_params(spec)
+    batch = {"x": jnp.zeros((8, 10)), "pod_modes": jnp.zeros((8, 2))}
+    with pytest.raises(ValueError, match="engine"):
+        sr.identify_and_reinject(
+            params, batch, spec, channels=[("poly", 0)], engine="genetic"
+        )
