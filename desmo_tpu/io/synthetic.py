@@ -68,3 +68,79 @@ def separable_rank_k(
         temporal = np.cos(i * t + rng.uniform(0, 2 * np.pi))
         x += (1.0 / i**decay) * np.outer(spatial, temporal)
     return x.astype(dtype)
+
+
+def voxel_grid_mesh(nx: int, ny: int, nz: int, spacing: float = 1.0):
+    """An aneurysm-style voxel mesh: an (nx, ny, nz)-CELL lattice stored as an
+    unstructured grid (VTK_VOXEL cells), like the reference's resampled ICA
+    geometry whose CellData fields are rendered as (x_range, y_range, z_range)
+    slices (``DESMO/aneurysm/DESMO_ICA_norm.py:654-769``). Points are the
+    (nx+1)(ny+1)(nz+1) lattice in VTK x-fastest order."""
+    from desmo_tpu.io import vtk as vio
+
+    px, py, pz = nx + 1, ny + 1, nz + 1
+    zz, yy, xx = np.meshgrid(
+        np.arange(pz) * spacing,
+        np.arange(py) * spacing,
+        np.arange(px) * spacing,
+        indexing="ij",
+    )
+    points = np.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=1)
+
+    def pid(i, j, k):
+        return i + px * (j + py * k)
+
+    conn = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                conn.extend(
+                    [
+                        pid(i, j, k), pid(i + 1, j, k),
+                        pid(i, j + 1, k), pid(i + 1, j + 1, k),
+                        pid(i, j, k + 1), pid(i + 1, j, k + 1),
+                        pid(i, j + 1, k + 1), pid(i + 1, j + 1, k + 1),
+                    ]
+                )
+    ncells = nx * ny * nz
+    return vio.Mesh(
+        points=points.astype(np.float32),
+        point_data={},
+        cell_data={},
+        cells=np.asarray(conn, np.int64),
+        cell_offsets=np.arange(8, 8 * ncells + 1, 8, dtype=np.int64),
+        cell_types=np.full(ncells, 11, np.uint8),  # VTK_VOXEL
+    )
+
+
+def voxel_snapshot_series(
+    out_dir: str,
+    nx: int = 8,
+    ny: int = 7,
+    nz: int = 6,
+    m: int = 12,
+    filename: str = "velocity_",
+    seed: int = 0,
+):
+    """Write an aneurysm-style CellData ``.vtu`` series (velocity vectors on a
+    voxel grid) for tests; returns (mesh, X (ncells, m) magnitude truth)."""
+    import os
+
+    from desmo_tpu.io import vtk as vio
+
+    mesh = voxel_grid_mesh(nx, ny, nz)
+    ncells = nx * ny * nz
+    x = cylinder_wake(ncells, m, n_harmonics=2, seed=seed)
+    x += 2.0 * np.abs(x).max()  # positive, so |velocity| round-trips to x
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 1)
+    direction = rng.standard_normal(3).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    for t in range(m):
+        vel = np.outer(x[:, t], direction).astype(np.float32)  # (ncells, 3)
+        vio.write_vtu(
+            os.path.join(out_dir, f"{filename}{t}.vtu"),
+            mesh,
+            cell_data={"velocity": vel},
+        )
+    return mesh, x

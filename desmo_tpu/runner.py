@@ -232,13 +232,18 @@ def run(
 
         fig_dir = os.path.join(out_dir, "figures")
         points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
-        grid_shape = None
+        # voxel/structured detection covers both legacy rectilinear files
+        # (explicit dimensions) and the aneurysm-style .vtu with CellData on a
+        # voxel lattice (DESMO_ICA_norm.py:654-769): mid-plane imshow slices
+        grid_shape = viz.infer_voxel_grid(mesh, x.shape[0])
         plane = None
-        if mesh is not None and mesh.dimensions is not None:
-            dims = tuple(d for d in mesh.dimensions if d > 1)
+        if grid_shape is not None:
+            dims = tuple(d for d in grid_shape if d > 1)
             grid_shape = dims
             plane = dims[-1] // 2 if len(dims) == 3 else None
             points = None
+        elif points is not None and len(points) != x.shape[0]:
+            points = None  # cell-located field on an unstructured mesh
         viz.loss_curve(result.history, os.path.join(fig_dir, "loss.png"))
         if cfg.variant == "ae":
             latent, _ = ae_model.encode_decode(result.state.params, xd)
@@ -252,6 +257,17 @@ def run(
             grid_shape=grid_shape,
             plane=plane,
         )
+        if "c" in result.state.params:
+            # per-term poly-mode report (plot_poly_modes, CYL:820-849)
+            viz.term_fields(
+                np.asarray(latent),
+                np.asarray(result.state.params["c"]),
+                spec,
+                os.path.join(fig_dir, "poly_terms.png"),
+                points=points,
+                grid_shape=grid_shape,
+                plane=plane,
+            )
         viz.true_vs_predicted(
             x,
             np.asarray(recon),

@@ -74,9 +74,51 @@ def pod_spectrum(singular_values: np.ndarray, path: str) -> str:
     return _save(fig, path)
 
 
+def infer_voxel_grid(mesh, field_len: int):
+    """Infer the (nx, ny, nz) grid a length-``field_len`` field lives on.
+
+    The reference's aneurysm case stores CellData on a voxel grid inside a
+    ``.vtu`` and renders mid-plane ``imshow`` slices of ``reshape(field,
+    (x_range, y_range, z_range))`` (``DESMO/aneurysm/DESMO_ICA_norm.py:
+    654-769``). An unstructured file carries no ``dimensions`` attribute, so
+    the grid is recovered from the point lattice: if the unique per-axis
+    coordinates tile the points exactly, the mesh is structured. Returns the
+    POINT grid dims when the field is point-located, the CELL grid dims
+    (each axis one less) when cell-located, or None for genuinely
+    unstructured meshes / non-matching field lengths.
+    """
+    if mesh is None:
+        return None
+
+    def match(dims):
+        dims = tuple(int(d) for d in dims)
+        if field_len == int(np.prod(dims)):
+            return dims
+        cdims = tuple(max(d - 1, 1) for d in dims)
+        if field_len == int(np.prod(cdims)):
+            return cdims
+        return None
+
+    if mesh.dimensions is not None:
+        return match(mesh.dimensions)
+    pts = getattr(mesh, "points", None)
+    if pts is None or len(pts) == 0:
+        return None
+    pts = np.asarray(pts)
+    axes = [np.unique(np.round(pts[:, a], 9)) for a in range(pts.shape[1])]
+    dims = tuple(len(u) for u in axes)
+    if int(np.prod(dims)) != len(pts):
+        return None  # not a tensor-product lattice
+    return match(dims)
+
+
 def _render_field(ax, field: np.ndarray, points=None, grid_shape=None, plane=None, cmap="turbo"):
     """Scatter a point-cloud field, or imshow a slice of a voxel/grid field."""
     field = np.asarray(field)
+    if points is not None and grid_shape is None and len(field) != len(points):
+        # e.g. a cell-located field paired with mesh points: a scatter would
+        # be wrong (or crash); fall back to a line plot of the raw values
+        points = None
     if grid_shape is not None:
         # VTK structured point data is x-fastest: Fortran-order reshape
         vol = field.reshape(grid_shape, order="F")

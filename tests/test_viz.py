@@ -51,3 +51,37 @@ def test_grid_rendering(tmp_path):
         x, x, 0, str(tmp_path / "grid.png"), grid_shape=(4, 4)
     )
     assert os.path.getsize(p) > 1000
+
+
+def test_infer_voxel_grid():
+    from desmo_tpu import viz
+    from desmo_tpu.io import synthetic as synth
+
+    mesh = synth.voxel_grid_mesh(5, 4, 3)
+    assert viz.infer_voxel_grid(mesh, 5 * 4 * 3) == (5, 4, 3)  # cell field
+    assert viz.infer_voxel_grid(mesh, 6 * 5 * 4) == (6, 5, 4)  # point field
+    assert viz.infer_voxel_grid(mesh, 17) is None  # length matches neither
+    assert viz.infer_voxel_grid(None, 60) is None
+    # genuinely unstructured points: no lattice
+    import dataclasses as dc
+
+    rng = np.random.default_rng(0)
+    scattered = dc.replace(mesh, points=rng.standard_normal((60, 3)).astype(np.float32))
+    assert viz.infer_voxel_grid(scattered, 60) is None
+    # explicit dimensions attribute (legacy rectilinear) takes precedence
+    dims = dc.replace(mesh, dimensions=(4, 4, 4))
+    assert viz.infer_voxel_grid(dims, 64) == (4, 4, 4)
+    assert viz.infer_voxel_grid(dims, 27) == (3, 3, 3)
+
+
+def test_render_field_guards_cell_point_mismatch(tmp_path):
+    """A cell-located field paired with mesh POINTS must not scatter-crash."""
+    from desmo_tpu import viz
+
+    import matplotlib.pyplot as plt
+
+    points = np.random.default_rng(1).standard_normal((50, 2)).astype(np.float32)
+    field = np.arange(30, dtype=np.float32)  # wrong length for these points
+    fig, ax = plt.subplots()
+    viz._render_field(ax, field, points=points)  # falls back to a line plot
+    plt.close(fig)
