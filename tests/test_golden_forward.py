@@ -102,16 +102,22 @@ def test_desmo_checkpoints_forward_parity(rel, poly_order):
     assert err < 5e-5, f"forward mismatch {err:.2e} for {rel}"
 
 
-def test_fourier_checkpoint_forward_parity():
-    path = os.path.join(
-        REFERENCE, "DESMO_Fourier/cylinder_flow/DESMOCF_r2_final_2025-02-11_16-45-07.pt"
-    )
+@pytest.mark.parametrize(
+    "rel,m",
+    [
+        # m from each case's DESMO.out:2 ("Data matrix X is n by m")
+        ("DESMO_Fourier/cylinder_flow/DESMOCF_r2_final_2025-02-11_16-45-07.pt", 1001),
+        # hardest trig-precision regime of the shipped set: nF=30, period~1000
+        ("DESMO_Fourier/aneurysm/DESMOFourier_r2_final_2025-02-05_03-17-57.pt", 1000),
+    ],
+)
+def test_fourier_checkpoint_forward_parity(rel, m):
+    path = os.path.join(REFERENCE, rel)
     sd_np, sd_t = load_golden(path)
     params = checkpoint.params_from_state_dict(sd_np, "fourier")
     r, n = params["phi"].shape
     ncoef = params["z"].shape[1]
     nF = (ncoef - 1) // 2
-    m = 1001  # cylinder: DESMO_Fourier/cylinder_flow/DESMO.out:2
     pod_modes = random_orthonormal(n, r, seed=2)
 
     spec = fourier.FourierSpec(n=n, m=m, r=r, poly_order=2, n_fourier=nF)
