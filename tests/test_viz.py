@@ -85,3 +85,66 @@ def test_render_field_guards_cell_point_mismatch(tmp_path):
     fig, ax = plt.subplots()
     viz._render_field(ax, field, points=points)  # falls back to a line plot
     plt.close(fig)
+
+
+def test_render_mesh_field_pyvista_path(tmp_path, monkeypatch):
+    """Exercise the PyVista render path with a recording stub module, so the
+    code is tested even though pyvista isn't installed here (the fallback
+    scatter path is covered elsewhere)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakePolyData(dict):
+        def __init__(self, pts):
+            calls["points"] = np.asarray(pts)
+
+    class FakePlotter:
+        def __init__(self, off_screen=False):
+            calls["off_screen"] = off_screen
+
+        def add_mesh(self, cloud, scalars=None, cmap=None):
+            calls["scalars"] = scalars
+            calls["cmap"] = cmap
+
+        def add_title(self, title, font_size=None):
+            calls["title"] = title
+
+        def view_xy(self):
+            calls["view"] = "xy"
+
+        def screenshot(self, path):
+            with open(path, "wb") as f:
+                f.write(b"\x89PNG fake")
+            calls["screenshot"] = path
+
+        def close(self):
+            calls["closed"] = True
+
+    fake = types.ModuleType("pyvista")
+    fake.PolyData = FakePolyData
+    fake.Plotter = FakePlotter
+    monkeypatch.setitem(sys.modules, "pyvista", fake)
+
+    from desmo_tpu.io import synthetic as synth
+
+    mesh = synth.voxel_grid_mesh(3, 3, 3)
+    field = np.arange(len(mesh.points), dtype=np.float32)
+    out = str(tmp_path / "pv.png")
+    path = viz.render_mesh_field(mesh, field, out, title="mode 1")
+    assert path == out and os.path.exists(out)
+    assert calls["off_screen"] and calls["closed"] and calls["view"] == "xy"
+    assert calls["title"] == "mode 1" and calls["scalars"] == "field"
+    assert len(calls["points"]) == len(mesh.points)
+
+
+def test_render_mesh_field_fallback_without_pyvista(tmp_path):
+    """Without pyvista the same call falls back to the matplotlib scatter."""
+    from desmo_tpu.io import synthetic as synth
+
+    mesh = synth.voxel_grid_mesh(3, 3, 3)
+    field = np.arange(len(mesh.points), dtype=np.float32)
+    out = str(tmp_path / "fb.png")
+    assert viz.render_mesh_field(mesh, field, out) == out
+    assert os.path.exists(out)
