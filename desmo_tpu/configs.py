@@ -50,6 +50,10 @@ class RunConfig:
     # --- loss evaluation path: 'auto' = Pallas-fused on TPU, factored Gram
     # products elsewhere; 'direct' materializes the (n, m) reconstruction ---
     loss_method: str = "auto"
+    # scan-unroll factor of the compiled training loop: amortizes the TPU
+    # runtime's per-iteration while-loop overhead (~20 us on v5e); purely a
+    # compile-time schedule choice, numerics are unchanged
+    scan_unroll: int = 4
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
     time_stride: int = 1  # channel subsamples every 2nd snapshot

@@ -145,6 +145,7 @@ def make_train_chunk(
     group_of: dict[str, str],
     cfg: RunConfig,
     param_shardings: Optional[dict] = None,
+    unroll: int = 1,
 ):
     """Jitted scan of `num_steps` epochs. Returns (state, stacked metrics).
 
@@ -233,7 +234,10 @@ def make_train_chunk(
             state.epoch,
         )
         (vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch), metrics = jax.lax.scan(
-            body, carry, None, length=num_steps
+            body, carry, None, length=num_steps,
+            # unrolling amortizes the per-iteration while-loop overhead of the
+            # TPU runtime (~20 us/step measured on v5e for this carry size)
+            unroll=min(unroll, num_steps),
         )
 
         def rebuild(vec, sh_tree):
