@@ -1,0 +1,809 @@
+"""The resident mega-kernel: an ENTIRE DESMO training chunk in ONE pallas_call.
+
+Why: on this TPU runtime a pallas_call costs ~12 us empty and ~45 us loaded
+(scripts/pallas_overhead.py), and even plain-XLA steps pay ~20 us of per-scan-
+iteration while-loop overhead — at ~50 us of useful math per optimizer step
+those fixed costs cap throughput well below the MXU roofline. Amortization:
+run the WHOLE chunk (hundreds of optimizer epochs) inside one kernel over a
+sequential grid ``(num_steps + 1, n_tiles)``. All optimizer state (params,
+Adamax moments, plateau-scheduler state) lives in VMEM for the duration; the
+only per-step HBM traffic is streaming the two bf16 X planes (hidden under the
+MXU work) and the per-step metrics row.
+
+The math is the same composite objective as ``models/desmo.py`` +
+``losses.py`` + ``optim.py`` (reference ``DESMO/cylinder_flow/
+DESMO-Cylinder.py:500-786``), expressed in a lane-packed layout:
+
+* AUG space (lanes): 0 = row-validity mask, 1..r = POD/phi/latent modes.
+* WIDE space (lanes): 0..T-1 = polynomial terms, T + k*r + i = trig term of
+  kind k (sin,cos,tanh) and mode i — exactly the column order of the spatial
+  dictionary / row order of the temporal matrix B.
+* The polynomial library, the trig-argument replication, and every gradient
+  lane-shuffle are SELECTION MATMULS against constant 0/1/2/3 bf16 matrices
+  (exact on the MXU); dictionary products and gradients are full-width VPU
+  ops. No per-column ops, no lane concatenations.
+* All X-touching and Gram contractions use the hi/lo-split 3-pass bf16 scheme
+  of ``dual_gemm._dot3`` (~5e-6 relative, fp32-grade); selections use 2-pass
+  (~2e-18-relative representation error of the operand split).
+
+Per-step semantics match ``train.make_train_chunk`` step-for-step (tested in
+``tests/test_train_chunk_kernel.py``): forward loss of generation-s params ->
+metrics row s -> Adamax update with bias correction 1-b1^(s+1) -> plateau
+scheduler stepped with this step's pre-update total on the ``sched_every``
+cadence. phi updates are applied one MAJOR grid step later, tile by tile,
+immediately before each tile's forward — so every forward still sees fully
+generation-consistent parameters (B/coef/omega update at the last tile of the
+same step; phi at the next visit of each tile, before it is read).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from desmo_tpu import library
+
+LANES = 128
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8
+_SCHED_THRESHOLD = 1e-4
+
+# svec row-0 lane roles (scheduler / optimizer scalar state, kept as a vector)
+_LR0 = 0  # lanes 0..4: group LRs in configs.GROUP_ORDER order
+_L_BEST = 5
+_L_POW = 6  # b1**count (bias-correction accumulator)
+_L_COUNT = 7
+_L_NUMBAD = 8
+_L_LRPHI_USED = 9  # saved at the end of step s for the delayed phi sweep
+_L_BIAS_USED = 10
+_L_EPOCH = 11
+
+
+class ChunkConstants(NamedTuple):
+    sel: np.ndarray  # (NSEL*128, 128) bf16 selection stack
+    selw: np.ndarray  # (128, P*128) bf16: SEL_0..SEL_{P-1} side by side
+    mcat: np.ndarray  # (128, r*128) bf16: M_0..M_{r-1} side by side
+    onecat: np.ndarray  # (r*128, 128) bf16: ONECOL_0..ONECOL_{r-1} stacked
+    mrow: np.ndarray  # (16, 128) f32 mask rows (+ per-mode exponent weights)
+    gidx: np.ndarray  # (8, 128) i32 gather rows: 0..P-1 factor, P..P+r-1 down
+    n_sel: int
+
+
+def _down_index_table(r: int, P: int) -> np.ndarray:
+    """down[t, i] = library index of term t with one factor of mode i removed
+    (or -1 when E[t, i] == 0)."""
+    E = library.monomial_exponents(r, P)
+    index_of = {tuple(row): t for t, row in enumerate(E)}
+    down = np.full((len(E), r), -1, np.int64)
+    for t, row in enumerate(E):
+        for i in range(r):
+            if row[i] > 0:
+                low = row.copy()
+                low[i] -= 1
+                down[t, i] = index_of[tuple(low)]
+    return down
+
+
+def build_constants(r: int, P: int) -> ChunkConstants:
+    """Selection matrices + lane masks for a given (r, poly_order)."""
+    T = library.num_poly_terms(r, P)
+    K = T + 3 * r
+    if K > LANES:
+        raise ValueError(f"K={K} terms exceed {LANES} lanes")
+    F = library.factor_table(r, P)  # (T, P), 0 = const, i+1 = mode i
+    E = library.monomial_exponents(r, P)
+    down = _down_index_table(r, P)
+
+    mats = []
+    # SEL_p: AUG -> WIDE. p==0 also routes latent into the trig-arg lanes;
+    # p>0 routes the row mask there so prod(G_p) = latent * mask on trig lanes.
+    for p in range(P):
+        S = np.zeros((LANES, LANES), np.float32)
+        for t in range(T):
+            S[F[t, p], t] = 1.0
+        for i in range(r):
+            for k in range(3):
+                lane = T + k * r + i
+                S[i + 1 if p == 0 else 0, lane] = 1.0
+        mats.append(S)
+    # M_i: WIDE -> WIDE poly-derivative tables: col t picks E[t,i] * theta_down
+    for i in range(r):
+        M = np.zeros((LANES, LANES), np.float32)
+        for t in range(T):
+            if down[t, i] >= 0:
+                M[down[t, i], t] = float(E[t, i])
+        mats.append(M)
+    # ONECOL_i: WIDE -> AUG: sum poly lanes into aug lane i+1
+    for i in range(r):
+        O = np.zeros((LANES, LANES), np.float32)
+        O[:T, i + 1] = 1.0
+        mats.append(O)
+    # COLLAPSE: WIDE -> AUG: trig lane (k,i) -> aug lane i+1
+    C = np.zeros((LANES, LANES), np.float32)
+    for i in range(r):
+        for k in range(3):
+            C[T + k * r + i, i + 1] = 1.0
+    mats.append(C)
+    # OFFDIAG over AUG lanes (for the ortho sign matrix)
+    D = np.zeros((LANES, LANES), np.float32)
+    for i in range(r):
+        for j in range(r):
+            if i != j:
+                D[i + 1, j + 1] = 1.0
+    mats.append(D)
+    sel = np.concatenate(mats, axis=0).astype(jnp.bfloat16)
+    # fused variants: one wide matmul instead of P / r separate dispatches
+    selw = np.concatenate(mats[:P], axis=1).astype(jnp.bfloat16)
+    mcat = np.concatenate(mats[P : P + r], axis=1).astype(jnp.bfloat16)
+    onecat = np.concatenate(mats[P + r : P + 2 * r], axis=0).astype(jnp.bfloat16)
+
+    lane = np.arange(LANES)
+    polymask = (lane < T).astype(np.float32)
+    trigmask = ((lane >= T) & (lane < K)).astype(np.float32)
+    kind = (lane - T) // max(r, 1)
+    msin = (trigmask * (kind == 0)).astype(np.float32)
+    mcos = (trigmask * (kind == 1)).astype(np.float32)
+    mtanh = (trigmask * (kind == 2)).astype(np.float32)
+    mrow = np.zeros((16, LANES), np.float32)
+    mrow[0] = polymask
+    mrow[1] = trigmask
+    mrow[2] = msin
+    mrow[3] = mcos
+    mrow[4] = mtanh
+    # mrow[5, 0] = x_sq is filled at call time
+    # rows 8..8+r-1: exponent weights E[t, i] on the poly lanes (for the
+    # gather-based poly backward: d theta_t / d lat_i = E[t,i] * theta_down)
+    for i in range(r):
+        mrow[8 + i, :T] = E[:, i].astype(np.float32)
+
+    # gather index rows (exact VPU selections instead of MXU matmuls):
+    # rows 0..P-1: AUG-lane of factor p per WIDE lane (trig lanes get the
+    # latent for p==0 and the row mask for p>0, exactly like SEL_p);
+    # rows P..P+r-1: theta down-index per poly lane (0 where E[t,i]==0 — the
+    # gathered value is multiplied by the zero exponent weight).
+    gidx = np.zeros((8, LANES), np.int32)
+    for p in range(P):
+        for t in range(T):
+            gidx[p, t] = F[t, p]
+        for i in range(r):
+            for k in range(3):
+                gidx[p, T + k * r + i] = i + 1 if p == 0 else 0
+    for i in range(r):
+        gidx[P + i, :T] = np.maximum(down[:, i], 0)
+    return ChunkConstants(
+        sel=np.asarray(sel),
+        selw=np.asarray(selw),
+        mcat=np.asarray(mcat),
+        onecat=np.asarray(onecat),
+        mrow=mrow,
+        gidx=gidx,
+        n_sel=len(mats),
+    )
+
+
+def _split(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _d(u, v, dims):
+    return jax.lax.dot_general(u, v, dimension_numbers=dims, preferred_element_type=jnp.float32)
+
+
+_STD = (((1,), (0,)), ((), ()))  # (a, b) -> a @ b
+_AXD = (((0,), (0,)), ((), ()))  # contract rows: a^T @ b
+_XBD = (((1,), (1,)), ((), ()))  # contract lanes: a @ b^T
+
+
+def _dot2(x, M, dims=_STD):
+    """hi/lo 2-pass product against an exact bf16 matrix (selections)."""
+    h, l = _split(x)
+    return _d(h, M, dims) + _d(l, M, dims)
+
+
+def _dot3(x, y, dims):
+    xh, xl = _split(x)
+    yh, yl = _split(y)
+    return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
+
+
+def _dot3s(xh, xl, y, dims):
+    """3-pass where x is already split (X planes)."""
+    yh, yl = _split(y)
+    return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
+
+
+def _lane(row, k):
+    """0-d scalar from a (1,128) vector row (Mosaic splats scalars fine;
+    (1,1) vectors cannot broadcast to both sublanes and lanes)."""
+    return row[0, k]
+
+
+def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg):
+    nm = float(n * m)
+    P = spec_P
+    r = spec_r
+    patience = float(cfg.patience)
+    sched_factor = float(cfg.sched_factor)
+    sched_min_lr = float(cfg.sched_min_lr)
+    sched_every = float(cfg.sched_every)
+
+    def kernel(
+        # inputs
+        sel_ref, selw_ref, mcat_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+        phi0_ref, mu0_ref, nu0_ref,
+        b0_ref, bmu0_ref, bnu0_ref, crow0_ref, svec0_ref,
+        # outputs
+        met_ref, phio_ref, muo_ref, nuo_ref,
+        b_ref, bmu_ref, bnu_ref, crow_ref, svec_ref,
+        # scratch
+        phis, mus, nus, dlat, ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
+    ):
+        s = pl.program_id(0)
+        t = pl.program_id(1)
+        tile = pl.ds(t * bt, bt)
+
+        def SEL(i):
+            return sel_ref[i * LANES : (i + 1) * LANES, :]
+
+        polymask = mrow_ref[0:1, :]
+        trigmask = mrow_ref[1:2, :]
+        msin = mrow_ref[2:3, :]
+        mcos = mrow_ref[3:4, :]
+        mtanh = mrow_ref[4:5, :]
+        x_sq = _lane(mrow_ref[5:6, :], 0)
+
+        def gather(x, row):
+            idx = jnp.broadcast_to(gidx_ref[row : row + 1, :], x.shape)
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        # ------------------------------------------------ init (s == 0)
+        @pl.when(s == 0)
+        def _():
+            phis[tile, :] = phi0_ref[:]
+            mus[tile, :] = mu0_ref[:]
+            nus[tile, :] = nu0_ref[:]
+
+        @pl.when(jnp.logical_and(s == 0, t == 0))
+        def _():
+            b_ref[:] = b0_ref[:]
+            bmu_ref[:] = bmu0_ref[:]
+            bnu_ref[:] = bnu0_ref[:]
+            crow_ref[:] = crow0_ref[:]
+            svec_ref[:] = svec0_ref[:]
+            sign_s[:] = jnp.zeros_like(sign_s)
+
+        # -------------------------- delayed phi update (generation s-1 grads)
+        @pl.when(s > 0)
+        def _():
+            sv = svec_ref[0:1, :]
+            lr_phi = _lane(sv, _L_LRPHI_USED)
+            bias = _lane(sv, _L_BIAS_USED)
+            pod = pod_ref[tile, :]
+            phi_t = phis[tile, :]
+            aug_old = pod * phi_t
+            dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
+            g = (dlat[tile, :] + beta * dlo) * pod
+            mu_t = _B1 * mus[tile, :] + (1.0 - _B1) * g
+            nu_t = jnp.maximum(_B2 * nus[tile, :], jnp.abs(g) + _EPS)
+            phis[tile, :] = phi_t - (lr_phi / bias) * mu_t / nu_t
+            mus[tile, :] = mu_t
+            nus[tile, :] = nu_t
+
+        # final-state streams, written only in the terminal update sweep
+        @pl.when(s == num_steps)
+        def _():
+            phio_ref[:] = phis[tile, :]
+            muo_ref[:] = mus[tile, :]
+            nuo_ref[:] = nus[tile, :]
+
+        # ------------------------------------------------ forward + grads
+        @pl.when(s < num_steps)
+        def _():
+            @pl.when(t == 0)
+            def _():
+                bv = b_ref[:]
+                bh, bl = _split(bv)
+                bhs[:] = bh
+                bls[:] = bl
+                gb_s[:] = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
+                ax_s[:] = jnp.zeros_like(ax_s)
+                ga_s[:] = jnp.zeros_like(ga_s)
+                auga_s[:] = jnp.zeros_like(auga_s)
+                acc_s[:] = jnp.zeros_like(acc_s)
+
+            crow = crow_ref[0:1, :]
+            omrow = crow_ref[3:4, :]
+            xh = xhi_ref[:]
+            xl = xlo_ref[:]
+            xb = _d(xh, bhs[:], _XBD) + _d(xh, bls[:], _XBD) + _d(xl, bhs[:], _XBD)
+            pod = pod_ref[tile, :]
+            aug = pod * phis[tile, :]
+            ah, al = _split(aug)
+
+            # factor selections as EXACT f32 lane gathers (no MXU, no hi/lo)
+            prod = gather(aug, 0)
+            for p in range(1, P):
+                prod = prod * gather(aug, p)
+            theta = prod * polymask
+            args = prod * (omrow * trigmask)
+            Sn = jnp.sin(args)
+            Cs = jnp.cos(args)
+            Th = jnp.tanh(args)
+            maskb = aug[:, 0:1]
+            basis = (Sn * msin + Cs * mcos + Th * mtanh) * maskb
+            D = theta + basis
+            A = D * crow
+            Ah, Al = _split(A)
+
+            # ax and ga share the LHS 3-pass structure: contract A^T against
+            # [X | A] once (the hi/lo cross terms line up exactly)
+            m_pad = xh.shape[1]
+            rhs_h = jnp.concatenate([xh, Ah], axis=1)
+            rhs_l = jnp.concatenate([xl, Al], axis=1)
+            axga = _d(Ah, rhs_h, _AXD) + _d(Ah, rhs_l, _AXD) + _d(Al, rhs_h, _AXD)
+            ax_s[:] = ax_s[:] + axga[:, :m_pad]
+            ga_s[:] = ga_s[:] + axga[:, m_pad:]
+            auga_s[:] = auga_s[:] + (
+                _d(ah, ah, _AXD) + _d(ah, al, _AXD) + _d(al, ah, _AXD)
+            )
+            dA = (2.0 / nm) * (_dot3(A, gb_s[:], _STD) - xb)
+            dD = dA * crow
+            dtheta = dD * polymask
+            deriv = Cs * msin - Sn * mcos + (1.0 - Th * Th) * mtanh
+            darg = dD * trigmask * deriv
+
+            acc_s[0:1, :] = acc_s[0:1, :] + jnp.sum(dA * D, axis=0, keepdims=True)
+            latrep = prod * trigmask
+            acc_s[1:2, :] = acc_s[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
+
+            dl = _dot2(darg * omrow, SEL(P + 2 * r))  # trig -> aug lanes
+            # poly backward: d theta_t / d lat_i = E[t,i] * theta_down(t,i) —
+            # exact gathers + one stacked lane reduction
+            tdall = jnp.concatenate(
+                [
+                    gather(theta, P + i) * mrow_ref[8 + i : 9 + i, :]
+                    for i in range(r)
+                ],
+                axis=1,
+            )
+            dth_tiled = jnp.concatenate([dtheta] * r, axis=1)
+            dl = dl + _dot2(dth_tiled * tdall, onecat_ref[:])
+            dlat[tile, :] = dl
+
+            # ---------------- step finalize (last tile)
+            @pl.when(t == n_tiles - 1)
+            def _():
+                offdiag = SEL(P + 2 * r + 1).astype(jnp.float32)
+                bv = b_ref[:]
+                rec = (
+                    jnp.sum(ga_s[:] * gb_s[:])
+                    - 2.0 * jnp.sum(ax_s[:] * bv)
+                    + x_sq
+                ) / nm
+                orthov = 0.5 * jnp.sum(jnp.abs(auga_s[:] * offdiag))
+                coefmask = polymask + trigmask
+                l1v = jnp.sum(jnp.abs(crow_ref[0:1, :]) * coefmask)
+                total = rec + beta * orthov + lam * l1v
+                lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                met_row = jnp.where(
+                    lane_i == 0,
+                    rec,
+                    jnp.where(
+                        lane_i == 1,
+                        orthov,
+                        jnp.where(lane_i == 2, l1v, jnp.where(lane_i == 3, total, 0.0)),
+                    ),
+                )
+                # metrics blocks are (8, 128): row s % 8 within block s // 8
+                met_ref[pl.ds(jnp.remainder(s, 8), 1), :] = met_row
+                sign_s[:] = jnp.sign(auga_s[:]) * offdiag
+
+                sv = svec_ref[0:1, :]
+                count = _lane(sv, _L_COUNT) + 1.0
+                powb = _lane(sv, _L_POW) * _B1
+                bias = 1.0 - powb
+                lr_coef = _lane(sv, _LR0 + 0)
+                lr_phi = _lane(sv, _LR0 + 1)
+                lr_z = _lane(sv, _LR0 + 2)
+                lr_om = _lane(sv, _LR0 + 3)
+
+                # ---- B (temporal z / z_trig rows), group 'z'
+                gB = (2.0 / nm) * (_dot3(ga_s[:], bv, _STD) - ax_s[:])
+                bmu = _B1 * bmu_ref[:] + (1.0 - _B1) * gB
+                bnu = jnp.maximum(_B2 * bnu_ref[:], jnp.abs(gB) + _EPS)
+                b_ref[:] = bv - (lr_z / bias) * bmu / bnu
+                bmu_ref[:] = bmu
+                bnu_ref[:] = bnu
+
+                # ---- coefficient row (c + c_trig), group 'coef', with L1
+                crow_v = crow_ref[0:1, :]
+                gC = acc_s[0:1, :] + lam * jnp.sign(crow_v) * coefmask
+                cmu = _B1 * crow_ref[1:2, :] + (1.0 - _B1) * gC
+                cnu = jnp.maximum(_B2 * crow_ref[2:3, :], jnp.abs(gC) + _EPS)
+                crow_new = crow_v - (lr_coef / bias) * cmu / cnu
+
+                # ---- omega row, group 'omega'
+                om_v = crow_ref[3:4, :]
+                gO = acc_s[1:2, :]
+                omu = _B1 * crow_ref[4:5, :] + (1.0 - _B1) * gO
+                onu = jnp.maximum(_B2 * crow_ref[5:6, :], jnp.abs(gO) + _EPS)
+                om_new = om_v - (lr_om / bias) * omu / onu
+
+                crow_ref[0:1, :] = crow_new
+                crow_ref[1:2, :] = cmu
+                crow_ref[2:3, :] = cnu
+                crow_ref[3:4, :] = om_new
+                crow_ref[4:5, :] = omu
+                crow_ref[5:6, :] = onu
+
+                # ---- plateau scheduler (torch ReduceLROnPlateau semantics,
+                # stepped with this step's pre-update total, on the
+                # sched_every cadence; see optim.plateau_step / train._sched_update)
+                best = _lane(sv, _L_BEST)
+                num_bad = _lane(sv, _L_NUMBAD)
+                epoch = _lane(sv, _L_EPOCH)
+                improved = total < best * (1.0 - _SCHED_THRESHOLD)
+                best_n = jnp.where(improved, total, best)
+                nb = jnp.where(improved, 0.0, num_bad + 1.0)
+                red = nb > patience
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                is_lr = lanes < 5
+                lrs = sv * jnp.where(is_lr, 1.0, 0.0)
+                stepped = jnp.where(
+                    red, jnp.maximum(lrs * sched_factor, sched_min_lr), lrs
+                )
+                nb = jnp.where(red, 0.0, nb)
+                do_sched = jnp.mod(epoch, sched_every) == 0.0
+                lrs_n = jnp.where(do_sched, stepped, lrs)
+                best_n = jnp.where(do_sched, best_n, best)
+                # num_bad when not scheduled stays unchanged (reference quirk:
+                # the scheduler is only consulted every sched_every epochs)
+                nb_n = jnp.where(do_sched, nb, num_bad)
+
+                new_sv = jnp.where(is_lr, lrs_n, 0.0)
+
+                def put(vec, k, val):
+                    return jnp.where(lanes == k, val, vec)
+
+                new_sv = put(new_sv, _L_BEST, best_n)
+                new_sv = put(new_sv, _L_POW, powb)
+                new_sv = put(new_sv, _L_COUNT, count)
+                new_sv = put(new_sv, _L_NUMBAD, nb_n)
+                new_sv = put(new_sv, _L_LRPHI_USED, lr_phi)
+                new_sv = put(new_sv, _L_BIAS_USED, bias)
+                new_sv = put(new_sv, _L_EPOCH, epoch + 1.0)
+                svec_ref[0:1, :] = new_sv
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret):
+    T = library.num_poly_terms(r, P)
+    K = T + 3 * r
+    n_tiles = n_pad // bt
+    consts = build_constants(r, P)
+    kernel = _make_kernel(r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg)
+    S = num_steps
+
+    def tmap(s, t):
+        return (t, 0)
+
+    def cmap(s, t):
+        return (0, 0)
+
+    def initmap(s, t):
+        # init-state streams are only read at s == 0; afterwards pin the
+        # index so the blocks are never re-fetched (a plain (t, 0) map would
+        # re-stream 12 MB of dead DMA per optimizer step)
+        return (jnp.where(s < 1, t, n_tiles - 1), 0)
+
+    def finalmap(s, t):
+        # final-state streams are only written during the terminal update
+        # sweep (s == num_steps); pinning the index earlier avoids flushing
+        # the unwritten buffer to HBM on every tile visit
+        return (jnp.where(s < S, 0, t), 0)
+
+    def metmap(s, t):
+        return (jnp.minimum(s, S - 1) // 8, 0)
+
+    grid = (num_steps + 1, n_tiles)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, P * LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, r * LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, LANES), metmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_round_up(num_steps, 8), LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, LANES), jnp.float32),  # phis
+            pltpu.VMEM((n_pad, LANES), jnp.float32),  # mus
+            pltpu.VMEM((n_pad, LANES), jnp.float32),  # nus
+            pltpu.VMEM((n_pad, LANES), jnp.float32),  # dlat
+            pltpu.VMEM((LANES, m_pad), jnp.float32),  # ax
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # ga
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # auga
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # gb
+            pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b hi
+            pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b lo
+            pltpu.VMEM((8, LANES), jnp.float32),  # acc rows
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # ortho sign matrix
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.ARBITRARY,
+                pltpu.GridDimensionSemantics.ARBITRARY,
+            ),
+        ),
+        interpret=interpret,
+    )
+    return call, consts
+
+
+def _round_up(x, mult):
+    return -(-x // mult) * mult
+
+
+class _Packed(NamedTuple):
+    phi0: jnp.ndarray
+    mu0: jnp.ndarray
+    nu0: jnp.ndarray
+    b0: jnp.ndarray
+    bmu0: jnp.ndarray
+    bnu0: jnp.ndarray
+    crow0: jnp.ndarray
+    svec0: jnp.ndarray
+
+
+def _pack_aug(vec_rn, n_pad, lane0=None):
+    """(r, n) -> (n_pad, 128) with lanes 1..r; lane 0 = lane0 (or 0)."""
+    r, n = vec_rn.shape
+    out = jnp.zeros((n_pad, LANES), jnp.float32)
+    out = out.at[:n, 1 : r + 1].set(vec_rn.T.astype(jnp.float32))
+    if lane0 is not None:
+        out = out.at[:, 0].set(lane0)
+    return out
+
+
+def _unpack_aug(fw, r, n):
+    return fw[:n, 1 : r + 1].T
+
+
+def _pack_b(z, z_trig, T, m_pad):
+    """z (T, m) + z_trig (3, r, m) -> B rows (128, m_pad), WIDE row order."""
+    m = z.shape[1]
+    out = jnp.zeros((LANES, m_pad), jnp.float32)
+    out = out.at[:T, :m].set(z.astype(jnp.float32))
+    zt = z_trig.reshape(-1, m)  # kind-major (3r, m) == temporal_matrix order
+    out = out.at[T : T + zt.shape[0], :m].set(zt.astype(jnp.float32))
+    return out
+
+
+def _unpack_b(bfw, T, r, m):
+    z = bfw[:T, :m]
+    zt = bfw[T : T + 3 * r, :m].reshape(3, r, m)
+    return z, zt
+
+
+def _pack_wide_row(c, c_trig, T, r):
+    row = jnp.zeros((LANES,), jnp.float32)
+    row = row.at[:T].set(c.astype(jnp.float32))
+    row = row.at[T : T + 3 * r].set(c_trig.reshape(-1).astype(jnp.float32))
+    return row
+
+
+def _unpack_wide_row(row, T, r):
+    return row[:T], row[T : T + 3 * r].reshape(3, r)
+
+
+def supports(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> bool:
+    """Whether the resident mega-kernel can run this configuration: plain
+    DESMO variant, all K terms within one lane register, and the VMEM working
+    set (full-width phi/mu/nu/dlat scratch + B-state + X stream blocks) inside
+    the budget empirically validated on v5e (~35 MB compiles; 30 MB margin).
+    Larger cases (e.g. aneurysm n=27000: ~53 MB of scratch alone) fall back
+    to the scanned fused chunk."""
+    if getattr(cfg, "variant", "desmo") != "desmo":
+        return False
+    T = library.num_poly_terms(spec.r, spec.poly_order)
+    if T + 3 * spec.r > LANES:
+        return False
+    n_pad = _round_up(spec.n, bt)
+    m_pad = _round_up(spec.m, LANES)
+    mb = 1 / (1024 * 1024)
+    state = 4 * n_pad * LANES * 4 * mb  # phi/mu/nu/dlat scratch
+    init_streams = (3 * 2 * bt * LANES * 4 + n_pad * LANES * 4) * mb
+    b_state = 10 * LANES * m_pad * 4 * mb  # B in/out/moments + ax + gb rows
+    x_stream = 2 * 2 * bt * m_pad * 2 * mb  # double-buffered bf16 planes
+    return state + init_streams + b_state + x_stream + 2.0 < vmem_budget_mb
+
+
+def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES):
+    """Pad + hi/lo-split X once, outside the chunk, to (bt, bm) multiples;
+    returns the batch dict the mega-kernel consumes."""
+    x = jnp.asarray(x, jnp.float32)
+    n, m = x.shape
+    xp = jnp.pad(x, ((0, _round_up(n, bt) - n), (0, _round_up(m, bm) - m)))
+    hi = xp.astype(jnp.bfloat16)
+    lo = (xp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return {
+        "x": x,
+        "pod_modes": jnp.asarray(pod_modes, jnp.float32),
+        "x_hi": hi,
+        "x_lo": lo,
+        "x_sq": jnp.sum(x * x),
+    }
+
+
+def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = None):
+    """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running the
+    ENTIRE chunk inside one pallas_call (the resident mega-kernel).
+
+    Drop-in replacement for ``train.make_train_chunk`` for the plain DESMO
+    variant; ``batch`` must carry ``pod_modes``, pre-split ``x_hi``/``x_lo``
+    (``dual_gemm.split_snapshots``) and ``x_sq``.
+    """
+    from desmo_tpu import optim, train
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r, P = spec.r, spec.poly_order
+    T = spec.num_poly_terms
+    n, m = spec.n, spec.m
+    beta = float(cfg.beta)
+    lam = float(cfg.l1_lambda)
+
+    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    def chunk(state, batch, num_steps: int):
+        x_hi, x_lo = batch["x_hi"], batch["x_lo"]
+        n_pad, m_pad = x_hi.shape
+        if n_pad % bt:
+            raise ValueError(f"x padding {n_pad} not a multiple of bt={bt}")
+        call, consts = _build_call(
+            r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg, interpret
+        )
+        rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        pod_fw = _pack_aug(batch["pod_modes"].T, n_pad, lane0=rowmask)
+        params, opt, sched = state.params, state.opt, state.sched
+        phi0 = _pack_aug(params["phi"], n_pad, lane0=jnp.ones((n_pad,), jnp.float32))
+        mu0 = _pack_aug(opt.mu["phi"], n_pad)
+        nu0 = _pack_aug(opt.nu["phi"], n_pad)
+        b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
+        bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
+        bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
+        crow0 = jnp.stack(
+            [
+                _pack_wide_row(params["c"], params["c_trig"], T, r),
+                _pack_wide_row(opt.mu["c"], opt.mu["c_trig"], T, r),
+                _pack_wide_row(opt.nu["c"], opt.nu["c_trig"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), params["omega"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), opt.mu["omega"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), opt.nu["omega"], T, r),
+                jnp.zeros((LANES,), jnp.float32),
+                jnp.zeros((LANES,), jnp.float32),
+            ]
+        )
+        count_f = opt.count.astype(jnp.float32)
+        svec0 = jnp.zeros((8, LANES), jnp.float32)
+        svec0 = svec0.at[0, _LR0 : _LR0 + sched.lrs.shape[0]].set(sched.lrs)
+        svec0 = svec0.at[0, _L_BEST].set(sched.best)
+        svec0 = svec0.at[0, _L_POW].set(_B1**count_f)
+        svec0 = svec0.at[0, _L_COUNT].set(count_f)
+        svec0 = svec0.at[0, _L_NUMBAD].set(sched.num_bad.astype(jnp.float32))
+        svec0 = svec0.at[0, _L_EPOCH].set(state.epoch.astype(jnp.float32))
+        mrow = jnp.asarray(consts.mrow).at[5, 0].set(batch["x_sq"])
+
+        (met, phio, muo, nuo, bfw, bmufw, bnufw, crow_o, svec_o) = call(
+            jnp.asarray(consts.sel),
+            jnp.asarray(consts.selw),
+            jnp.asarray(consts.mcat),
+            jnp.asarray(consts.onecat),
+            jnp.asarray(consts.gidx),
+            mrow,
+            pod_fw,
+            x_hi,
+            x_lo,
+            phi0,
+            mu0,
+            nu0,
+            b0,
+            bmu0,
+            bnu0,
+            crow0,
+            svec0,
+        )
+
+        phi = _unpack_aug(phio, r, n)
+        mu_phi = _unpack_aug(muo, r, n)
+        nu_phi = _unpack_aug(nuo, r, n)
+        z, z_trig = _unpack_b(bfw, T, r, m)
+        mz, mzt = _unpack_b(bmufw, T, r, m)
+        nz, nzt = _unpack_b(bnufw, T, r, m)
+        c, c_trig = _unpack_wide_row(crow_o[0], T, r)
+        mc, mct = _unpack_wide_row(crow_o[1], T, r)
+        nc, nct = _unpack_wide_row(crow_o[2], T, r)
+        _, omega = _unpack_wide_row(crow_o[3], T, r)
+        _, momega = _unpack_wide_row(crow_o[4], T, r)
+        _, nomega = _unpack_wide_row(crow_o[5], T, r)
+
+        new_params = {
+            "phi": phi, "c": c, "z": z, "z_trig": z_trig,
+            "c_trig": c_trig, "omega": omega,
+        }
+        new_mu = {
+            "phi": mu_phi, "c": mc, "z": mz, "z_trig": mzt,
+            "c_trig": mct, "omega": momega,
+        }
+        new_nu = {
+            "phi": nu_phi, "c": nc, "z": nz, "z_trig": nzt,
+            "c_trig": nct, "omega": nomega,
+        }
+        nlr = sched.lrs.shape[0]
+        new_sched = optim.PlateauState(
+            lrs=svec_o[0, _LR0 : _LR0 + nlr],
+            best=svec_o[0, _L_BEST],
+            num_bad=svec_o[0, _L_NUMBAD].astype(jnp.int32),
+        )
+        new_state = train.TrainState(
+            params={k: new_params[k] for k in state.params},
+            opt=optim.AdamaxState(
+                count=svec_o[0, _L_COUNT].astype(jnp.int32),
+                mu={k: new_mu[k] for k in state.params},
+                nu={k: new_nu[k] for k in state.params},
+            ),
+            sched=new_sched,
+            epoch=svec_o[0, _L_EPOCH].astype(jnp.int32),
+        )
+        metrics = {
+            "rec": met[:num_steps, 0],
+            "ortho": met[:num_steps, 1],
+            "l1": met[:num_steps, 2],
+            "total": met[:num_steps, 3],
+        }
+        return new_state, metrics
+
+    return chunk

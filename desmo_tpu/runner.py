@@ -182,6 +182,15 @@ def run(
     def log_line(line):
         print(line, flush=True)
 
+    # the resident mega-kernel (whole chunk in one pallas_call) is the fastest
+    # desmo path on TPU; other variants / oversized cases use the scanned chunk
+    chunk = None
+    if resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo":
+        from desmo_tpu.pallas import train_chunk as tc
+
+        if tc.supports(spec, cfg):
+            chunk = tc.make_fused_train_chunk(spec, cfg)
+
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     result = train.fit(
         loss_fn,
@@ -193,6 +202,7 @@ def run(
         log=log_line if echo else None,
         checkpoint_fn=ckpt,
         state=state,
+        chunk=chunk,
     )
     start_epoch = int(result.state.epoch) - n_epochs
     for i in range(0, n_epochs, cfg.log_every):

@@ -276,6 +276,7 @@ def fit(
     checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
     state: Optional[TrainState] = None,
     param_shardings: Optional[dict] = None,
+    chunk: Optional[Callable] = None,
 ) -> TrainResult:
     """Run (or resume) training; host code only between compiled chunks.
 
@@ -288,7 +289,10 @@ def fit(
         state = init_state(params, cfg) if state is None else state
         return TrainResult(state=state, history={}, steps_per_sec=float("nan"), wall_seconds=0.0)
     chunk_size = chunk_size or min(cfg.checkpoint_every, num_epochs)
-    train_chunk = make_train_chunk(loss_fn, group_of, cfg, param_shardings)
+    # `chunk` overrides the scanned loop with a custom compiled chunk of the
+    # same (state, batch, num_steps) -> (state, metrics) contract — e.g. the
+    # resident mega-kernel (pallas.train_chunk.make_fused_train_chunk)
+    train_chunk = chunk or make_train_chunk(loss_fn, group_of, cfg, param_shardings)
     if state is None:
         state = init_state(params, cfg)
     # train_chunk donates its state buffers; copy so the caller's params /

@@ -1,0 +1,133 @@
+"""Mega-kernel training chunk (interpret mode) vs the scanned reference chunk.
+
+The resident kernel must reproduce the factored-loss scan step-for-step:
+same metrics trace, same final params/moments/scheduler state (up to the
+~1e-5-relative hi/lo-split precision of its 3-pass bf16 contractions).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desmo_tpu import configs, pod, train
+from desmo_tpu.io import synthetic
+from desmo_tpu.models import desmo
+from desmo_tpu.pallas import train_chunk
+
+
+def problem(n=96, m=40, r=2, P=2, patience=300, sched_every=1, omega_init=1.0):
+    cfg = configs.RunConfig(
+        name="mk",
+        variant="desmo",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=P,
+        omega_init=omega_init,
+        lr_omega=1.0,
+        num_epochs=40,
+        patience=patience,
+        sched_every=sched_every,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, r)
+    spec = desmo.DesmoSpec(n, m, r, P, omega_init)
+    params = desmo.init_params(spec)
+    batch = train_chunk.prepare_batch(x, p.modes, bt=32)
+    return cfg, spec, params, batch
+
+
+def run_both(cfg, spec, params, batch, steps):
+    loss_fn = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    ref_chunk = train.make_train_chunk(loss_fn, desmo.param_groups(params), cfg)
+    s_ref = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=steps)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, m_k = fused(s_k, batch, num_steps=steps)
+    return (s_ref, {k: np.asarray(v) for k, v in m_ref.items()}), (
+        s_k,
+        {k: np.asarray(v) for k, v in m_k.items()},
+    )
+
+
+def test_metrics_trace_matches_reference_chunk():
+    cfg, spec, params, batch = problem()
+    (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, steps=30)
+    for key in ("rec", "ortho", "l1", "total"):
+        np.testing.assert_allclose(m_k[key], m_ref[key], rtol=2e-4, atol=1e-6, err_msg=key)
+
+
+def test_final_state_matches_reference_chunk():
+    cfg, spec, params, batch = problem()
+    (s_ref, _), (s_k, _) = run_both(cfg, spec, params, batch, steps=30)
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]),
+            np.asarray(s_ref.params[key]),
+            rtol=5e-3,
+            atol=2e-4,
+            err_msg=key,
+        )
+    for key in s_ref.opt.mu:
+        np.testing.assert_allclose(
+            np.asarray(s_k.opt.mu[key]),
+            np.asarray(s_ref.opt.mu[key]),
+            rtol=5e-2,
+            atol=2e-4,
+            err_msg=f"mu.{key}",
+        )
+    assert int(s_k.opt.count) == int(s_ref.opt.count) == 30
+    assert int(s_k.epoch) == 30
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+
+
+def test_plateau_lr_drops_match():
+    """Tiny patience forces LR reductions inside the chunk; the kernel's
+    scheduler must fire on the same epochs with the same factors."""
+    cfg, spec, params, batch = problem(patience=3, sched_every=2)
+    (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, steps=40)
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+    assert int(s_k.sched.num_bad) == int(s_ref.sched.num_bad)
+    np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=5e-4, atol=1e-6)
+
+
+def test_resume_from_mid_chunk_state():
+    """Two 15-step kernel chunks == one 30-step reference chunk (state
+    round-trips through the packing)."""
+    cfg, spec, params, batch = problem()
+    loss_fn = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    ref_chunk = train.make_train_chunk(loss_fn, desmo.param_groups(params), cfg)
+    s_ref = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_ref, _ = ref_chunk(s_ref, batch, num_steps=30)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, _ = fused(s_k, batch, num_steps=15)
+    s_k, _ = fused(s_k, batch, num_steps=15)
+    assert int(s_k.epoch) == 30
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]),
+            np.asarray(s_ref.params[key]),
+            rtol=5e-3,
+            atol=5e-4,
+            err_msg=key,
+        )
+
+
+def test_r4_poly3_shape_regime():
+    """The cylinder shape regime (r=4, P=3, T=35, K=47) on small n/m."""
+    cfg, spec, params, batch = problem(n=64, m=24, r=4, P=3)
+    (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, steps=12)
+    np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=5e-4, atol=1e-6)
