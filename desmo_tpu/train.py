@@ -145,7 +145,7 @@ def make_train_chunk(
     group_of: dict[str, str],
     cfg: RunConfig,
     param_shardings: Optional[dict] = None,
-    unroll: int = 1,
+    unroll: Optional[int] = None,
 ):
     """Jitted scan of `num_steps` epochs. Returns (state, stacked metrics).
 
@@ -164,6 +164,8 @@ def make_train_chunk(
     spatial sharding. Replicated leaves keep the packed fast path, so the
     single-chip step is unchanged when no sharding is requested.
     """
+    if unroll is None:
+        unroll = getattr(cfg, "scan_unroll", 1)
     sharded_sh = {
         k: s for k, s in (param_shardings or {}).items() if _is_sharded(s)
     }
