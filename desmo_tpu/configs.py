@@ -54,6 +54,11 @@ class RunConfig:
     # runtime's per-iteration while-loop overhead (~20 us on v5e); purely a
     # compile-time schedule choice, numerics are unchanged
     scan_unroll: int = 4
+    # compiled-chunk implementation: 'auto' = resident mega-kernel where
+    # supported (desmo variant on TPU; ~1.5x faster, contraction precision
+    # ~4e-6 relative vs the scanned chunk's mixed 4e-6/1e-7), 'scan' forces
+    # the scanned chunk, 'megakernel' requires the mega-kernel
+    chunk_method: str = "auto"
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
     time_stride: int = 1  # channel subsamples every 2nd snapshot

@@ -185,11 +185,19 @@ def run(
     # the resident mega-kernel (whole chunk in one pallas_call) is the fastest
     # desmo path on TPU; other variants / oversized cases use the scanned chunk
     chunk = None
-    if resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo":
+    if cfg.chunk_method != "scan" and (
+        cfg.chunk_method == "megakernel"
+        or (resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo")
+    ):
         from desmo_tpu.pallas import train_chunk as tc
 
         if tc.supports(spec, cfg):
             chunk = tc.make_fused_train_chunk(spec, cfg)
+        elif cfg.chunk_method == "megakernel":
+            raise ValueError(
+                f"chunk_method='megakernel' but preset {cfg.name!r} is not "
+                "supported (variant/shape/VMEM) — see pallas.train_chunk.supports"
+            )
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     result = train.fit(

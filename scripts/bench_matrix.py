@@ -46,13 +46,25 @@ def main():
         xd = jnp.asarray(x)
         batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
         if runner.resolve_loss_method(cfg) == "fused":
-            from desmo_tpu.pallas import pad_snapshots
+            from desmo_tpu.pallas import pad_snapshots, split_snapshots
 
-            batch["x_padded"] = pad_snapshots(xd)
+            if cfg.variant == "desmo":
+                batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+            else:
+                batch["x_padded"] = pad_snapshots(xd)
         if cfg.variant != "ae":
             batch["pod_modes"] = pod.pod(x, cfg.r).modes
 
-        chunk = train.make_train_chunk(loss_fn, groups, cfg)
+        # same chunk selection as runner.run: resident mega-kernel where
+        # supported, scanned (unrolled) chunk otherwise
+        chunk = None
+        if runner.resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo":
+            from desmo_tpu.pallas import train_chunk as tc
+
+            if tc.supports(spec, cfg):
+                chunk = tc.make_fused_train_chunk(spec, cfg)
+        if chunk is None:
+            chunk = train.make_train_chunk(loss_fn, groups, cfg)
         state = jax.tree.map(jnp.array, train.init_state(params, cfg))
         state, met = chunk(state, batch, num_steps=args.steps)
         _ = float(np.asarray(met["rec"])[-1])  # fence (see bench.py notes)
