@@ -18,10 +18,12 @@ DESMO-Cylinder.py:500-786``), expressed in a lane-packed layout:
 * WIDE space (lanes): 0..T-1 = polynomial terms, T + k*r + i = trig term of
   kind k (sin,cos,tanh) and mode i — exactly the column order of the spatial
   dictionary / row order of the temporal matrix B.
-* The polynomial library, the trig-argument replication, and every gradient
-  lane-shuffle are SELECTION MATMULS against constant 0/1/2/3 bf16 matrices
-  (exact on the MXU); dictionary products and gradients are full-width VPU
-  ops. No per-column ops, no lane concatenations.
+* The polynomial library and its derivative tables are EXACT f32 lane
+  gathers (``take_along_axis`` against constant index rows — Mosaic lowers
+  static lane gathers on the VPU); the remaining gradient lane-reductions
+  (poly -> mode, trig -> mode, ortho sign) are selection matmuls against
+  constant 0/1 bf16 matrices. Dictionary products and gradients are
+  full-width VPU ops. No per-column ops.
 * All X-touching and Gram contractions use the hi/lo-split 3-pass bf16 scheme
   of ``dual_gemm._dot3`` (~5e-6 relative, fp32-grade); selections use 2-pass
   (~2e-18-relative representation error of the operand split).
@@ -65,9 +67,7 @@ _L_EPOCH = 11
 
 
 class ChunkConstants(NamedTuple):
-    sel: np.ndarray  # (NSEL*128, 128) bf16 selection stack
-    selw: np.ndarray  # (128, P*128) bf16: SEL_0..SEL_{P-1} side by side
-    mcat: np.ndarray  # (128, r*128) bf16: M_0..M_{r-1} side by side
+    sel: np.ndarray  # (2*128, 128) bf16: [COLLAPSE; OFFDIAG] selection stack
     onecat: np.ndarray  # (r*128, 128) bf16: ONECOL_0..ONECOL_{r-1} stacked
     mrow: np.ndarray  # (16, 128) f32 mask rows (+ per-mode exponent weights)
     gidx: np.ndarray  # (8, 128) i32 gather rows: 0..P-1 factor, P..P+r-1 down
@@ -100,29 +100,13 @@ def build_constants(r: int, P: int) -> ChunkConstants:
     down = _down_index_table(r, P)
 
     mats = []
-    # SEL_p: AUG -> WIDE. p==0 also routes latent into the trig-arg lanes;
-    # p>0 routes the row mask there so prod(G_p) = latent * mask on trig lanes.
-    for p in range(P):
-        S = np.zeros((LANES, LANES), np.float32)
-        for t in range(T):
-            S[F[t, p], t] = 1.0
-        for i in range(r):
-            for k in range(3):
-                lane = T + k * r + i
-                S[i + 1 if p == 0 else 0, lane] = 1.0
-        mats.append(S)
-    # M_i: WIDE -> WIDE poly-derivative tables: col t picks E[t,i] * theta_down
-    for i in range(r):
-        M = np.zeros((LANES, LANES), np.float32)
-        for t in range(T):
-            if down[t, i] >= 0:
-                M[down[t, i], t] = float(E[t, i])
-        mats.append(M)
-    # ONECOL_i: WIDE -> AUG: sum poly lanes into aug lane i+1
+    # ONECOL_i: WIDE -> AUG: sum poly lanes into aug lane i+1 (the stacked
+    # poly-gradient reduction (dtheta * theta_down) @ ONECOLcat)
+    onecols = []
     for i in range(r):
         O = np.zeros((LANES, LANES), np.float32)
         O[:T, i + 1] = 1.0
-        mats.append(O)
+        onecols.append(O)
     # COLLAPSE: WIDE -> AUG: trig lane (k,i) -> aug lane i+1
     C = np.zeros((LANES, LANES), np.float32)
     for i in range(r):
@@ -137,10 +121,7 @@ def build_constants(r: int, P: int) -> ChunkConstants:
                 D[i + 1, j + 1] = 1.0
     mats.append(D)
     sel = np.concatenate(mats, axis=0).astype(jnp.bfloat16)
-    # fused variants: one wide matmul instead of P / r separate dispatches
-    selw = np.concatenate(mats[:P], axis=1).astype(jnp.bfloat16)
-    mcat = np.concatenate(mats[P : P + r], axis=1).astype(jnp.bfloat16)
-    onecat = np.concatenate(mats[P + r : P + 2 * r], axis=0).astype(jnp.bfloat16)
+    onecat = np.concatenate(onecols, axis=0).astype(jnp.bfloat16)
 
     lane = np.arange(LANES)
     polymask = (lane < T).astype(np.float32)
@@ -177,8 +158,6 @@ def build_constants(r: int, P: int) -> ChunkConstants:
         gidx[P + i, :T] = np.maximum(down[:, i], 0)
     return ChunkConstants(
         sel=np.asarray(sel),
-        selw=np.asarray(selw),
-        mcat=np.asarray(mcat),
         onecat=np.asarray(onecat),
         mrow=mrow,
         gidx=gidx,
@@ -213,12 +192,6 @@ def _dot3(x, y, dims):
     return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
 
 
-def _dot3s(xh, xl, y, dims):
-    """3-pass where x is already split (X planes)."""
-    yh, yl = _split(y)
-    return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
-
-
 def _lane(row, k):
     """0-d scalar from a (1,128) vector row (Mosaic splats scalars fine;
     (1,1) vectors cannot broadcast to both sublanes and lanes)."""
@@ -236,7 +209,7 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
 
     def kernel(
         # inputs
-        sel_ref, selw_ref, mcat_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+        sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
         phi0_ref, mu0_ref, nu0_ref,
         b0_ref, bmu0_ref, bnu0_ref, crow0_ref, svec0_ref,
         # outputs
@@ -363,7 +336,7 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             latrep = prod * trigmask
             acc_s[1:2, :] = acc_s[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
 
-            dl = _dot2(darg * omrow, SEL(P + 2 * r))  # trig -> aug lanes
+            dl = _dot2(darg * omrow, SEL(0))  # trig -> aug lanes
             # poly backward: d theta_t / d lat_i = E[t,i] * theta_down(t,i) —
             # exact gathers + one stacked lane reduction
             tdall = jnp.concatenate(
@@ -380,7 +353,7 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             # ---------------- step finalize (last tile)
             @pl.when(t == n_tiles - 1)
             def _():
-                offdiag = SEL(P + 2 * r + 1).astype(jnp.float32)
+                offdiag = SEL(1).astype(jnp.float32)
                 bv = b_ref[:]
                 rec = (
                     jnp.sum(ga_s[:] * gb_s[:])
@@ -520,8 +493,6 @@ def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpr
         grid=grid,
         in_specs=[
             pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, P * LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, r * LANES), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
@@ -739,8 +710,6 @@ def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = No
 
         (met, phio, muo, nuo, bfw, bmufw, bnufw, crow_o, svec_o) = call(
             jnp.asarray(consts.sel),
-            jnp.asarray(consts.selw),
-            jnp.asarray(consts.mcat),
             jnp.asarray(consts.onecat),
             jnp.asarray(consts.gidx),
             mrow,
