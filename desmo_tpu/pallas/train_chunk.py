@@ -198,7 +198,10 @@ def _lane(row, k):
     return row[0, k]
 
 
-def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg):
+def _make_kernel(
+    spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg,
+    streamed: bool,
+):
     nm = float(n * m)
     P = spec_P
     r = spec_r
@@ -207,17 +210,28 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
     sched_min_lr = float(cfg.sched_min_lr)
     sched_every = float(cfg.sched_every)
 
-    def kernel(
-        # inputs
-        sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
-        phi0_ref, mu0_ref, nu0_ref,
-        b0_ref, bmu0_ref, bnu0_ref, crow0_ref, svec0_ref,
-        # outputs
-        met_ref, phio_ref, muo_ref, nuo_ref,
-        b_ref, bmu_ref, bnu_ref, crow_ref, svec_ref,
-        # scratch
-        phis, mus, nus, dlat, ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
-    ):
+    def kernel(*refs):
+        if streamed:
+            (
+                sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+                phi0_ref, mu0_ref, nu0_ref,
+                b0_ref, bmu0_ref, bnu0_ref, crow0_ref, svec0_ref,
+                phiin_ref, muin_ref, nuin_ref, dlin_ref,
+                met_ref,
+                b_ref, bmu_ref, bnu_ref, crow_ref, svec_ref,
+                phiout_ref, muout_ref, nuout_ref, dlout_ref,
+                cur_phi, cur_mu, cur_nu,
+                ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
+            ) = refs
+        else:
+            (
+                sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+                phi0_ref, mu0_ref, nu0_ref,
+                b0_ref, bmu0_ref, bnu0_ref, crow0_ref, svec0_ref,
+                met_ref, phio_ref, muo_ref, nuo_ref,
+                b_ref, bmu_ref, bnu_ref, crow_ref, svec_ref,
+                phis, mus, nus, dlat, ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
+            ) = refs
         s = pl.program_id(0)
         t = pl.program_id(1)
         tile = pl.ds(t * bt, bt)
@@ -236,12 +250,38 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             idx = jnp.broadcast_to(gidx_ref[row : row + 1, :], x.shape)
             return jnp.take_along_axis(x, idx, axis=1)
 
+        # --- per-tile state access: resident mode slices full-VMEM scratch;
+        # streamed mode ping-pongs (2, n_pad, 128) HBM arrays through (bt,128)
+        # blocks — input parity (s-1) % 2, output parity s % 2, aliased so the
+        # write at step s is the read at step s+1. The intra-visit carrier
+        # (updated phi for this visit's forward) is a tiny (bt, 128) scratch.
+        def pod_tile():
+            return pod_ref[:] if streamed else pod_ref[tile, :]
+
+        def state_read():
+            if streamed:
+                return phiin_ref[0], muin_ref[0], nuin_ref[0], dlin_ref[0]
+            return phis[tile, :], mus[tile, :], nus[tile, :], dlat[tile, :]
+
+        def state_write(phi_t, mu_t, nu_t):
+            if streamed:
+                cur_phi[:] = phi_t
+                cur_mu[:] = mu_t
+                cur_nu[:] = nu_t
+            else:
+                phis[tile, :] = phi_t
+                mus[tile, :] = mu_t
+                nus[tile, :] = nu_t
+
+        def cur_state():
+            if streamed:
+                return cur_phi[:]
+            return phis[tile, :]
+
         # ------------------------------------------------ init (s == 0)
         @pl.when(s == 0)
         def _():
-            phis[tile, :] = phi0_ref[:]
-            mus[tile, :] = mu0_ref[:]
-            nus[tile, :] = nu0_ref[:]
+            state_write(phi0_ref[:], mu0_ref[:], nu0_ref[:])
 
         @pl.when(jnp.logical_and(s == 0, t == 0))
         def _():
@@ -258,23 +298,27 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             sv = svec_ref[0:1, :]
             lr_phi = _lane(sv, _L_LRPHI_USED)
             bias = _lane(sv, _L_BIAS_USED)
-            pod = pod_ref[tile, :]
-            phi_t = phis[tile, :]
+            pod = pod_tile()
+            phi_t, mu_p, nu_p, dl_prev = state_read()
             aug_old = pod * phi_t
             dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
-            g = (dlat[tile, :] + beta * dlo) * pod
-            mu_t = _B1 * mus[tile, :] + (1.0 - _B1) * g
-            nu_t = jnp.maximum(_B2 * nus[tile, :], jnp.abs(g) + _EPS)
-            phis[tile, :] = phi_t - (lr_phi / bias) * mu_t / nu_t
-            mus[tile, :] = mu_t
-            nus[tile, :] = nu_t
+            g = (dl_prev + beta * dlo) * pod
+            mu_t = _B1 * mu_p + (1.0 - _B1) * g
+            nu_t = jnp.maximum(_B2 * nu_p, jnp.abs(g) + _EPS)
+            state_write(phi_t - (lr_phi / bias) * mu_t / nu_t, mu_t, nu_t)
 
-        # final-state streams, written only in the terminal update sweep
-        @pl.when(s == num_steps)
-        def _():
-            phio_ref[:] = phis[tile, :]
-            muo_ref[:] = mus[tile, :]
-            nuo_ref[:] = nus[tile, :]
+        if streamed:
+            # persist this visit's state at output parity s % 2 (write-through)
+            phiout_ref[0] = cur_phi[:]
+            muout_ref[0] = cur_mu[:]
+            nuout_ref[0] = cur_nu[:]
+        else:
+            # final-state streams, written only in the terminal update sweep
+            @pl.when(s == num_steps)
+            def _():
+                phio_ref[:] = phis[tile, :]
+                muo_ref[:] = mus[tile, :]
+                nuo_ref[:] = nus[tile, :]
 
         # ------------------------------------------------ forward + grads
         @pl.when(s < num_steps)
@@ -296,8 +340,8 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             xh = xhi_ref[:]
             xl = xlo_ref[:]
             xb = _d(xh, bhs[:], _XBD) + _d(xh, bls[:], _XBD) + _d(xl, bhs[:], _XBD)
-            pod = pod_ref[tile, :]
-            aug = pod * phis[tile, :]
+            pod = pod_tile()
+            aug = pod * cur_state()
             ah, al = _split(aug)
 
             # factor selections as EXACT f32 lane gathers (no MXU, no hi/lo)
@@ -348,7 +392,10 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
             )
             dth_tiled = jnp.concatenate([dtheta] * r, axis=1)
             dl = dl + _dot2(dth_tiled * tdall, onecat_ref[:])
-            dlat[tile, :] = dl
+            if streamed:
+                dlout_ref[0] = dl
+            else:
+                dlat[tile, :] = dl
 
             # ---------------- step finalize (last tile)
             @pl.when(t == n_tiles - 1)
@@ -458,12 +505,14 @@ def _make_kernel(spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, 
 
 
 @functools.lru_cache(maxsize=8)
-def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret):
+def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret, streamed):
     T = library.num_poly_terms(r, P)
     K = T + 3 * r
     n_tiles = n_pad // bt
     consts = build_constants(r, P)
-    kernel = _make_kernel(r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg)
+    kernel = _make_kernel(
+        r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg, streamed
+    )
     S = num_steps
 
     def tmap(s, t):
@@ -487,63 +536,108 @@ def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpr
     def metmap(s, t):
         return (jnp.minimum(s, S - 1) // 8, 0)
 
-    grid = (num_steps + 1, n_tiles)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, LANES), metmap, memory_space=pltpu.VMEM),
+    def pingmap_in(s, t):
+        # read the state written LAST step: parity (s-1) % 2 (garbage at s=0,
+        # guarded by the s > 0 condition on the reader)
+        return (jax.lax.rem(s + 1, 2), t, 0)
+
+    def pingmap_out(s, t):
+        return (jax.lax.rem(s, 2), t, 0)
+
+    state_blk = pl.BlockSpec((1, bt, LANES), pingmap_in, memory_space=pltpu.VMEM)
+    state_out_blk = pl.BlockSpec((1, bt, LANES), pingmap_out, memory_space=pltpu.VMEM)
+    state_shape = jax.ShapeDtypeStruct((2, n_pad, LANES), jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
+        (
+            pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM)
+            if streamed
+            else pl.BlockSpec((n_pad, LANES), cmap, memory_space=pltpu.VMEM)
+        ),
+        pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((8, LANES), metmap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((_round_up(num_steps, 8), LANES), jnp.float32),
+    ]
+    small_outs = [
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+    ]
+    small_shapes = [
+        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((LANES, m_pad), jnp.float32),  # ax
+        pltpu.VMEM((LANES, LANES), jnp.float32),  # ga
+        pltpu.VMEM((LANES, LANES), jnp.float32),  # auga
+        pltpu.VMEM((LANES, LANES), jnp.float32),  # gb
+        pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b hi
+        pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b lo
+        pltpu.VMEM((8, LANES), jnp.float32),  # acc rows
+        pltpu.VMEM((LANES, LANES), jnp.float32),  # ortho sign matrix
+    ]
+    io_aliases = {}
+    if streamed:
+        in_specs += [state_blk] * 4  # phiin, muin, nuin, dlin
+        out_specs += small_outs + [state_out_blk] * 4
+        out_shape += small_shapes + [state_shape] * 4
+        # inputs 15..18 (phiin..dlin) alias outputs 6..9 (phiout..dlout)
+        io_aliases = {15: 6, 16: 7, 17: 8, 18: 9}
+        scratch = [
+            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_phi
+            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_mu
+            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_nu
+        ] + scratch
+    else:
+        out_specs += [
             pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, LANES), finalmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((_round_up(num_steps, 8), LANES), jnp.float32),
+        ] + small_outs
+        out_shape += [
             jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
-        ],
-        scratch_shapes=[
+        ] + small_shapes
+        scratch = [
             pltpu.VMEM((n_pad, LANES), jnp.float32),  # phis
             pltpu.VMEM((n_pad, LANES), jnp.float32),  # mus
             pltpu.VMEM((n_pad, LANES), jnp.float32),  # nus
             pltpu.VMEM((n_pad, LANES), jnp.float32),  # dlat
-            pltpu.VMEM((LANES, m_pad), jnp.float32),  # ax
-            pltpu.VMEM((LANES, LANES), jnp.float32),  # ga
-            pltpu.VMEM((LANES, LANES), jnp.float32),  # auga
-            pltpu.VMEM((LANES, LANES), jnp.float32),  # gb
-            pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b hi
-            pltpu.VMEM((LANES, m_pad), jnp.bfloat16),  # b lo
-            pltpu.VMEM((8, LANES), jnp.float32),  # acc rows
-            pltpu.VMEM((LANES, LANES), jnp.float32),  # ortho sign matrix
-        ],
+        ] + scratch
+
+    grid = (num_steps + 1, n_tiles)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 pltpu.GridDimensionSemantics.ARBITRARY,
@@ -611,18 +705,23 @@ def _unpack_wide_row(row, T, r):
     return row[:T], row[T : T + 3 * r].reshape(3, r)
 
 
-def supports(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> bool:
-    """Whether the resident mega-kernel can run this configuration: plain
-    DESMO variant, all K terms within one lane register, and the VMEM working
-    set (full-width phi/mu/nu/dlat scratch + B-state + X stream blocks) inside
-    the budget empirically validated on v5e (~35 MB compiles; 30 MB margin).
-    Larger cases (e.g. aneurysm n=27000: ~53 MB of scratch alone) fall back
-    to the scanned fused chunk."""
+def supports(spec, cfg, bt: int = 512) -> bool:
+    """Whether the mega-kernel can run this configuration: plain DESMO
+    variant with all K terms within one lane register. Any spatial size works
+    — small cases keep the state resident in VMEM; larger ones (aneurysm
+    n=27000) ping-pong the state through HBM (``resident_fits`` decides)."""
     if getattr(cfg, "variant", "desmo") != "desmo":
         return False
     T = library.num_poly_terms(spec.r, spec.poly_order)
-    if T + 3 * spec.r > LANES:
-        return False
+    return T + 3 * spec.r <= LANES
+
+
+def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> bool:
+    """Whether the RESIDENT variant's VMEM working set (full-width
+    phi/mu/nu/dlat scratch + resident pod + B-state + X stream blocks) fits
+    the budget empirically validated on v5e (~35 MB compiles; 30 MB margin).
+    Beyond it, make_fused_train_chunk switches to the streamed-state variant
+    (state ping-pongs through aliased HBM arrays; ~n-independent VMEM)."""
     n_pad = _round_up(spec.n, bt)
     m_pad = _round_up(spec.m, LANES)
     mb = 1 / (1024 * 1024)
@@ -650,18 +749,32 @@ def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES):
     }
 
 
-def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = None):
+def make_fused_train_chunk(
+    spec, cfg, bt: int = 512, interpret: bool | None = None,
+    streamed: bool | None = None,
+):
     """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running the
     ENTIRE chunk inside one pallas_call (the resident mega-kernel).
 
     Drop-in replacement for ``train.make_train_chunk`` for the plain DESMO
     variant; ``batch`` must carry ``pod_modes``, pre-split ``x_hi``/``x_lo``
-    (``dual_gemm.split_snapshots``) and ``x_sq``.
+    (``dual_gemm.split_snapshots``) and ``x_sq``. ``streamed=None``
+    auto-selects: state resident in VMEM when it fits (fastest), otherwise
+    ping-ponged through HBM (scale-free in n).
     """
     from desmo_tpu import optim, train
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if streamed is None:
+        streamed = not interpret and not resident_fits(spec, cfg, bt)
+    if streamed and interpret:
+        raise NotImplementedError(
+            "the streamed-state mode relies on input_output_aliases giving "
+            "in-place HBM semantics (verified bit-exact vs the resident mode "
+            "on TPU hardware); pallas interpret mode snapshots aliased inputs "
+            "instead, so the state would not propagate between steps"
+        )
     r, P = spec.r, spec.poly_order
     T = spec.num_poly_terms
     n, m = spec.n, spec.m
@@ -675,7 +788,8 @@ def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = No
         if n_pad % bt:
             raise ValueError(f"x padding {n_pad} not a multiple of bt={bt}")
         call, consts = _build_call(
-            r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg, interpret
+            r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg,
+            interpret, streamed,
         )
         rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
         pod_fw = _pack_aug(batch["pod_modes"].T, n_pad, lane0=rowmask)
@@ -708,7 +822,7 @@ def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = No
         svec0 = svec0.at[0, _L_EPOCH].set(state.epoch.astype(jnp.float32))
         mrow = jnp.asarray(consts.mrow).at[5, 0].set(batch["x_sq"])
 
-        (met, phio, muo, nuo, bfw, bmufw, bnufw, crow_o, svec_o) = call(
+        args = [
             jnp.asarray(consts.sel),
             jnp.asarray(consts.onecat),
             jnp.asarray(consts.gidx),
@@ -724,7 +838,17 @@ def make_fused_train_chunk(spec, cfg, bt: int = 512, interpret: bool | None = No
             bnu0,
             crow0,
             svec0,
-        )
+        ]
+        if streamed:
+            # ping-pong state arrays (donated into their aliased outputs);
+            # parity (s-1)%2 is never read before parity s%2 was written
+            zstate = jnp.zeros((2, n_pad, LANES), jnp.float32)
+            args += [zstate, zstate, zstate, zstate]
+            (met, bfw, bmufw, bnufw, crow_o, svec_o, phiio, muio, nuio, _dl) = call(*args)
+            parity = int(num_steps) % 2  # generation written in the final sweep
+            phio, muo, nuo = phiio[parity], muio[parity], nuio[parity]
+        else:
+            (met, phio, muo, nuo, bfw, bmufw, bnufw, crow_o, svec_o) = call(*args)
 
         phi = _unpack_aug(phio, r, n)
         mu_phi = _unpack_aug(muo, r, n)

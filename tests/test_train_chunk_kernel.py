@@ -131,3 +131,57 @@ def test_r4_poly3_shape_regime():
     cfg, spec, params, batch = problem(n=64, m=24, r=4, P=3)
     (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, steps=12)
     np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=5e-4, atol=1e-6)
+
+
+def test_streamed_state_variant_matches_resident():
+    """The streamed-state mode (state ping-ponged through aliased HBM arrays,
+    for spatial sizes whose full-width state exceeds VMEM) must reproduce the
+    resident mode exactly — same kernel math, different state transport.
+
+    Interpret mode snapshots aliased inputs (no in-place HBM semantics), so
+    the exact comparison runs on real TPU only; on CPU we assert the clear
+    refusal. TPU evidence (2026-08-16, n=1024/m=200/21 steps, odd parity):
+    rec trace and final params BIT-EXACT vs the resident mode (max |dev| 0.0).
+    """
+    cfg, spec, params, batch = problem()
+    if jax.default_backend() != "tpu":
+        with pytest.raises(NotImplementedError, match="streamed-state"):
+            train_chunk.make_fused_train_chunk(
+                spec, cfg, bt=32, interpret=True, streamed=True
+            )
+        return
+    res = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=False)
+    stf = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=True)
+    s_r = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_s = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_r, m_r = res(s_r, batch, num_steps=21)  # odd: exercises final parity 1
+    s_s, m_s = stf(s_s, batch, num_steps=21)
+    for key in ("rec", "ortho", "l1", "total"):
+        np.testing.assert_array_equal(
+            np.asarray(m_s[key]), np.asarray(m_r[key]), err_msg=key
+        )
+    for key in s_r.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.params[key]), np.asarray(s_r.params[key]), err_msg=key
+        )
+    for key in s_r.opt.mu:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.opt.nu[key]), np.asarray(s_r.opt.nu[key]), err_msg=key
+        )
+
+
+def test_supports_and_mode_selection():
+    cfg, spec, params, batch = problem()
+    assert train_chunk.supports(spec, cfg)
+    assert train_chunk.resident_fits(spec, cfg)
+    # aneurysm-scale: supported, but via the streamed mode
+    from desmo_tpu import configs
+    from desmo_tpu.models import desmo as dm
+
+    acfg = configs.get("aneurysm")
+    aspec = dm.DesmoSpec(acfg.n, acfg.m, acfg.r, acfg.poly_order, acfg.omega_init)
+    assert train_chunk.supports(aspec, acfg)
+    assert not train_chunk.resident_fits(aspec, acfg)
+    # non-desmo variants are not supported at all
+    fcfg = configs.get("fourier_cylinder")
+    assert not train_chunk.supports(aspec, fcfg)
