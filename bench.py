@@ -48,13 +48,10 @@ def bench_preset(preset: str, steps: int, reps: int):
 
         batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
 
-    train_chunk = None
-    if on_tpu:
-        from desmo_tpu.pallas import train_chunk as tc
+    from desmo_tpu.pallas import train_chunk as tc
 
-        if tc.supports(spec, cfg):
-            # resident mega-kernel: the whole chunk in one pallas_call
-            train_chunk = tc.make_fused_train_chunk(spec, cfg)
+    # resident/streamed mega-kernel where supported, scanned chunk otherwise
+    train_chunk = tc.select_chunk(spec, cfg)
     if train_chunk is None:
         train_chunk = train.make_train_chunk(
             loss_fn, desmo.param_groups(params), cfg, unroll=cfg.scan_unroll

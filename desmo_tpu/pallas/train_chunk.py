@@ -707,13 +707,45 @@ def _unpack_wide_row(row, T, r):
 
 def supports(spec, cfg, bt: int = 512) -> bool:
     """Whether the mega-kernel can run this configuration: plain DESMO
-    variant with all K terms within one lane register. Any spatial size works
-    — small cases keep the state resident in VMEM; larger ones (aneurysm
-    n=27000) ping-pong the state through HBM (``resident_fits`` decides)."""
+    variant with all K terms within one lane register, and the constant
+    tables in bounds (gather rows hold P factor rows + r down-index rows in
+    an (8, 128) block; exponent-weight rows live at mrow rows 8..15). Any
+    spatial size works — small cases keep the state resident in VMEM; larger
+    ones (aneurysm n=27000) ping-pong the state through HBM
+    (``resident_fits`` decides)."""
     if getattr(cfg, "variant", "desmo") != "desmo":
         return False
-    T = library.num_poly_terms(spec.r, spec.poly_order)
-    return T + 3 * spec.r <= LANES
+    r, P = spec.r, spec.poly_order
+    T = library.num_poly_terms(r, P)
+    return T + 3 * r <= LANES and P + r <= 8 and r <= 8
+
+
+def select_chunk(spec, cfg, bt: int = 512):
+    """The single chunk-selection policy shared by runner/bench: returns the
+    mega-kernel chunk, or None for the scanned path.
+
+    ``cfg.chunk_method``: 'scan' always scans; 'megakernel' requires the
+    mega-kernel (ValueError if unsupported); 'auto' picks it on TPU for the
+    desmo variant when the loss method resolves to the fused path."""
+    method = getattr(cfg, "chunk_method", "auto")
+    if method == "scan":
+        return None
+    if method == "megakernel":
+        if not supports(spec, cfg, bt):
+            raise ValueError(
+                f"chunk_method='megakernel' but preset {cfg.name!r} is not "
+                "supported (variant/terms) — see pallas.train_chunk.supports"
+            )
+        return make_fused_train_chunk(spec, cfg, bt)
+    if jax.default_backend() != "tpu":
+        return None
+    if getattr(cfg, "variant", "desmo") != "desmo":
+        return None
+    if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
+        return None
+    if not supports(spec, cfg, bt):
+        return None
+    return make_fused_train_chunk(spec, cfg, bt)
 
 
 def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> bool:

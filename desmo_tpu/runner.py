@@ -149,17 +149,27 @@ def run(
 
     p2 = pod.pod(x, 2 * cfg.r)
     p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
+
+    # the resident/streamed mega-kernel (whole chunk in one pallas_call) is
+    # the fastest desmo path on TPU; select_chunk applies cfg.chunk_method
+    from desmo_tpu.pallas import train_chunk as tc
+
+    chunk = tc.select_chunk(spec, cfg)
+
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
-    if resolve_loss_method(cfg) == "fused":
-        if cfg.variant == "desmo":
-            from desmo_tpu.pallas import split_snapshots
+    if chunk is not None or (
+        resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo"
+    ):
+        # pre-split bf16 X planes: consumed by both the mega-kernel and the
+        # scanned fused loss (same (512, 128) padding contract)
+        from desmo_tpu.pallas import split_snapshots
 
-            batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
-        else:
-            from desmo_tpu.pallas import pad_snapshots
+        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+    elif resolve_loss_method(cfg) == "fused":
+        from desmo_tpu.pallas import pad_snapshots
 
-            batch["x_padded"] = pad_snapshots(xd)
+        batch["x_padded"] = pad_snapshots(xd)
     if cfg.variant != "ae":
         batch["pod_modes"] = p.modes
 
@@ -181,23 +191,6 @@ def run(
 
     def log_line(line):
         print(line, flush=True)
-
-    # the resident mega-kernel (whole chunk in one pallas_call) is the fastest
-    # desmo path on TPU; other variants / oversized cases use the scanned chunk
-    chunk = None
-    if cfg.chunk_method != "scan" and (
-        cfg.chunk_method == "megakernel"
-        or (resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo")
-    ):
-        from desmo_tpu.pallas import train_chunk as tc
-
-        if tc.supports(spec, cfg):
-            chunk = tc.make_fused_train_chunk(spec, cfg)
-        elif cfg.chunk_method == "megakernel":
-            raise ValueError(
-                f"chunk_method='megakernel' but preset {cfg.name!r} is not "
-                "supported (variant/shape/VMEM) — see pallas.train_chunk.supports"
-            )
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     result = train.fit(

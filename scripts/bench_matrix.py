@@ -55,14 +55,10 @@ def main():
         if cfg.variant != "ae":
             batch["pod_modes"] = pod.pod(x, cfg.r).modes
 
-        # same chunk selection as runner.run: resident mega-kernel where
-        # supported, scanned (unrolled) chunk otherwise
-        chunk = None
-        if runner.resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo":
-            from desmo_tpu.pallas import train_chunk as tc
+        # same chunk selection as runner.run / bench.py
+        from desmo_tpu.pallas import train_chunk as tc
 
-            if tc.supports(spec, cfg):
-                chunk = tc.make_fused_train_chunk(spec, cfg)
+        chunk = tc.select_chunk(spec, cfg)
         if chunk is None:
             chunk = train.make_train_chunk(loss_fn, groups, cfg)
         state = jax.tree.map(jnp.array, train.init_state(params, cfg))

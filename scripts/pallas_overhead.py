@@ -85,12 +85,6 @@ def main():
             out_shape=jax.ShapeDtypeStruct((k_pad, m_pad), jnp.float32),
         )
 
-        def body(carry, _):
-            a = carry
-            out = call(a.astype(jnp.bfloat16), x_hi)
-            return a + 1e-12 * out[:, :k_pad].T[:n_pad // k_pad * k_pad].reshape(-1, k_pad)[:n_pad], None
-
-        # simpler carry update: fold a scalar from out back into a
         def body2(carry, _):
             a = carry
             out = call(a.astype(jnp.bfloat16), x_hi)

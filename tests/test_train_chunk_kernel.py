@@ -166,7 +166,10 @@ def test_streamed_state_variant_matches_resident():
         )
     for key in s_r.opt.mu:
         np.testing.assert_array_equal(
-            np.asarray(s_s.opt.nu[key]), np.asarray(s_r.opt.nu[key]), err_msg=key
+            np.asarray(s_s.opt.mu[key]), np.asarray(s_r.opt.mu[key]), err_msg=f"mu.{key}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_s.opt.nu[key]), np.asarray(s_r.opt.nu[key]), err_msg=f"nu.{key}"
         )
 
 
