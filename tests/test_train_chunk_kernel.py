@@ -188,3 +188,25 @@ def test_supports_and_mode_selection():
     # non-desmo variants are not supported at all
     fcfg = configs.get("fourier_cylinder")
     assert not train_chunk.supports(aspec, fcfg)
+
+
+def test_select_chunk_policy():
+    """select_chunk is the single chunk policy: 'scan' always scans; 'auto'
+    scans off-TPU; 'megakernel' forces the kernel (works in interpret on CPU
+    for supported shapes) and raises clearly for unsupported ones."""
+    import dataclasses
+
+    cfg, spec, params, batch = problem()
+    assert train_chunk.select_chunk(spec, dataclasses.replace(cfg, chunk_method="scan")) is None
+    if jax.default_backend() != "tpu":
+        assert train_chunk.select_chunk(spec, cfg) is None  # auto off-TPU
+    forced = train_chunk.select_chunk(
+        spec, dataclasses.replace(cfg, chunk_method="megakernel"), bt=32
+    )
+    assert forced is not None
+    state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    state, mets = forced(state, batch, num_steps=3)
+    assert np.isfinite(np.asarray(mets["total"])).all()
+    bad = dataclasses.replace(cfg, chunk_method="megakernel", variant="fourier")
+    with pytest.raises(ValueError, match="megakernel"):
+        train_chunk.select_chunk(spec, bad)
