@@ -5,10 +5,17 @@ Why: on this TPU runtime a pallas_call costs ~12 us empty and ~45 us loaded
 iteration while-loop overhead — at ~50 us of useful math per optimizer step
 those fixed costs cap throughput well below the MXU roofline. Amortization:
 run the WHOLE chunk (hundreds of optimizer epochs) inside one kernel over a
-sequential grid ``(num_steps + 1, n_tiles)``. All optimizer state (params,
-Adamax moments, plateau-scheduler state) lives in VMEM for the duration; the
-only per-step HBM traffic is streaming the two bf16 X planes (hidden under the
-MXU work) and the per-step metrics row.
+sequential grid ``(num_steps + 1, n_tiles)``. Two state transports, same math:
+
+* RESIDENT (default where it fits): params, Adamax moments and the plateau
+  scheduler live in VMEM scratch for the duration; per-step HBM traffic is
+  just the streamed bf16 X planes (hidden under the MXU work) + metrics row.
+* STREAMED (spatial sizes whose full-width state exceeds VMEM, e.g. the
+  aneurysm's 27000 points): phi/mu/nu/dlat ping-pong through HBM arrays —
+  output parity ``s % 2`` is the next step's input parity ``(s-1) % 2``,
+  glued by ``input_output_aliases`` (in-place on hardware; verified BIT-EXACT
+  against the resident mode on TPU — pallas interpret mode snapshots aliased
+  inputs, so this mode refuses interpret).
 
 The math is the same composite objective as ``models/desmo.py`` +
 ``losses.py`` + ``optim.py`` (reference ``DESMO/cylinder_flow/
