@@ -712,7 +712,7 @@ def _unpack_wide_row(row, T, r):
     return row[:T], row[T : T + 3 * r].reshape(3, r)
 
 
-def supports(spec, cfg, bt: int = 512) -> bool:
+def supports(spec, cfg) -> bool:
     """Whether the mega-kernel can run this configuration: plain DESMO
     variant with all K terms within one lane register, and the constant
     tables in bounds (gather rows hold P factor rows + r down-index rows in
@@ -738,7 +738,7 @@ def select_chunk(spec, cfg, bt: int = 512):
     if method == "scan":
         return None
     if method == "megakernel":
-        if not supports(spec, cfg, bt):
+        if not supports(spec, cfg):
             raise ValueError(
                 f"chunk_method='megakernel' but preset {cfg.name!r} is not "
                 "supported (variant/terms) — see pallas.train_chunk.supports"
@@ -750,7 +750,7 @@ def select_chunk(spec, cfg, bt: int = 512):
         return None
     if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
         return None
-    if not supports(spec, cfg, bt):
+    if not supports(spec, cfg):
         return None
     return make_fused_train_chunk(spec, cfg, bt)
 

@@ -147,7 +147,13 @@ def run(
     os.makedirs(out_dir, exist_ok=True)
     spec, params, loss_fn, groups = build_model(cfg)
 
-    p2 = pod.pod(x, 2 * cfg.r)
+    # One POD sign convention everywhere (run/evaluate/sr): host LAPACK signs,
+    # exactly the reference's np.linalg.svd (CYL:199-205). Training absorbs any
+    # convention into the learnable phi masks, but evaluate()/cmd_sr rebuild
+    # POD for *frozen* masks — training against device POD (eigh-based, sign-
+    # arbitrary) would let a checkpoint saved here silently pair flipped modes
+    # there. The device path (pod.pod) stays available as the TPU-native API.
+    p2 = pod.pod_host(x, 2 * cfg.r)
     p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
 
     # the resident/streamed mega-kernel (whole chunk in one pallas_call) is

@@ -105,10 +105,18 @@ def infer_voxel_grid(mesh, field_len: int):
     if pts is None or len(pts) == 0:
         return None
     pts = np.asarray(pts)
-    axes = [np.unique(np.round(pts[:, a], 9)) for a in range(pts.shape[1])]
+    rounded = np.round(pts, 9)
+    axes = [np.unique(rounded[:, a]) for a in range(pts.shape[1])]
     dims = tuple(len(u) for u in axes)
     if int(np.prod(dims)) != len(pts):
         return None  # not a tensor-product lattice
+    # Unique-count matching alone admits permuted lattices; _render_field
+    # reshapes order='F', so the points must actually be stored x-fastest.
+    # Verify against the x-fastest lattice reconstruction.
+    grids = np.meshgrid(*axes, indexing="ij")
+    expected = np.stack([g.ravel(order="F") for g in grids], axis=1)
+    if not np.array_equal(rounded, expected):
+        return None  # lattice stored in a permuted order
     return match(dims)
 
 

@@ -72,6 +72,14 @@ def test_infer_voxel_grid():
     dims = dc.replace(mesh, dimensions=(4, 4, 4))
     assert viz.infer_voxel_grid(dims, 64) == (4, 4, 4)
     assert viz.infer_voxel_grid(dims, 27) == (3, 3, 3)
+    # a PERMUTED lattice passes the unique-count test but must be rejected:
+    # _render_field reshapes order='F' assuming x-fastest storage (ADVICE r2)
+    perm = dc.replace(mesh, points=np.asarray(mesh.points)[::-1].copy())
+    assert viz.infer_voxel_grid(perm, 5 * 4 * 3) is None
+    shuffled = np.asarray(mesh.points).copy()
+    rng2 = np.random.default_rng(3)
+    shuffled = shuffled[rng2.permutation(len(shuffled))]
+    assert viz.infer_voxel_grid(dc.replace(mesh, points=shuffled), 60) is None
 
 
 def test_render_field_guards_cell_point_mismatch(tmp_path):
