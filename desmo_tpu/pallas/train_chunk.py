@@ -207,7 +207,7 @@ def _lane(row, k):
 
 def _make_kernel(
     spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg,
-    streamed: bool,
+    streamed: bool, nf: int = 0, kp: int = 0,
 ):
     nm = float(n * m)
     P = spec_P
@@ -216,9 +216,36 @@ def _make_kernel(
     sched_factor = float(cfg.sched_factor)
     sched_min_lr = float(cfg.sched_min_lr)
     sched_every = float(cfg.sched_every)
+    fourier = nf > 0
 
     def kernel(*refs):
-        if streamed:
+        if fourier and streamed:
+            (
+                sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+                phi0_ref, mu0_ref, nu0_ref,
+                zc0_ref, zcmu0_ref, zcnu0_ref, per0_ref, trow_ref,
+                crow0_ref, svec0_ref,
+                phiin_ref, muin_ref, nuin_ref, dlin_ref,
+                met_ref,
+                zc_ref, zcmu_ref, zcnu_ref, per_ref, crow_ref, svec_ref,
+                phiout_ref, muout_ref, nuout_ref, dlout_ref,
+                cur_phi, cur_mu, cur_nu,
+                ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
+                bfull_s, th_s, c1_s, s1_s, gzc_s,
+            ) = refs
+        elif fourier:
+            (
+                sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+                phi0_ref, mu0_ref, nu0_ref,
+                zc0_ref, zcmu0_ref, zcnu0_ref, per0_ref, trow_ref,
+                crow0_ref, svec0_ref,
+                met_ref, phio_ref, muo_ref, nuo_ref,
+                zc_ref, zcmu_ref, zcnu_ref, per_ref, crow_ref, svec_ref,
+                phis, mus, nus, dlat,
+                ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s,
+                bfull_s, th_s, c1_s, s1_s, gzc_s,
+            ) = refs
+        elif streamed:
             (
                 sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
                 phi0_ref, mu0_ref, nu0_ref,
@@ -292,9 +319,17 @@ def _make_kernel(
 
         @pl.when(jnp.logical_and(s == 0, t == 0))
         def _():
-            b_ref[:] = b0_ref[:]
-            bmu_ref[:] = bmu0_ref[:]
-            bnu_ref[:] = bnu0_ref[:]
+            if fourier:
+                zc_ref[:] = zc0_ref[:]
+                zcmu_ref[:] = zcmu0_ref[:]
+                zcnu_ref[:] = zcnu0_ref[:]
+                per_ref[:] = per0_ref[:]
+                bfull_s[:] = jnp.zeros_like(bfull_s)  # rows >= kp stay zero
+                gzc_s[:] = jnp.zeros_like(gzc_s)  # lanes >= 2nf+1 stay zero
+            else:
+                b_ref[:] = b0_ref[:]
+                bmu_ref[:] = bmu0_ref[:]
+                bnu_ref[:] = bnu0_ref[:]
             crow_ref[:] = crow0_ref[:]
             svec_ref[:] = svec0_ref[:]
             sign_s[:] = jnp.zeros_like(sign_s)
@@ -332,7 +367,44 @@ def _make_kernel(
         def _():
             @pl.when(t == 0)
             def _():
-                bv = b_ref[:]
+                if fourier:
+                    # materialize B rows from the truncated Fourier series of
+                    # generation-s coefficients/periods: one cos/sin pass of
+                    # the base angle theta = 2 pi t / period per channel, then
+                    # a harmonic recurrence cos((k+1)th) = ck*c1 - sk*s1 (VPU
+                    # muls instead of nf transcendental passes). Reference
+                    # series: DESMO_Fourier/cylinder_flow/DESMO-Cylinder.py:
+                    # 485-506 (a0 + sum a_k cos + b_k sin on t_points).
+                    trow = trow_ref[0:1, :]
+                    tmask = trow_ref[1:2, :]
+                    rp = 1.0 / per_ref[:, 0:1]  # (kp, 1)
+                    th = jnp.broadcast_to(
+                        (2.0 * np.pi) * trow, (kp, trow.shape[1])
+                    ) * rp
+                    c1 = jnp.cos(th)
+                    s1 = jnp.sin(th)
+                    th_s[:] = th
+                    c1_s[:] = c1
+                    s1_s[:] = s1
+                    acc = (
+                        zc_ref[:, 0:1]
+                        + zc_ref[:, 1:2] * c1
+                        + zc_ref[:, 2:3] * s1
+                    )
+                    ck, sk = c1, s1
+                    for k in range(2, nf + 1):
+                        ckn = ck * c1 - sk * s1
+                        skn = sk * c1 + ck * s1
+                        acc = (
+                            acc
+                            + zc_ref[:, 2 * k - 1 : 2 * k] * ckn
+                            + zc_ref[:, 2 * k : 2 * k + 1] * skn
+                        )
+                        ck, sk = ckn, skn
+                    bfull_s[0:kp, :] = acc * tmask
+                    bv = bfull_s[:]
+                else:
+                    bv = b_ref[:]
                 bh, bl = _split(bv)
                 bhs[:] = bh
                 bls[:] = bl
@@ -408,7 +480,7 @@ def _make_kernel(
             @pl.when(t == n_tiles - 1)
             def _():
                 offdiag = SEL(1).astype(jnp.float32)
-                bv = b_ref[:]
+                bv = bfull_s[:] if fourier else b_ref[:]
                 rec = (
                     jnp.sum(ga_s[:] * gb_s[:])
                     - 2.0 * jnp.sum(ax_s[:] * bv)
@@ -443,11 +515,58 @@ def _make_kernel(
 
                 # ---- B (temporal z / z_trig rows), group 'z'
                 gB = (2.0 / nm) * (_dot3(ga_s[:], bv, _STD) - ax_s[:])
-                bmu = _B1 * bmu_ref[:] + (1.0 - _B1) * gB
-                bnu = jnp.maximum(_B2 * bnu_ref[:], jnp.abs(gB) + _EPS)
-                b_ref[:] = bv - (lr_z / bias) * bmu / bnu
-                bmu_ref[:] = bmu
-                bnu_ref[:] = bnu
+                if fourier:
+                    # backprop the B gradient through the Fourier series into
+                    # the coefficient block (group 'z') and the per-channel
+                    # learnable periods (group 'period'): dB/da_k = cos(k th),
+                    # dB/db_k = sin(k th) are per-channel lane reductions;
+                    # dB/dperiod = dB/dth * (-th / period). Harmonics are
+                    # rebuilt by the same recurrence from the stashed base
+                    # cos/sin (c1_s/s1_s) of THIS step's forward.
+                    tmask = trow_ref[1:2, :]
+                    gBk = gB[0:kp, :] * tmask
+
+                    def rowsum(v):
+                        return jnp.sum(v, axis=1, keepdims=True)
+
+                    gzc_s[:, 0:1] = rowsum(gBk)
+                    c1 = c1_s[:]
+                    s1 = s1_s[:]
+                    ck, sk = c1, s1
+                    gzc_s[:, 1:2] = rowsum(gBk * ck)
+                    gzc_s[:, 2:3] = rowsum(gBk * sk)
+                    dbdt = zc_ref[:, 2:3] * ck - zc_ref[:, 1:2] * sk
+                    for k in range(2, nf + 1):
+                        ckn = ck * c1 - sk * s1
+                        skn = sk * c1 + ck * s1
+                        gzc_s[:, 2 * k - 1 : 2 * k] = rowsum(gBk * ckn)
+                        gzc_s[:, 2 * k : 2 * k + 1] = rowsum(gBk * skn)
+                        dbdt = dbdt + float(k) * (
+                            zc_ref[:, 2 * k : 2 * k + 1] * ckn
+                            - zc_ref[:, 2 * k - 1 : 2 * k] * skn
+                        )
+                        ck, sk = ckn, skn
+                    gper = -(1.0 / per_ref[:, 0:1]) * rowsum(
+                        gBk * dbdt * th_s[:]
+                    )
+                    gzc = gzc_s[:]
+                    zmu = _B1 * zcmu_ref[:] + (1.0 - _B1) * gzc
+                    znu = jnp.maximum(_B2 * zcnu_ref[:], jnp.abs(gzc) + _EPS)
+                    zc_ref[:] = zc_ref[:] - (lr_z / bias) * zmu / znu
+                    zcmu_ref[:] = zmu
+                    zcnu_ref[:] = znu
+                    lr_per = _lane(sv, _LR0 + 4)
+                    pmu = _B1 * per_ref[:, 1:2] + (1.0 - _B1) * gper
+                    pnu = jnp.maximum(_B2 * per_ref[:, 2:3], jnp.abs(gper) + _EPS)
+                    per_ref[:, 0:1] = per_ref[:, 0:1] - (lr_per / bias) * pmu / pnu
+                    per_ref[:, 1:2] = pmu
+                    per_ref[:, 2:3] = pnu
+                else:
+                    bmu = _B1 * bmu_ref[:] + (1.0 - _B1) * gB
+                    bnu = jnp.maximum(_B2 * bnu_ref[:], jnp.abs(gB) + _EPS)
+                    b_ref[:] = bv - (lr_z / bias) * bmu / bnu
+                    bmu_ref[:] = bmu
+                    bnu_ref[:] = bnu
 
                 # ---- coefficient row (c + c_trig), group 'coef', with L1
                 crow_v = crow_ref[0:1, :]
@@ -512,13 +631,19 @@ def _make_kernel(
 
 
 @functools.lru_cache(maxsize=8)
-def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret, streamed):
+def _build_call(
+    r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret,
+    streamed, nf=0,
+):
     T = library.num_poly_terms(r, P)
     K = T + 3 * r
+    kp = _round_up(K, 8)
+    fourier = nf > 0
     n_tiles = n_pad // bt
     consts = build_constants(r, P)
     kernel = _make_kernel(
-        r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg, streamed
+        r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg, streamed,
+        nf=nf, kp=kp,
     )
     S = num_steps
 
@@ -570,9 +695,22 @@ def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpr
         pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+    ]
+    if fourier:
+        in_specs += [
+            pl.BlockSpec((kp, LANES), cmap, memory_space=pltpu.VMEM),  # zc0
+            pl.BlockSpec((kp, LANES), cmap, memory_space=pltpu.VMEM),  # zcmu0
+            pl.BlockSpec((kp, LANES), cmap, memory_space=pltpu.VMEM),  # zcnu0
+            pl.BlockSpec((kp, LANES), cmap, memory_space=pltpu.VMEM),  # per0
+            pl.BlockSpec((8, m_pad), cmap, memory_space=pltpu.VMEM),  # trow
+        ]
+    else:
+        in_specs += [
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # b0
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # bmu0
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # bnu0
+        ]
+    in_specs += [
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
     ]
@@ -582,17 +720,17 @@ def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpr
     out_shape = [
         jax.ShapeDtypeStruct((_round_up(num_steps, 8), LANES), jnp.float32),
     ]
-    small_outs = [
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),
+    if fourier:
+        small_outs = [pl.BlockSpec((kp, LANES), cmap, memory_space=pltpu.VMEM)] * 4
+        small_shapes = [jax.ShapeDtypeStruct((kp, LANES), jnp.float32)] * 4
+    else:
+        small_outs = [pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM)] * 3
+        small_shapes = [jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32)] * 3
+    small_outs += [
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
     ]
-    small_shapes = [
-        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
-        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
-        jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+    small_shapes += [
         jax.ShapeDtypeStruct((8, LANES), jnp.float32),
         jax.ShapeDtypeStruct((8, LANES), jnp.float32),
     ]
@@ -606,13 +744,23 @@ def _build_call(r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpr
         pltpu.VMEM((8, LANES), jnp.float32),  # acc rows
         pltpu.VMEM((LANES, LANES), jnp.float32),  # ortho sign matrix
     ]
+    if fourier:
+        scratch += [
+            pltpu.VMEM((LANES, m_pad), jnp.float32),  # bfull (series B)
+            pltpu.VMEM((kp, m_pad), jnp.float32),  # theta
+            pltpu.VMEM((kp, m_pad), jnp.float32),  # cos(theta)
+            pltpu.VMEM((kp, m_pad), jnp.float32),  # sin(theta)
+            pltpu.VMEM((kp, LANES), jnp.float32),  # series-coefficient grads
+        ]
+    n_in = len(in_specs)
     io_aliases = {}
     if streamed:
         in_specs += [state_blk] * 4  # phiin, muin, nuin, dlin
         out_specs += small_outs + [state_out_blk] * 4
         out_shape += small_shapes + [state_shape] * 4
-        # inputs 15..18 (phiin..dlin) alias outputs 6..9 (phiout..dlout)
-        io_aliases = {15: 6, 16: 7, 17: 8, 18: 9}
+        # phiin..dlin alias phiout..dlout (met + small outs precede them)
+        n_small = 1 + len(small_outs)
+        io_aliases = {n_in + i: n_small + i for i in range(4)}
         scratch = [
             pltpu.VMEM((bt, LANES), jnp.float32),  # cur_phi
             pltpu.VMEM((bt, LANES), jnp.float32),  # cur_mu
@@ -701,6 +849,53 @@ def _unpack_b(bfw, T, r, m):
     return z, zt
 
 
+def _pack_series(z, z_trig, T, kp):
+    """Fourier series coefficients: z (T, ncoef) + z_trig (3, r, ncoef) ->
+    (kp, 128), rows in WIDE channel order, lanes = [a0, a1, b1, a2, b2, ...]."""
+    ncoef = z.shape[-1]
+    zt = z_trig.reshape(-1, ncoef)
+    out = jnp.zeros((kp, LANES), jnp.float32)
+    out = out.at[: z.shape[0], :ncoef].set(z.astype(jnp.float32))
+    out = out.at[T : T + zt.shape[0], :ncoef].set(zt.astype(jnp.float32))
+    return out
+
+
+def _unpack_series(fw, T, r, ncoef):
+    z = fw[:T, :ncoef]
+    zt = fw[T : T + 3 * r, :ncoef].reshape(3, r, ncoef)
+    return z, zt
+
+
+def _pack_periods(period, trig_period, mu_p, mu_tp, nu_p, nu_tp, T, kp):
+    """Learnable periods + their Adamax moments: lane 0 = period (1.0 on the
+    padding rows so 1/period stays finite), lane 1 = mu, lane 2 = nu."""
+
+    def col(a, b):
+        v = jnp.concatenate(
+            [a.astype(jnp.float32).reshape(-1), b.astype(jnp.float32).reshape(-1)]
+        )
+        return v
+
+    out = jnp.zeros((kp, LANES), jnp.float32)
+    out = out.at[:, 0].set(1.0)
+    k = T + trig_period.size
+    out = out.at[:k, 0].set(col(period, trig_period))
+    out = out.at[:k, 1].set(col(mu_p, mu_tp))
+    out = out.at[:k, 2].set(col(nu_p, nu_tp))
+    return out
+
+
+def _unpack_periods(fw, T, r):
+    lane0 = fw[:, 0]
+    lane1 = fw[:, 1]
+    lane2 = fw[:, 2]
+
+    def split(v):
+        return v[:T], v[T : T + 3 * r].reshape(3, r)
+
+    return split(lane0), split(lane1), split(lane2)
+
+
 def _pack_wide_row(c, c_trig, T, r):
     row = jnp.zeros((LANES,), jnp.float32)
     row = row.at[:T].set(c.astype(jnp.float32))
@@ -713,14 +908,21 @@ def _unpack_wide_row(row, T, r):
 
 
 def supports(spec, cfg) -> bool:
-    """Whether the mega-kernel can run this configuration: plain DESMO
-    variant with all K terms within one lane register, and the constant
-    tables in bounds (gather rows hold P factor rows + r down-index rows in
-    an (8, 128) block; exponent-weight rows live at mrow rows 8..15). Any
+    """Whether the mega-kernel can run this configuration: DESMO or
+    DESMOFourier variant with all K terms within one lane register, and the
+    constant tables in bounds (gather rows hold P factor rows + r down-index
+    rows in an (8, 128) block; exponent-weight rows live at mrow rows 8..15).
+    The Fourier temporal side additionally needs its 2*nF+1 series
+    coefficients within one lane register (spec must be a FourierSpec). Any
     spatial size works — small cases keep the state resident in VMEM; larger
     ones (aneurysm n=27000) ping-pong the state through HBM
     (``resident_fits`` decides)."""
-    if getattr(cfg, "variant", "desmo") != "desmo":
+    variant = getattr(cfg, "variant", "desmo")
+    if variant == "fourier":
+        nf = getattr(spec, "n_fourier", 0)
+        if not 1 <= nf <= 63:  # ncoef = 2nF+1 lanes; grads use lanes 0..2nF
+            return False
+    elif variant != "desmo":
         return False
     r, P = spec.r, spec.poly_order
     T = library.num_poly_terms(r, P)
@@ -733,7 +935,7 @@ def select_chunk(spec, cfg, bt: int = 512):
 
     ``cfg.chunk_method``: 'scan' always scans; 'megakernel' requires the
     mega-kernel (ValueError if unsupported); 'auto' picks it on TPU for the
-    desmo variant when the loss method resolves to the fused path."""
+    desmo/fourier variants when the loss method resolves to the fused path."""
     method = getattr(cfg, "chunk_method", "auto")
     if method == "scan":
         return None
@@ -745,8 +947,6 @@ def select_chunk(spec, cfg, bt: int = 512):
             )
         return make_fused_train_chunk(spec, cfg, bt)
     if jax.default_backend() != "tpu":
-        return None
-    if getattr(cfg, "variant", "desmo") != "desmo":
         return None
     if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
         return None
@@ -795,11 +995,11 @@ def make_fused_train_chunk(
     """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running the
     ENTIRE chunk inside one pallas_call (the resident mega-kernel).
 
-    Drop-in replacement for ``train.make_train_chunk`` for the plain DESMO
-    variant; ``batch`` must carry ``pod_modes``, pre-split ``x_hi``/``x_lo``
-    (``dual_gemm.split_snapshots``) and ``x_sq``. ``streamed=None``
-    auto-selects: state resident in VMEM when it fits (fastest), otherwise
-    ping-ponged through HBM (scale-free in n).
+    Drop-in replacement for ``train.make_train_chunk`` for the DESMO and
+    DESMOFourier variants; ``batch`` must carry ``pod_modes``, pre-split
+    ``x_hi``/``x_lo`` (``dual_gemm.split_snapshots``) and ``x_sq``.
+    ``streamed=None`` auto-selects: state resident in VMEM when it fits
+    (fastest), otherwise ping-ponged through HBM (scale-free in n).
     """
     from desmo_tpu import optim, train
 
@@ -819,6 +1019,12 @@ def make_fused_train_chunk(
     n, m = spec.n, spec.m
     beta = float(cfg.beta)
     lam = float(cfg.l1_lambda)
+    fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    nf = int(getattr(spec, "n_fourier", 0)) if fourier else 0
+    if fourier and not 1 <= nf <= 63:
+        raise ValueError(f"fourier mega-kernel needs 1 <= n_fourier <= 63, got {nf}")
+    ncoef = 2 * nf + 1
+    kp = _round_up(T + 3 * r, 8)
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def chunk(state, batch, num_steps: int):
@@ -828,7 +1034,7 @@ def make_fused_train_chunk(
             raise ValueError(f"x padding {n_pad} not a multiple of bt={bt}")
         call, consts = _build_call(
             r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg,
-            interpret, streamed,
+            interpret, streamed, nf,
         )
         rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
         pod_fw = _pack_aug(batch["pod_modes"].T, n_pad, lane0=rowmask)
@@ -836,9 +1042,25 @@ def make_fused_train_chunk(
         phi0 = _pack_aug(params["phi"], n_pad, lane0=jnp.ones((n_pad,), jnp.float32))
         mu0 = _pack_aug(opt.mu["phi"], n_pad)
         nu0 = _pack_aug(opt.nu["phi"], n_pad)
-        b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
-        bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
-        bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
+        if fourier:
+            from desmo_tpu.models import fourier as fourier_model
+
+            zc0 = _pack_series(params["z"], params["z_trig"], T, kp)
+            zcmu0 = _pack_series(opt.mu["z"], opt.mu["z_trig"], T, kp)
+            zcnu0 = _pack_series(opt.nu["z"], opt.nu["z_trig"], T, kp)
+            per0 = _pack_periods(
+                params["period"], params["trig_period"],
+                opt.mu["period"], opt.mu["trig_period"],
+                opt.nu["period"], opt.nu["trig_period"], T, kp,
+            )
+            tp = jnp.asarray(fourier_model.t_points(m))
+            trow = jnp.zeros((8, m_pad), jnp.float32)
+            trow = trow.at[0, :m].set(tp)
+            trow = trow.at[1, :m].set(1.0)
+        else:
+            b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
+            bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
+            bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
         crow0 = jnp.stack(
             [
                 _pack_wide_row(params["c"], params["c_trig"], T, r),
@@ -872,29 +1094,39 @@ def make_fused_train_chunk(
             phi0,
             mu0,
             nu0,
-            b0,
-            bmu0,
-            bnu0,
-            crow0,
-            svec0,
         ]
+        if fourier:
+            args += [zc0, zcmu0, zcnu0, per0, trow]
+        else:
+            args += [b0, bmu0, bnu0]
+        args += [crow0, svec0]
         if streamed:
             # ping-pong state arrays (donated into their aliased outputs);
             # parity (s-1)%2 is never read before parity s%2 was written
             zstate = jnp.zeros((2, n_pad, LANES), jnp.float32)
             args += [zstate, zstate, zstate, zstate]
-            (met, bfw, bmufw, bnufw, crow_o, svec_o, phiio, muio, nuio, _dl) = call(*args)
+            (met, *small, phiio, muio, nuio, _dl) = call(*args)
             parity = int(num_steps) % 2  # generation written in the final sweep
             phio, muo, nuo = phiio[parity], muio[parity], nuio[parity]
         else:
-            (met, phio, muo, nuo, bfw, bmufw, bnufw, crow_o, svec_o) = call(*args)
+            (met, phio, muo, nuo, *small) = call(*args)
+        if fourier:
+            zcfw, zcmufw, zcnufw, perfw, crow_o, svec_o = small
+        else:
+            bfw, bmufw, bnufw, crow_o, svec_o = small
 
         phi = _unpack_aug(phio, r, n)
         mu_phi = _unpack_aug(muo, r, n)
         nu_phi = _unpack_aug(nuo, r, n)
-        z, z_trig = _unpack_b(bfw, T, r, m)
-        mz, mzt = _unpack_b(bmufw, T, r, m)
-        nz, nzt = _unpack_b(bnufw, T, r, m)
+        if fourier:
+            z, z_trig = _unpack_series(zcfw, T, r, ncoef)
+            mz, mzt = _unpack_series(zcmufw, T, r, ncoef)
+            nz, nzt = _unpack_series(zcnufw, T, r, ncoef)
+            (per, tper), (mper, mtper), (nper, ntper) = _unpack_periods(perfw, T, r)
+        else:
+            z, z_trig = _unpack_b(bfw, T, r, m)
+            mz, mzt = _unpack_b(bmufw, T, r, m)
+            nz, nzt = _unpack_b(bnufw, T, r, m)
         c, c_trig = _unpack_wide_row(crow_o[0], T, r)
         mc, mct = _unpack_wide_row(crow_o[1], T, r)
         nc, nct = _unpack_wide_row(crow_o[2], T, r)
@@ -914,6 +1146,10 @@ def make_fused_train_chunk(
             "phi": nu_phi, "c": nc, "z": nz, "z_trig": nzt,
             "c_trig": nct, "omega": nomega,
         }
+        if fourier:
+            new_params.update(period=per, trig_period=tper)
+            new_mu.update(period=mper, trig_period=mtper)
+            new_nu.update(period=nper, trig_period=ntper)
         nlr = sched.lrs.shape[0]
         new_sched = optim.PlateauState(
             lrs=svec_o[0, _LR0 : _LR0 + nlr],

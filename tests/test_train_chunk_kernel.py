@@ -173,6 +173,116 @@ def test_streamed_state_variant_matches_resident():
         )
 
 
+def fourier_problem(n=96, m=40, r=2, P=2, nf=3, patience=300, sched_every=1):
+    from desmo_tpu.models import fourier
+
+    cfg = configs.RunConfig(
+        name="mkf",
+        variant="fourier",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=P,
+        omega_init=1.0,
+        lr_omega=1.0,
+        n_fourier=nf,
+        period_init=float(m),
+        num_epochs=40,
+        patience=patience,
+        sched_every=sched_every,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, r)
+    spec = fourier.FourierSpec(n, m, r, P, 1.0, nf, cfg.period_init)
+    params = fourier.init_params(spec)
+    batch = train_chunk.prepare_batch(x, p.modes, bt=32)
+    return cfg, spec, params, batch
+
+
+def run_both_fourier(cfg, spec, params, batch, steps):
+    from desmo_tpu.models import fourier
+
+    loss_fn = fourier.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    ref_chunk = train.make_train_chunk(loss_fn, fourier.param_groups(params), cfg)
+    s_ref = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=steps)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, m_k = fused(s_k, batch, num_steps=steps)
+    return (s_ref, {k: np.asarray(v) for k, v in m_ref.items()}), (
+        s_k,
+        {k: np.asarray(v) for k, v in m_k.items()},
+    )
+
+
+def test_fourier_metrics_trace_matches_reference_chunk():
+    cfg, spec, params, batch = fourier_problem()
+    (s_ref, m_ref), (s_k, m_k) = run_both_fourier(cfg, spec, params, batch, steps=30)
+    for key in ("rec", "ortho", "l1", "total"):
+        np.testing.assert_allclose(m_k[key], m_ref[key], rtol=2e-4, atol=1e-6, err_msg=key)
+
+
+def test_fourier_final_state_matches_reference_chunk():
+    cfg, spec, params, batch = fourier_problem()
+    (s_ref, _), (s_k, _) = run_both_fourier(cfg, spec, params, batch, steps=30)
+    assert set(s_k.params) == set(s_ref.params)  # incl. period/trig_period
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]),
+            np.asarray(s_ref.params[key]),
+            rtol=5e-3,
+            atol=2e-4,
+            err_msg=key,
+        )
+    for key in s_ref.opt.mu:
+        np.testing.assert_allclose(
+            np.asarray(s_k.opt.mu[key]),
+            np.asarray(s_ref.opt.mu[key]),
+            rtol=5e-2,
+            atol=2e-4,
+            err_msg=f"mu.{key}",
+        )
+    assert int(s_k.opt.count) == int(s_ref.opt.count) == 30
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+
+
+def test_fourier_aneurysm_shape_regime():
+    """The fourier_aneurysm coefficient regime (nF=30, ncoef=61) on small n/m.
+
+    The kernel builds harmonics by recurrence from cos/sin(theta) while the
+    scanned path evaluates cos(k*theta) directly — both fp32-faithful, so the
+    first step matches tightly and the trajectories drift apart only through
+    training dynamics (all-ones series coefficients make |B| ~ 61 here)."""
+    cfg, spec, params, batch = fourier_problem(n=64, m=24, nf=30)
+    (s_ref, m_ref), (s_k, m_k) = run_both_fourier(cfg, spec, params, batch, steps=10)
+    np.testing.assert_allclose(m_k["total"][0], m_ref["total"][0], rtol=1e-6)
+    np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=2e-3, atol=1e-6)
+
+
+def test_fourier_resume_from_mid_chunk_state():
+    cfg, spec, params, batch = fourier_problem()
+    (s_ref, _), _ = run_both_fourier(cfg, spec, params, batch, steps=30)
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, _ = fused(s_k, batch, num_steps=15)
+    s_k, _ = fused(s_k, batch, num_steps=15)
+    assert int(s_k.epoch) == 30
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]),
+            np.asarray(s_ref.params[key]),
+            rtol=5e-3,
+            atol=5e-4,
+            err_msg=key,
+        )
+
+
 def test_supports_and_mode_selection():
     cfg, spec, params, batch = problem()
     assert train_chunk.supports(spec, cfg)
@@ -185,9 +295,27 @@ def test_supports_and_mode_selection():
     aspec = dm.DesmoSpec(acfg.n, acfg.m, acfg.r, acfg.poly_order, acfg.omega_init)
     assert train_chunk.supports(aspec, acfg)
     assert not train_chunk.resident_fits(aspec, acfg)
-    # non-desmo variants are not supported at all
+    # fourier is supported when the spec carries the series hyper-structure
     fcfg = configs.get("fourier_cylinder")
-    assert not train_chunk.supports(aspec, fcfg)
+    assert not train_chunk.supports(aspec, fcfg)  # DesmoSpec: no n_fourier
+    from desmo_tpu.models import fourier as fm
+
+    fspec = fm.FourierSpec(
+        fcfg.n, fcfg.m, fcfg.r, fcfg.poly_order, fcfg.omega_init,
+        fcfg.n_fourier, fcfg.period_init,
+    )
+    assert train_chunk.supports(fspec, fcfg)
+    facfg = configs.get("fourier_aneurysm")
+    faspec = fm.FourierSpec(
+        facfg.n, facfg.m, facfg.r, facfg.poly_order, facfg.omega_init,
+        facfg.n_fourier, facfg.period_init,
+    )
+    assert train_chunk.supports(faspec, facfg)
+    assert not train_chunk.resident_fits(faspec, facfg)  # streamed at 27000
+    # ae stays unsupported
+    import dataclasses as _dc
+
+    assert not train_chunk.supports(spec, _dc.replace(cfg, variant="ae"))
 
 
 def test_select_chunk_policy():
