@@ -65,22 +65,26 @@ def test_metrics_trace_matches_reference_chunk():
 
 
 def test_final_state_matches_reference_chunk():
+    """Measured per-param deviation after 30 steps (2026-08-16, this exact
+    problem): max rel 1.9e-5 (omega), all others <= 2.5e-6; trace 2.0e-5.
+    Bounds are ~20x the measured values so genuine precision regressions in
+    the in-kernel contractions cannot hide inside them."""
     cfg, spec, params, batch = problem()
     (s_ref, _), (s_k, _) = run_both(cfg, spec, params, batch, steps=30)
     for key in s_ref.params:
         np.testing.assert_allclose(
             np.asarray(s_k.params[key]),
             np.asarray(s_ref.params[key]),
-            rtol=5e-3,
-            atol=2e-4,
+            rtol=5e-4,
+            atol=1e-5,
             err_msg=key,
         )
     for key in s_ref.opt.mu:
         np.testing.assert_allclose(
             np.asarray(s_k.opt.mu[key]),
             np.asarray(s_ref.opt.mu[key]),
-            rtol=5e-2,
-            atol=2e-4,
+            rtol=5e-3,
+            atol=1e-5,
             err_msg=f"mu.{key}",
         )
     assert int(s_k.opt.count) == int(s_ref.opt.count) == 30
@@ -120,8 +124,8 @@ def test_resume_from_mid_chunk_state():
         np.testing.assert_allclose(
             np.asarray(s_k.params[key]),
             np.asarray(s_ref.params[key]),
-            rtol=5e-3,
-            atol=5e-4,
+            rtol=5e-4,
+            atol=1e-5,
             err_msg=key,
         )
 
@@ -134,22 +138,18 @@ def test_r4_poly3_shape_regime():
 
 
 def test_streamed_state_variant_matches_resident():
-    """The streamed-state mode (state ping-ponged through aliased HBM arrays,
-    for spatial sizes whose full-width state exceeds VMEM) must reproduce the
+    """The streamed-state mode (state ping-ponged through HBM arrays, for
+    spatial sizes whose full-width state exceeds VMEM) must reproduce the
     resident mode exactly — same kernel math, different state transport.
 
-    Interpret mode snapshots aliased inputs (no in-place HBM semantics), so
-    the exact comparison runs on real TPU only; on CPU we assert the clear
-    refusal. TPU evidence (2026-08-16, n=1024/m=200/21 steps, odd parity):
-    rec trace and final params BIT-EXACT vs the resident mode (max |dev| 0.0).
+    On CPU this runs the interpret-safe 'emul' transport: identical kernel
+    math and _parity_in/_parity_out arithmetic, with both parities carried in
+    the output block instead of glued by input_output_aliases (which
+    interpret mode cannot honor). On TPU it runs the real aliased transport.
+    Measured: BIT-EXACT both ways (TPU 2026-08-16, n=1024/m=200/21 steps, odd
+    parity: max |dev| 0.0; CPU emul: exact in CI below).
     """
     cfg, spec, params, batch = problem()
-    if jax.default_backend() != "tpu":
-        with pytest.raises(NotImplementedError, match="streamed-state"):
-            train_chunk.make_fused_train_chunk(
-                spec, cfg, bt=32, interpret=True, streamed=True
-            )
-        return
     res = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=False)
     stf = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=True)
     s_r = jax.tree.map(jnp.array, train.init_state(params, cfg))
@@ -234,16 +234,16 @@ def test_fourier_final_state_matches_reference_chunk():
         np.testing.assert_allclose(
             np.asarray(s_k.params[key]),
             np.asarray(s_ref.params[key]),
-            rtol=5e-3,
-            atol=2e-4,
+            rtol=5e-4,
+            atol=1e-5,
             err_msg=key,
         )
     for key in s_ref.opt.mu:
         np.testing.assert_allclose(
             np.asarray(s_k.opt.mu[key]),
             np.asarray(s_ref.opt.mu[key]),
-            rtol=5e-2,
-            atol=2e-4,
+            rtol=5e-3,
+            atol=1e-5,
             err_msg=f"mu.{key}",
         )
     assert int(s_k.opt.count) == int(s_ref.opt.count) == 30
@@ -277,9 +277,26 @@ def test_fourier_resume_from_mid_chunk_state():
         np.testing.assert_allclose(
             np.asarray(s_k.params[key]),
             np.asarray(s_ref.params[key]),
-            rtol=5e-3,
-            atol=5e-4,
+            rtol=5e-4,
+            atol=1e-5,
             err_msg=key,
+        )
+
+
+def test_fourier_streamed_matches_resident():
+    """Streamed transport x fourier temporal side (the fourier_aneurysm
+    combination): bit-exact vs the resident fourier kernel."""
+    cfg, spec, params, batch = fourier_problem()
+    res = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=False)
+    stf = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=True)
+    s_r = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_s = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_r, m_r = res(s_r, batch, num_steps=11)
+    s_s, m_s = stf(s_s, batch, num_steps=11)
+    np.testing.assert_array_equal(np.asarray(m_s["total"]), np.asarray(m_r["total"]))
+    for key in s_r.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.params[key]), np.asarray(s_r.params[key]), err_msg=key
         )
 
 
