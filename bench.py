@@ -5,8 +5,8 @@ Primary metric = the cylinder_flow preset (n=3961, m=1001, r=4, P=3, full
 batch) against the reference PyTorch run's ~28 steps/s on 1 GPU (BASELINE.md
 "cylinder_flow: optimizer steps/sec", derived from checkpoint timestamps in
 DESMO/cylinder_flow/DESMO.out). Extras: dispersion of the median (the chip is
-time-shared; see CLAUDE.md) and an aneurysm-scale entry (n=27000, m=1000,
-r=4, P=2; baseline ~3.5 steps/s from DESMO/aneurysm/DESMO.out stamps).
+time-shared; see CLAUDE.md) and ALL other presets — aneurysm/channel/
+fourier_*/ae — each with its own reference baseline from the shipped logs.
 """
 
 import json
@@ -14,8 +14,17 @@ import time
 
 import numpy as np
 
-BASELINE_CYLINDER = 28.0
-BASELINE_ANEURYSM = 3.5
+# Reference steps/s per preset, from checkpoint timestamps in the shipped
+# training logs (BASELINE.md). The AE script's log is not shipped -> no
+# baseline; its ratio is reported as null.
+BASELINES = {
+    "cylinder": 28.0,
+    "aneurysm": 3.5,
+    "channel": 5.2,
+    "fourier_cylinder": 18.0,
+    "fourier_aneurysm": 3.2,
+    "ae_cylinder": None,
+}
 
 
 def bench_preset(preset: str, steps: int, reps: int):
@@ -28,34 +37,33 @@ def bench_preset(preset: str, steps: int, reps: int):
     import jax
     import jax.numpy as jnp
 
-    from desmo_tpu import configs, pod, train
+    from desmo_tpu import configs, pod, runner, train
     from desmo_tpu.io import synthetic
-    from desmo_tpu.models import desmo
 
     cfg = configs.get(preset)
-    spec = desmo.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+    spec, params, loss_fn, groups = runner.build_model(cfg)
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
-    p = pod.pod(x, cfg.r)
-    params = desmo.init_params(spec)
-    on_tpu = jax.default_backend() == "tpu"
-    loss_fn = desmo.build_loss(
-        spec, cfg.beta, cfg.l1_lambda, method="fused" if on_tpu else "factored"
-    )
     xd = jnp.asarray(x)
-    batch = {"x": xd, "pod_modes": p.modes, "x_sq": jnp.sum(xd * xd)}
-    if on_tpu:
-        from desmo_tpu.pallas import split_snapshots
-
-        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if cfg.variant != "ae":
+        batch["pod_modes"] = pod.pod(x, cfg.r).modes
 
     from desmo_tpu.pallas import train_chunk as tc
 
-    # resident/streamed mega-kernel where supported, scanned chunk otherwise
+    # resident/streamed mega-kernel where supported, scanned chunk otherwise —
+    # the same selection policy as runner.run
     train_chunk = tc.select_chunk(spec, cfg)
+    method = runner.resolve_loss_method(cfg)
+    if train_chunk is not None or (method == "fused" and cfg.variant == "desmo"):
+        from desmo_tpu.pallas import split_snapshots
+
+        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+    elif method == "fused":
+        from desmo_tpu.pallas import pad_snapshots
+
+        batch["x_padded"] = pad_snapshots(xd)
     if train_chunk is None:
-        train_chunk = train.make_train_chunk(
-            loss_fn, desmo.param_groups(params), cfg, unroll=cfg.scan_unroll
-        )
+        train_chunk = train.make_train_chunk(loss_fn, groups, cfg, unroll=cfg.scan_unroll)
     state = jax.tree.map(jnp.array, train.init_state(params, cfg))
 
     # warmup with the SAME static chunk size (compile)
@@ -75,26 +83,38 @@ def bench_preset(preset: str, steps: int, reps: int):
 
 
 def main() -> None:
-    cyl = bench_preset("cylinder", steps=2000, reps=7)
-    anr = bench_preset("aneurysm", steps=500, reps=5)
-    print(
-        json.dumps(
-            {
-                "metric": "cylinder_flow full-batch optimizer steps/sec (n=3961, m=1001, r=4, P=3)",
-                "value": cyl["median"],
-                "unit": "steps/s",
-                "vs_baseline": round(cyl["median"] / BASELINE_CYLINDER, 2),
-                "spread": cyl,
-                "aneurysm": {
-                    "metric": "aneurysm full-batch optimizer steps/sec (n=27000, m=1000, r=4, P=2)",
-                    "value": anr["median"],
-                    "unit": "steps/s",
-                    "vs_baseline": round(anr["median"] / BASELINE_ANEURYSM, 2),
-                    "spread": anr,
-                },
-            }
-        )
-    )
+    plans = {
+        "cylinder": (2000, 7),
+        "aneurysm": (500, 5),
+        "channel": (800, 5),
+        "fourier_cylinder": (2000, 5),
+        "fourier_aneurysm": (500, 5),
+        "ae_cylinder": (500, 5),
+    }
+    results = {}
+    for preset, (steps, reps) in plans.items():
+        results[preset] = bench_preset(preset, steps=steps, reps=reps)
+
+    def entry(preset, label):
+        base = BASELINES[preset]
+        med = results[preset]["median"]
+        return {
+            "metric": label,
+            "value": med,
+            "unit": "steps/s",
+            "vs_baseline": round(med / base, 2) if base else None,
+            "spread": results[preset],
+        }
+
+    out = entry("cylinder", "cylinder_flow full-batch optimizer steps/sec (n=3961, m=1001, r=4, P=3)")
+    out["presets"] = {
+        "aneurysm": entry("aneurysm", "aneurysm steps/sec (n=27000, m=1000, r=4, P=2)"),
+        "channel": entry("channel", "turbulent_channel steps/sec (n=16384, m=1000, r=4, P=2)"),
+        "fourier_cylinder": entry("fourier_cylinder", "Fourier cylinder steps/sec (r=2, P=2, nF=10)"),
+        "fourier_aneurysm": entry("fourier_aneurysm", "Fourier aneurysm steps/sec (r=2, P=2, nF=30)"),
+        "ae_cylinder": entry("ae_cylinder", "AE cylinder steps/sec (r=2, P=2; no reference log)"),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

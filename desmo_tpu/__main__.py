@@ -31,6 +31,16 @@ def cmd_presets(_args) -> int:
 
 
 def cmd_run(args) -> int:
+    if args.platform or args.cpu_devices:
+        # must land before the first backend touch (the axon TPU plugin
+        # ignores JAX_PLATFORMS/XLA_FLAGS env vars — see CLAUDE.md)
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+
     from desmo_tpu import configs, runner
 
     cfg = configs.get(args.preset)
@@ -39,6 +49,19 @@ def cmd_run(args) -> int:
         overrides["num_epochs"] = args.epochs
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
+    device_mesh = None
+    if args.mesh:
+        from desmo_tpu.parallel import make_mesh
+
+        axes = {"space": None, "time": 1}
+        for part in args.mesh.split(","):
+            name, _, val = part.partition("=")
+            if name not in axes or not val.isdigit():
+                raise SystemExit(
+                    f"--mesh expects 'space=<d>[,time=<d>]', got {args.mesh!r}"
+                )
+            axes[name] = int(val)
+        device_mesh = make_mesh(n_space=axes["space"], n_time=axes["time"])
     x, mesh = runner.load_data(
         cfg,
         data_dir=args.data_dir,
@@ -59,6 +82,7 @@ def cmd_run(args) -> int:
         make_figures=not args.no_figures,
         mesh=mesh,
         resume_from=args.resume,
+        device_mesh=device_mesh,
     )
     summary = {
         "preset": cfg.name,
@@ -165,6 +189,17 @@ def main(argv=None) -> int:
     p_run.add_argument("--out-dir", default="./runs")
     p_run.add_argument("--resume", default=None, help="state_*.npz checkpoint to resume")
     p_run.add_argument("--no-figures", action="store_true")
+    p_run.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="distribute training over a device mesh, e.g. 'space=4,time=2' "
+        "(desmo variants run the sharded mega-kernel; others the sharding-"
+        "aware scanned chunk)",
+    )
+    p_run.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
+    p_run.add_argument(
+        "--cpu-devices", type=int, default=None,
+        help="number of virtual CPU devices (for mesh runs without TPUs)",
+    )
 
     sub.add_parser("bench", help="run the throughput benchmark")
 

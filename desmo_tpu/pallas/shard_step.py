@@ -1,0 +1,404 @@
+"""Space-sharded mega-kernel training chunk: the fused tile kernel under
+``shard_map``, one optimizer step per kernel launch.
+
+The resident/streamed mega-kernel (``train_chunk``) runs a whole chunk in one
+``pallas_call`` — single-chip by construction, since the temporal (B) update
+needs the Gram/cross reductions of ALL spatial rows every step. This module
+provides the multi-chip form of the same math (SURVEY §5.7 — new capability,
+the reference is strictly single-GPU):
+
+* each device owns ``n/d`` row-tiles of x_hi/x_lo/pod/phi and runs ONE
+  Pallas "megastep" kernel per optimizer step — exactly the mega-kernel's
+  per-tile forward/gradient math (lane gathers, 3-pass hi/lo contractions),
+  accumulating its local partials (ax, ga, auga, acc);
+* the (K, m) / (K, K) / (8, 128) partials are ``psum``'d over the ``'space'``
+  mesh axis — small, riding ICI;
+* the replicated temporal/coefficient/omega/scheduler updates and the
+  row-local phi Adamax update run as plain fused XLA ops between launches,
+  with the same hi/lo bf16 split arithmetic as the kernel.
+
+Semantics match the single-chip mega-kernel step-for-step: the kernel's
+"delayed" phi sweep (applied at the next visit of each tile) is equivalent to
+updating phi at the END of each step — nothing reads phi in between — which
+is what this module does, so no terminal sweep is needed.
+
+Per-step cost = one pallas launch (~45 us) + one psum + 1/d of the compute,
+so sharding pays off at aneurysm scale (n=27000), not on the small cylinder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from desmo_tpu import library
+from desmo_tpu.pallas.train_chunk import (
+    LANES,
+    _AXD,
+    _B1,
+    _B2,
+    _EPS,
+    _STD,
+    _XBD,
+    _d,
+    _dot2,
+    _dot3,
+    _pack_aug,
+    _pack_b,
+    _pack_wide_row,
+    _round_up,
+    _split,
+    _unpack_aug,
+    _unpack_b,
+    _unpack_wide_row,
+    build_constants,
+    supports,
+)
+
+
+def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
+    """One optimizer step's forward + gradient partials over the LOCAL tiles.
+
+    Mirrors the mega-kernel's tile block (train_chunk._make_kernel): same
+    gathers, same 3-pass hi/lo contractions, same dl assembly. Outputs are
+    the local dl rows plus the (ax, ga, auga, acc) partial reductions this
+    device contributes."""
+    nm = float(n * m)
+
+    def kernel(
+        sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+        phi_ref, bhs_ref, bls_ref, gb_ref, crow_ref,
+        dl_ref, ax_ref, ga_ref, auga_ref, acc_ref,
+    ):
+        t = pl.program_id(0)
+
+        def SEL(i):
+            return sel_ref[i * LANES : (i + 1) * LANES, :]
+
+        polymask = mrow_ref[0:1, :]
+        trigmask = mrow_ref[1:2, :]
+        msin = mrow_ref[2:3, :]
+        mcos = mrow_ref[3:4, :]
+        mtanh = mrow_ref[4:5, :]
+
+        def gather(x, row):
+            idx = jnp.broadcast_to(gidx_ref[row : row + 1, :], x.shape)
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        @pl.when(t == 0)
+        def _():
+            ax_ref[:] = jnp.zeros_like(ax_ref)
+            ga_ref[:] = jnp.zeros_like(ga_ref)
+            auga_ref[:] = jnp.zeros_like(auga_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        crow = crow_ref[0:1, :]
+        omrow = crow_ref[3:4, :]
+        xh = xhi_ref[:]
+        xl = xlo_ref[:]
+        xb = _d(xh, bhs_ref[:], _XBD) + _d(xh, bls_ref[:], _XBD) + _d(xl, bhs_ref[:], _XBD)
+        pod = pod_ref[:]
+        aug = pod * phi_ref[:]
+        ah, al = _split(aug)
+
+        prod = gather(aug, 0)
+        for p in range(1, P_):
+            prod = prod * gather(aug, p)
+        theta = prod * polymask
+        args = prod * (omrow * trigmask)
+        Sn = jnp.sin(args)
+        Cs = jnp.cos(args)
+        Th = jnp.tanh(args)
+        maskb = aug[:, 0:1]
+        basis = (Sn * msin + Cs * mcos + Th * mtanh) * maskb
+        D = theta + basis
+        A = D * crow
+        Ah, Al = _split(A)
+
+        m_pad = xh.shape[1]
+        rhs_h = jnp.concatenate([xh, Ah], axis=1)
+        rhs_l = jnp.concatenate([xl, Al], axis=1)
+        axga = _d(Ah, rhs_h, _AXD) + _d(Ah, rhs_l, _AXD) + _d(Al, rhs_h, _AXD)
+        ax_ref[:] = ax_ref[:] + axga[:, :m_pad]
+        ga_ref[:] = ga_ref[:] + axga[:, m_pad:]
+        auga_ref[:] = auga_ref[:] + (
+            _d(ah, ah, _AXD) + _d(ah, al, _AXD) + _d(al, ah, _AXD)
+        )
+        dA = (2.0 / nm) * (_dot3(A, gb_ref[:], _STD) - xb)
+        dD = dA * crow
+        dtheta = dD * polymask
+        deriv = Cs * msin - Sn * mcos + (1.0 - Th * Th) * mtanh
+        darg = dD * trigmask * deriv
+
+        acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(dA * D, axis=0, keepdims=True)
+        latrep = prod * trigmask
+        acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
+
+        dl = _dot2(darg * omrow, SEL(0))
+        tdall = jnp.concatenate(
+            [gather(theta, P_ + i) * mrow_ref[8 + i : 9 + i, :] for i in range(r)],
+            axis=1,
+        )
+        dth_tiled = jnp.concatenate([dtheta] * r, axis=1)
+        dl_ref[:] = dl + _dot2(dth_tiled * tdall, onecat_ref[:])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret):
+    T = library.num_poly_terms(r, P_)
+    n_tiles = n_loc // bt
+    consts = build_constants(r, P_)
+    kernel = _make_step_kernel(r, P_, T, n, m, n_tiles, bt)
+
+    def tmap(t):
+        return (t, 0)
+
+    def cmap(t):
+        return (0, 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM),  # pod
+            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),  # x hi
+            pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),  # x lo
+            pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM),  # phi
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # b hi
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # b lo
+            pl.BlockSpec((LANES, LANES), cmap, memory_space=pltpu.VMEM),  # gb
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),  # crow
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM),  # dl
+            pl.BlockSpec((LANES, m_pad), cmap, memory_space=pltpu.VMEM),  # ax
+            pl.BlockSpec((LANES, LANES), cmap, memory_space=pltpu.VMEM),  # ga
+            pl.BlockSpec((LANES, LANES), cmap, memory_space=pltpu.VMEM),  # auga
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),  # acc
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_loc, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
+        ),
+        interpret=interpret,
+    )
+    return call, consts
+
+
+def supports_sharded(spec, cfg) -> bool:
+    """The sharded chunk covers the plain DESMO variant (the configuration
+    spatial sharding exists for — aneurysm-scale row counts)."""
+    return getattr(cfg, "variant", "desmo") == "desmo" and supports(spec, cfg)
+
+
+def make_sharded_fused_chunk(
+    spec, cfg, mesh, bt: int = 512, interpret: Optional[bool] = None,
+):
+    """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running
+    each step as one per-device Pallas megastep + a 'space' psum.
+
+    Same contract as ``train.make_train_chunk`` / the single-chip mega-kernel.
+    ``batch`` must come from ``prepare_batch(x, pod, bt, n_mult=bt*d)`` so
+    every device owns whole (bt, m_pad) tiles. Parameters: phi and its Adamax
+    moments stay row-sharded over 'space' for the entire chunk; B/coef/omega/
+    scheduler state is replicated (identical update computed on every device
+    from the psummed reductions).
+    """
+    if not supports_sharded(spec, cfg):
+        raise ValueError(f"sharded mega-kernel does not support preset {cfg.name!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape["space"]
+    r, P_ = spec.r, spec.poly_order
+    T = spec.num_poly_terms
+    n, m = spec.n, spec.m
+    beta = float(cfg.beta)
+    lam = float(cfg.l1_lambda)
+    b1, b2, eps = _B1, _B2, _EPS
+
+    from desmo_tpu import optim, train
+
+    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    def chunk(state, batch, num_steps: int):
+        x_hi, x_lo = batch["x_hi"], batch["x_lo"]
+        n_pad, m_pad = x_hi.shape
+        if n_pad % (bt * d):
+            raise ValueError(
+                f"x padding {n_pad} not a multiple of bt*d={bt * d}; build the "
+                "batch with prepare_batch(..., n_mult=bt*n_space)"
+            )
+        call, consts = _build_step_call(r, P_, n, m, n_pad // d, m_pad, bt, interpret)
+        x_sq = batch["x_sq"]
+        rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        pod_fw = _pack_aug(batch["pod_modes"].T, n_pad, lane0=rowmask)
+        params, opt, sched0 = state.params, state.opt, state.sched
+        phi0 = _pack_aug(params["phi"], n_pad, lane0=jnp.ones((n_pad,), jnp.float32))
+        mu0 = _pack_aug(opt.mu["phi"], n_pad)
+        nu0 = _pack_aug(opt.nu["phi"], n_pad)
+        b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
+        bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
+        bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
+        crow0 = jnp.stack(
+            [
+                _pack_wide_row(params["c"], params["c_trig"], T, r),
+                _pack_wide_row(opt.mu["c"], opt.mu["c_trig"], T, r),
+                _pack_wide_row(opt.nu["c"], opt.nu["c_trig"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), params["omega"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), opt.mu["omega"], T, r),
+                _pack_wide_row(jnp.zeros((T,)), opt.nu["omega"], T, r),
+            ]
+        )
+        sel = jnp.asarray(consts.sel)
+        onecat = jnp.asarray(consts.onecat)
+        gidx = jnp.asarray(consts.gidx)
+        mrow = jnp.asarray(consts.mrow)
+        offdiag = sel[LANES : 2 * LANES, :].astype(jnp.float32)
+        lane = np.arange(LANES)
+        coefmask = jnp.asarray(
+            ((lane < T) | ((lane >= T) & (lane < T + 3 * r))).astype(np.float32)
+        )[None, :]
+
+        def body(
+            xhi, xlo, pod, phi, mu, nu, b, bmu, bnu, crow,
+            lrs0, best0, num_bad0, count0, epoch0, x_sq,
+        ):
+            sched = optim.PlateauState(lrs=lrs0, best=best0, num_bad=num_bad0)
+
+            def step(carry, _):
+                phi, mu, nu, b, bmu, bnu, crow, count, sched, epoch = carry
+                bh, bl = _split(b)
+                gb = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
+                dl, ax, ga, auga, acc = call(
+                    sel, onecat, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb,
+                    crow,
+                )
+                ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
+
+                rec = (jnp.sum(ga * gb) - 2.0 * jnp.sum(ax * b) + x_sq) / (n * m)
+                orthov = 0.5 * jnp.sum(jnp.abs(auga * offdiag))
+                l1v = jnp.sum(jnp.abs(crow[0:1, :]) * coefmask)
+                total = rec + beta * orthov + lam * l1v
+                sign = jnp.sign(auga) * offdiag
+
+                count = count + 1
+                bias = 1.0 - b1 ** count.astype(jnp.float32)
+                lr_coef, lr_phi, lr_z, lr_om = (
+                    sched.lrs[0], sched.lrs[1], sched.lrs[2], sched.lrs[3],
+                )
+
+                gB = (2.0 / (n * m)) * (_dot3(ga, b, _STD) - ax)
+                bmu_n = b1 * bmu + (1.0 - b1) * gB
+                bnu_n = jnp.maximum(b2 * bnu, jnp.abs(gB) + eps)
+                b_n = b - (lr_z / bias) * bmu_n / bnu_n
+
+                gC = acc[0:1, :] + lam * jnp.sign(crow[0:1, :]) * coefmask
+                cmu = b1 * crow[1:2, :] + (1.0 - b1) * gC
+                cnu = jnp.maximum(b2 * crow[2:3, :], jnp.abs(gC) + eps)
+                c_n = crow[0:1, :] - (lr_coef / bias) * cmu / cnu
+                gO = acc[1:2, :]
+                omu = b1 * crow[4:5, :] + (1.0 - b1) * gO
+                onu = jnp.maximum(b2 * crow[5:6, :], jnp.abs(gO) + eps)
+                om_n = crow[3:4, :] - (lr_om / bias) * omu / onu
+                crow_n = jnp.concatenate([c_n, cmu, cnu, om_n, omu, onu], axis=0)
+
+                # row-local phi update from THIS step's grads (equivalent to
+                # the mega-kernel's delayed next-visit sweep: nothing reads
+                # phi in between)
+                aug_old = pod * phi
+                dlo = _dot2(aug_old, sign.astype(jnp.bfloat16))
+                g = (dl + beta * dlo) * pod
+                mu_n = b1 * mu + (1.0 - b1) * g
+                nu_n = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
+                phi_n = phi - (lr_phi / bias) * mu_n / nu_n
+
+                sched_n = train._sched_update(sched, total, epoch, cfg)
+                mets = jnp.stack([rec, orthov, l1v, total])
+                return (
+                    phi_n, mu_n, nu_n, b_n, bmu_n, bnu_n, crow_n, count,
+                    sched_n, epoch + 1,
+                ), mets
+
+            carry = (phi, mu, nu, b, bmu, bnu, crow, count0, sched, epoch0)
+            (phi, mu, nu, b, bmu, bnu, crow, count, sched, epoch), mets = jax.lax.scan(
+                step, carry, None, length=num_steps
+            )
+            return phi, mu, nu, b, bmu, bnu, crow, sched.lrs, sched.best, sched.num_bad, count, epoch, mets
+
+        shmap = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("space", None), P("space", None), P("space", None),
+                P("space", None), P("space", None), P("space", None),
+                P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(
+                P("space", None), P("space", None), P("space", None),
+                P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+            ),
+            check_vma=False,
+        )
+        (phio, muo, nuo, bfw, bmufw, bnufw, crow_o, lrs, best, num_bad,
+         count, epoch, mets) = shmap(
+            x_hi, x_lo, pod_fw, phi0, mu0, nu0, b0, bmu0, bnu0, crow0,
+            sched0.lrs, sched0.best, sched0.num_bad, opt.count, state.epoch,
+            x_sq,
+        )
+
+        z, z_trig = _unpack_b(bfw, T, r, m)
+        mz, mzt = _unpack_b(bmufw, T, r, m)
+        nz, nzt = _unpack_b(bnufw, T, r, m)
+        c, c_trig = _unpack_wide_row(crow_o[0], T, r)
+        mc, mct = _unpack_wide_row(crow_o[1], T, r)
+        nc, nct = _unpack_wide_row(crow_o[2], T, r)
+        _, omega = _unpack_wide_row(crow_o[3], T, r)
+        _, momega = _unpack_wide_row(crow_o[4], T, r)
+        _, nomega = _unpack_wide_row(crow_o[5], T, r)
+        new_params = {
+            "phi": _unpack_aug(phio, r, n), "c": c, "z": z, "z_trig": z_trig,
+            "c_trig": c_trig, "omega": omega,
+        }
+        new_mu = {
+            "phi": _unpack_aug(muo, r, n), "c": mc, "z": mz, "z_trig": mzt,
+            "c_trig": mct, "omega": momega,
+        }
+        new_nu = {
+            "phi": _unpack_aug(nuo, r, n), "c": nc, "z": nz, "z_trig": nzt,
+            "c_trig": nct, "omega": nomega,
+        }
+        new_state = train.TrainState(
+            params={k: new_params[k] for k in state.params},
+            opt=optim.AdamaxState(
+                count=count,
+                mu={k: new_mu[k] for k in state.params},
+                nu={k: new_nu[k] for k in state.params},
+            ),
+            sched=optim.PlateauState(lrs=lrs, best=best, num_bad=num_bad),
+            epoch=epoch,
+        )
+        metrics = {
+            "rec": mets[:, 0], "ortho": mets[:, 1],
+            "l1": mets[:, 2], "total": mets[:, 3],
+        }
+        return new_state, metrics
+
+    return chunk

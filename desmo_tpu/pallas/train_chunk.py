@@ -986,12 +986,14 @@ def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> boo
     return state + init_streams + b_state + x_stream + 2.0 < vmem_budget_mb
 
 
-def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES):
+def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES, n_mult: int | None = None):
     """Pad + hi/lo-split X once, outside the chunk, to (bt, bm) multiples;
-    returns the batch dict the mega-kernel consumes."""
+    returns the batch dict the mega-kernel consumes. ``n_mult`` overrides the
+    row-padding multiple (the sharded chunk needs bt * n_space so every
+    device owns whole tiles)."""
     x = jnp.asarray(x, jnp.float32)
     n, m = x.shape
-    xp = jnp.pad(x, ((0, _round_up(n, bt) - n), (0, _round_up(m, bm) - m)))
+    xp = jnp.pad(x, ((0, _round_up(n, n_mult or bt) - n), (0, _round_up(m, bm) - m)))
     hi = xp.astype(jnp.bfloat16)
     lo = (xp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return {

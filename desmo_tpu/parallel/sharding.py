@@ -67,9 +67,25 @@ def _param_spec(key: str, shape: tuple[int, ...], m: Optional[int]) -> P:
     return P()  # c, c_trig, omega, period, trig_period, small z's
 
 
+def _drop_unfit(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Replace mesh axes that do not evenly divide their dimension with
+    replication (JAX rejects uneven shards); keeps everything else intact so
+    real-data sizes like n=3961 degrade gracefully instead of erroring."""
+    entries = list(spec)
+    out = []
+    for d, ax in enumerate(entries):
+        if ax is not None and shape[d] % mesh.shape[ax] != 0:
+            out.append(None)
+        else:
+            out.append(ax)
+    return P(*out)
+
+
 def param_shardings(params: dict, mesh: Mesh, m: Optional[int]) -> dict:
     return {
-        k: NamedSharding(mesh, _param_spec(k, np.shape(v), m))
+        k: NamedSharding(
+            mesh, _drop_unfit(_param_spec(k, np.shape(v), m), np.shape(v), mesh)
+        )
         for k, v in params.items()
     }
 
@@ -84,6 +100,8 @@ def batch_shardings(batch: dict, mesh: Mesh) -> dict:
             specs[k] = P("space", None)
         else:
             specs[k] = P()
+        if nd:
+            specs[k] = _drop_unfit(specs[k], np.shape(v), mesh)
     return {k: NamedSharding(mesh, s) for k, s in specs.items()}
 
 

@@ -140,8 +140,18 @@ def run(
     mesh=None,
     resume_from: Optional[str] = None,
     echo: bool = True,
+    device_mesh=None,
 ) -> RunArtifacts:
-    """Train + sparsify + report, mirroring the reference pipeline end to end."""
+    """Train + sparsify + report, mirroring the reference pipeline end to end.
+
+    ``mesh`` is the VTK geometry (for figures); ``device_mesh`` is a
+    ``jax.sharding.Mesh`` with a 'space' (and optionally 'time') axis — when
+    given, training is distributed (SURVEY §5.7, new capability): the desmo
+    variant runs the sharded mega-kernel (``pallas.shard_step``, phi row-
+    sharded over 'space', reductions psum'd over ICI); other variants run the
+    sharding-aware scanned chunk with ``parallel.param_shardings``. Build one
+    with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.
+    """
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     out_dir = os.path.join(out_dir, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
@@ -160,11 +170,33 @@ def run(
     # the fastest desmo path on TPU; select_chunk applies cfg.chunk_method
     from desmo_tpu.pallas import train_chunk as tc
 
-    chunk = tc.select_chunk(spec, cfg)
+    chunk = None
+    param_shardings = None
+    sharded_kernel = False
+    if device_mesh is not None:
+        from desmo_tpu.pallas import shard_step
+
+        if (
+            getattr(cfg, "chunk_method", "auto") != "scan"
+            and shard_step.supports_sharded(spec, cfg)
+        ):
+            chunk = shard_step.make_sharded_fused_chunk(spec, cfg, device_mesh)
+            sharded_kernel = True
+        else:
+            from desmo_tpu import parallel
+
+            param_shardings = parallel.param_shardings(params, device_mesh, cfg.m)
+    else:
+        chunk = tc.select_chunk(spec, cfg)
 
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
-    if chunk is not None or (
+    if sharded_kernel:
+        # the sharded megastep needs every device to own whole (512, 128)
+        # tiles; padded rows are masked inside the kernel (exact MSE)
+        pb = tc.prepare_batch(x, p.modes, n_mult=512 * device_mesh.shape["space"])
+        batch["x_hi"], batch["x_lo"] = pb["x_hi"], pb["x_lo"]
+    elif chunk is not None or (
         resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo"
     ):
         # pre-split bf16 X planes: consumed by both the mega-kernel and the
@@ -178,6 +210,10 @@ def run(
         batch["x_padded"] = pad_snapshots(xd)
     if cfg.variant != "ae":
         batch["pod_modes"] = p.modes
+    if device_mesh is not None:
+        from desmo_tpu import parallel
+
+        batch = parallel.shard_batch(batch, device_mesh)
 
     state = None
     if resume_from:
@@ -199,18 +235,23 @@ def run(
         print(line, flush=True)
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    result = train.fit(
-        loss_fn,
-        groups,
-        cfg,
-        params,
-        batch,
-        num_epochs=n_epochs,
-        log=log_line if echo else None,
-        checkpoint_fn=ckpt,
-        state=state,
-        chunk=chunk,
-    )
+    import contextlib
+
+    mesh_ctx = device_mesh if device_mesh is not None else contextlib.nullcontext()
+    with mesh_ctx:
+        result = train.fit(
+            loss_fn,
+            groups,
+            cfg,
+            params,
+            batch,
+            num_epochs=n_epochs,
+            log=log_line if echo else None,
+            checkpoint_fn=ckpt,
+            state=state,
+            chunk=chunk,
+            param_shardings=param_shardings,
+        )
     start_epoch = int(result.state.epoch) - n_epochs
     for i in range(0, n_epochs, cfg.log_every):
         logger.log_epoch(

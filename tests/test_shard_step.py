@@ -1,0 +1,126 @@
+"""Sharded mega-kernel chunk (shard_map megastep + psum) vs single-device.
+
+Runs on the virtual 8-CPU mesh from conftest; the Pallas megastep runs in
+interpret mode per device, the 'space' psum is a real XLA collective."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desmo_tpu import configs, pod, train
+from desmo_tpu.io import synthetic
+from desmo_tpu.models import desmo
+from desmo_tpu.pallas import shard_step, train_chunk
+from desmo_tpu.parallel import make_mesh
+
+
+def problem(n_space, n=256, m=40, r=2, P=2, bt=16):
+    cfg = configs.RunConfig(
+        name="shard",
+        variant="desmo",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=P,
+        omega_init=1.0,
+        lr_omega=1.0,
+        num_epochs=40,
+        patience=300,
+        sched_every=1,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, r)
+    spec = desmo.DesmoSpec(n, m, r, P, 1.0)
+    params = desmo.init_params(spec)
+    batch = train_chunk.prepare_batch(x, p.modes, bt=bt, n_mult=bt * n_space)
+    return cfg, spec, params, batch
+
+
+def test_sharded_chunk_matches_single_device():
+    n_space = 4
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    sharded = shard_step.make_sharded_fused_chunk(spec, cfg, mesh, bt=16)
+    s_sh = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = sharded(s_sh, batch, num_steps=25)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=16, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, m_k = fused(s_k, batch, num_steps=25)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total"]), np.asarray(m_k["total"]), rtol=5e-4, atol=1e-6
+    )
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]),
+            np.asarray(s_k.params[key]),
+            rtol=5e-4,
+            atol=1e-5,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_sh.sched.lrs), np.asarray(s_k.sched.lrs), rtol=1e-6
+    )
+    assert int(s_sh.epoch) == 25 and int(s_sh.opt.count) == 25
+
+
+def test_sharded_chunk_keeps_phi_distributed():
+    n_space = 8
+    mesh = make_mesh(n_space=n_space, n_time=1)
+    cfg, spec, params, batch = problem(n_space)
+    sharded = shard_step.make_sharded_fused_chunk(spec, cfg, mesh, bt=16)
+    state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    with jax.sharding.set_mesh(mesh):
+        state, mets = sharded(state, batch, num_steps=4)
+    assert np.isfinite(np.asarray(mets["total"])).all()
+    # the trained phi must come out sharded over 'space' (never gathered)
+    shard = next(iter(state.params["phi"].addressable_shards))
+    assert shard.data.shape[-1] == cfg.n // n_space or shard.data.shape[-1] < cfg.n, (
+        state.params["phi"].sharding
+    )
+    spec_out = state.params["phi"].sharding.spec
+    assert "space" in str(spec_out)
+
+
+def test_sharded_resume_roundtrip():
+    """Two sharded 10-step chunks == one 20-step single-device kernel chunk."""
+    n_space = 4
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    sharded = shard_step.make_sharded_fused_chunk(spec, cfg, mesh, bt=16)
+    s_sh = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    with jax.sharding.set_mesh(mesh):
+        s_sh, _ = sharded(s_sh, batch, num_steps=10)
+        s_sh, _ = sharded(s_sh, batch, num_steps=10)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=16, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, _ = fused(s_k, batch, num_steps=20)
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]),
+            np.asarray(s_k.params[key]),
+            rtol=5e-4,
+            atol=1e-5,
+            err_msg=key,
+        )
+
+
+def test_supports_sharded():
+    cfg, spec, params, batch = problem(4)
+    assert shard_step.supports_sharded(spec, cfg)
+    fcfg = configs.get("fourier_cylinder")
+    assert not shard_step.supports_sharded(spec, fcfg)
+    import dataclasses
+
+    with pytest.raises(ValueError, match="sharded"):
+        shard_step.make_sharded_fused_chunk(
+            spec, dataclasses.replace(cfg, variant="ae"), make_mesh(n_space=4, n_time=2)
+        )
