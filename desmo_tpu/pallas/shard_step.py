@@ -73,7 +73,7 @@ def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
     nm = float(n * m)
 
     def kernel(
-        sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+        sel_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
         phi_ref, bhs_ref, bls_ref, gb_ref, crow_ref,
         dl_ref, ax_ref, ga_ref, auga_ref, acc_ref,
     ):
@@ -142,12 +142,11 @@ def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
         acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
 
         dl = _dot2(darg * omrow, SEL(0))
-        tdall = jnp.concatenate(
-            [gather(theta, P_ + i) * mrow_ref[8 + i : 9 + i, :] for i in range(r)],
-            axis=1,
-        )
-        dth_tiled = jnp.concatenate([dtheta] * r, axis=1)
-        dl_ref[:] = dl + _dot2(dth_tiled * tdall, onecat_ref[:])
+        # poly backward: one EMAT matmul + guarded division (see train_chunk)
+        s_poly = _dot2(dtheta * theta, SEL(2))
+        augmask = mrow_ref[6:7, :]
+        denom = jnp.where(aug == 0.0, 1.0, aug)
+        dl_ref[:] = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
 
     return kernel
 
@@ -170,9 +169,8 @@ def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM),  # pod
             pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),  # x hi
             pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),  # x lo
@@ -268,7 +266,6 @@ def make_sharded_fused_chunk(
             ]
         )
         sel = jnp.asarray(consts.sel)
-        onecat = jnp.asarray(consts.onecat)
         gidx = jnp.asarray(consts.gidx)
         mrow = jnp.asarray(consts.mrow)
         offdiag = sel[LANES : 2 * LANES, :].astype(jnp.float32)
@@ -288,8 +285,7 @@ def make_sharded_fused_chunk(
                 bh, bl = _split(b)
                 gb = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
                 dl, ax, ga, auga, acc = call(
-                    sel, onecat, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb,
-                    crow,
+                    sel, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb, crow,
                 )
                 ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
 

@@ -76,26 +76,10 @@ _L_EPOCH = 11
 
 
 class ChunkConstants(NamedTuple):
-    sel: np.ndarray  # (2*128, 128) bf16: [COLLAPSE; OFFDIAG] selection stack
-    onecat: np.ndarray  # (r*128, 128) bf16: ONECOL_0..ONECOL_{r-1} stacked
-    mrow: np.ndarray  # (16, 128) f32 mask rows (+ per-mode exponent weights)
-    gidx: np.ndarray  # (8, 128) i32 gather rows: 0..P-1 factor, P..P+r-1 down
+    sel: np.ndarray  # (3*128, 128) bf16: [COLLAPSE; OFFDIAG; EMAT] stack
+    mrow: np.ndarray  # (8, 128) f32 mask rows
+    gidx: np.ndarray  # (8, 128) i32 gather rows: 0..P-1 factor lanes
     n_sel: int
-
-
-def _down_index_table(r: int, P: int) -> np.ndarray:
-    """down[t, i] = library index of term t with one factor of mode i removed
-    (or -1 when E[t, i] == 0)."""
-    E = library.monomial_exponents(r, P)
-    index_of = {tuple(row): t for t, row in enumerate(E)}
-    down = np.full((len(E), r), -1, np.int64)
-    for t, row in enumerate(E):
-        for i in range(r):
-            if row[i] > 0:
-                low = row.copy()
-                low[i] -= 1
-                down[t, i] = index_of[tuple(low)]
-    return down
 
 
 def build_constants(r: int, P: int) -> ChunkConstants:
@@ -106,16 +90,8 @@ def build_constants(r: int, P: int) -> ChunkConstants:
         raise ValueError(f"K={K} terms exceed {LANES} lanes")
     F = library.factor_table(r, P)  # (T, P), 0 = const, i+1 = mode i
     E = library.monomial_exponents(r, P)
-    down = _down_index_table(r, P)
 
     mats = []
-    # ONECOL_i: WIDE -> AUG: sum poly lanes into aug lane i+1 (the stacked
-    # poly-gradient reduction (dtheta * theta_down) @ ONECOLcat)
-    onecols = []
-    for i in range(r):
-        O = np.zeros((LANES, LANES), np.float32)
-        O[:T, i + 1] = 1.0
-        onecols.append(O)
     # COLLAPSE: WIDE -> AUG: trig lane (k,i) -> aug lane i+1
     C = np.zeros((LANES, LANES), np.float32)
     for i in range(r):
@@ -129,8 +105,15 @@ def build_constants(r: int, P: int) -> ChunkConstants:
             if i != j:
                 D[i + 1, j + 1] = 1.0
     mats.append(D)
+    # EMAT: poly lane t -> aug lane i+1 with weight E[t, i] (exact small ints
+    # in bf16). The poly backward then is ONE matmul + a guarded division:
+    # d theta_t / d lat_i = E[t,i] * theta_t / lat_i, so
+    # dl_i = (sum_t dtheta_t * theta_t * E[t,i]) / lat_i.
+    EM = np.zeros((LANES, LANES), np.float32)
+    for i in range(r):
+        EM[:T, i + 1] = E[:, i].astype(np.float32)
+    mats.append(EM)
     sel = np.concatenate(mats, axis=0).astype(jnp.bfloat16)
-    onecat = np.concatenate(onecols, axis=0).astype(jnp.bfloat16)
 
     lane = np.arange(LANES)
     polymask = (lane < T).astype(np.float32)
@@ -139,23 +122,18 @@ def build_constants(r: int, P: int) -> ChunkConstants:
     msin = (trigmask * (kind == 0)).astype(np.float32)
     mcos = (trigmask * (kind == 1)).astype(np.float32)
     mtanh = (trigmask * (kind == 2)).astype(np.float32)
-    mrow = np.zeros((16, LANES), np.float32)
+    mrow = np.zeros((8, LANES), np.float32)
     mrow[0] = polymask
     mrow[1] = trigmask
     mrow[2] = msin
     mrow[3] = mcos
     mrow[4] = mtanh
     # mrow[5, 0] = x_sq is filled at call time
-    # rows 8..8+r-1: exponent weights E[t, i] on the poly lanes (for the
-    # gather-based poly backward: d theta_t / d lat_i = E[t,i] * theta_down)
-    for i in range(r):
-        mrow[8 + i, :T] = E[:, i].astype(np.float32)
+    mrow[6, 1 : r + 1] = 1.0  # aug-lane mask (for the poly-backward division)
 
     # gather index rows (exact VPU selections instead of MXU matmuls):
     # rows 0..P-1: AUG-lane of factor p per WIDE lane (trig lanes get the
-    # latent for p==0 and the row mask for p>0, exactly like SEL_p);
-    # rows P..P+r-1: theta down-index per poly lane (0 where E[t,i]==0 — the
-    # gathered value is multiplied by the zero exponent weight).
+    # latent for p==0 and the row mask for p>0, exactly like SEL_p).
     gidx = np.zeros((8, LANES), np.int32)
     for p in range(P):
         for t in range(T):
@@ -163,11 +141,8 @@ def build_constants(r: int, P: int) -> ChunkConstants:
         for i in range(r):
             for k in range(3):
                 gidx[p, T + k * r + i] = i + 1 if p == 0 else 0
-    for i in range(r):
-        gidx[P + i, :T] = np.maximum(down[:, i], 0)
     return ChunkConstants(
         sel=np.asarray(sel),
-        onecat=np.asarray(onecat),
         mrow=mrow,
         gidx=gidx,
         n_sel=len(mats),
@@ -238,8 +213,8 @@ def _make_kernel(
         def take(k):
             return tuple(next(it) for _ in range(k))
 
-        (sel_ref, onecat_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
-         phi0_ref, mu0_ref, nu0_ref) = take(10)
+        (sel_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
+         phi0_ref, mu0_ref, nu0_ref) = take(9)
         if fourier:
             zc0_ref, zcmu0_ref, zcnu0_ref, per0_ref, trow_ref = take(5)
         else:
@@ -466,17 +441,15 @@ def _make_kernel(
             acc_s[1:2, :] = acc_s[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
 
             dl = _dot2(darg * omrow, SEL(0))  # trig -> aug lanes
-            # poly backward: d theta_t / d lat_i = E[t,i] * theta_down(t,i) —
-            # exact gathers + one stacked lane reduction
-            tdall = jnp.concatenate(
-                [
-                    gather(theta, P + i) * mrow_ref[8 + i : 9 + i, :]
-                    for i in range(r)
-                ],
-                axis=1,
-            )
-            dth_tiled = jnp.concatenate([dtheta] * r, axis=1)
-            dl = dl + _dot2(dth_tiled * tdall, onecat_ref[:])
+            # poly backward: d theta_t / d lat_i = E[t,i] * theta_t / lat_i —
+            # one matmul against the exact-int EMAT + a guarded division
+            # (lat == 0 only on padded/masked rows, where the phi gradient is
+            # multiplied by pod == 0 anyway; the fallback 0 also covers a
+            # live phi crossing exactly 0.0, a measure-zero single-row event)
+            s_poly = _dot2(dtheta * theta, SEL(2))
+            augmask = mrow_ref[6:7, :]
+            denom = jnp.where(aug == 0.0, 1.0, aug)
+            dl = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
             if streamed:
                 dlout_ref[0 if aliased else _parity_out(s)] = dl
             else:
@@ -696,9 +669,8 @@ def _build_call(
 
     in_specs = [
         pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((r * LANES, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, LANES), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         (
             pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM)
             if streamed
@@ -925,9 +897,8 @@ def _unpack_wide_row(row, T, r):
 def supports(spec, cfg) -> bool:
     """Whether the mega-kernel can run this configuration: DESMO or
     DESMOFourier variant with all K terms within one lane register, and the
-    constant tables in bounds (gather rows hold P factor rows + r down-index
-    rows in an (8, 128) block; exponent-weight rows live at mrow rows 8..15).
-    The Fourier temporal side additionally needs its 2*nF+1 series
+    constant tables in bounds (the P factor-gather rows live in an (8, 128)
+    block). The Fourier temporal side additionally needs its 2*nF+1 series
     coefficients within one lane register (spec must be a FourierSpec). Any
     spatial size works — small cases keep the state resident in VMEM; larger
     ones (aneurysm n=27000) ping-pong the state through HBM
@@ -941,7 +912,7 @@ def supports(spec, cfg) -> bool:
         return False
     r, P = spec.r, spec.poly_order
     T = library.num_poly_terms(r, P)
-    return T + 3 * r <= LANES and P + r <= 8 and r <= 8
+    return T + 3 * r <= LANES and P <= 8 and r <= 8
 
 
 def select_chunk(spec, cfg, bt: int = 512):
@@ -1104,7 +1075,6 @@ def make_fused_train_chunk(
 
         args = [
             jnp.asarray(consts.sel),
-            jnp.asarray(consts.onecat),
             jnp.asarray(consts.gidx),
             mrow,
             pod_fw,
