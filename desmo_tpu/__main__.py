@@ -47,6 +47,8 @@ def cmd_run(args) -> int:
     overrides = {}
     if args.epochs is not None:
         overrides["num_epochs"] = args.epochs
+    if getattr(args, "ae_data_omega", False):
+        overrides["ae_omega_data_scaled"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = None
@@ -194,6 +196,11 @@ def main(argv=None) -> int:
         help="distribute training over a device mesh, e.g. 'space=4,time=2' "
         "(desmo variants run the sharded mega-kernel; others the sharding-"
         "aware scanned chunk)",
+    )
+    p_run.add_argument(
+        "--ae-data-omega", action="store_true",
+        help="AE variant: rescale the omega init from the initial latent RMS "
+        "(convergence recipe for data whose scale differs from the preset's)",
     )
     p_run.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
     p_run.add_argument(

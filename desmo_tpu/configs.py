@@ -31,6 +31,10 @@ class RunConfig:
     beta: float = 1e-3  # orthogonality weight
     l1_lambda: float = 1e-4  # sparsity weight
     ae_beta: float = 0.0  # AE variant auxiliary reconstruction weight
+    # AE convergence recipe: rescale the omega init from the initial latent
+    # RMS (keeps the reference 1:0.1:0.01 channel ratio but makes the args
+    # O(1) in any data units — see models/autoencoder.data_scaled_omega)
+    ae_omega_data_scaled: bool = False
     # --- optimizer groups, order = GROUP_ORDER (CYL:592-612) ---
     lr_coef: float = 1e-2
     lr_phi: float = 1e-3

@@ -91,9 +91,30 @@ def init_params(spec: AESpec, seed: int = 43, dtype=jnp.float32) -> Params:
     return params
 
 
+def data_scaled_omega(params: Params, x_nm, ratio=(1.0, 0.1, 0.01)) -> jnp.ndarray:
+    """Data-scaled omega init — the validated AE convergence recipe.
+
+    The preset's literal channel inits (1e4/1e3/1e2, ``...py:727-732``) assume
+    a particular latent scale; on O(1)-scaled data the Xavier-initialized
+    encoder produces latents for which sin(1e4 x) is high-frequency noise and
+    the AE-style ortho term ``||phi1||^2 ||phi2||^2`` rewards encoder collapse
+    (docs/RESULTS.md). Scale-free recipe: keep the reference's 1 : 0.1 : 0.01
+    sin/cos/tanh ratio but set the sin arg scale from the *initial latent RMS*,
+    so omega * latent starts O(1) in any data units. Enable with
+    ``RunConfig.ae_omega_data_scaled`` / ``--ae-data-omega``."""
+    latent, _ = encode_decode(params, x_nm)
+    rms = jnp.sqrt(jnp.mean(latent * latent, axis=0))  # (r,)
+    rms = jnp.maximum(rms, 1e-12)
+    return jnp.asarray(ratio, latent.dtype)[:, None] / rms[None, :]
+
+
 def _mlp(params: Params, prefix: str, x: jnp.ndarray, n_layers: int) -> jnp.ndarray:
+    # Precision.HIGH (3-pass bf16, ~5e-6 rel — the same fp32-grade budget as
+    # the Pallas kernels' dual_gemm._dot3) instead of HIGHEST (6-pass): the
+    # m->256 encoder and 256->m decoder GEMMs dominate the AE step, and HIGH
+    # measures 702 -> 474 us/step on the TPU (scripts/ae_profile.py).
     for i in range(n_layers):
-        x = jnp.dot(x, params[f"{prefix}_w{i}"], precision=jax.lax.Precision.HIGHEST)
+        x = jnp.dot(x, params[f"{prefix}_w{i}"], precision=jax.lax.Precision.HIGH)
         x = x + params[f"{prefix}_b{i}"]
         if i < n_layers - 1:
             x = jax.nn.relu(x)

@@ -50,6 +50,7 @@ from desmo_tpu.pallas.train_chunk import (
     _d,
     _dot2,
     _dot3,
+    _fast_sincos,
     _pack_aug,
     _pack_b,
     _pack_wide_row,
@@ -113,8 +114,7 @@ def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
             prod = prod * gather(aug, p)
         theta = prod * polymask
         args = prod * (omrow * trigmask)
-        Sn = jnp.sin(args)
-        Cs = jnp.cos(args)
+        Sn, Cs = _fast_sincos(args)
         Th = jnp.tanh(args)
         maskb = aug[:, 0:1]
         basis = (Sn * msin + Cs * mcos + Th * mtanh) * maskb

@@ -62,6 +62,11 @@ from desmo_tpu import library
 
 LANES = 128
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
+# Timing-attribution ablations (scripts/ablate_megakernel.py). Timing on TPU
+# is data-independent, so numerics-breaking stubs still measure real cost.
+# Keys: notrig, noxb, noaxga, noconcat, nodlo, nopoly. Callers must
+# _build_call.cache_clear() after mutating.
+_ABLATE: dict = {}
 _SCHED_THRESHOLD = 1e-4
 
 # svec row-0 lane roles (scheduler / optimizer scalar state, kept as a vector)
@@ -174,6 +179,37 @@ def _dot3(x, y, dims):
     xh, xl = _split(x)
     yh, yl = _split(y)
     return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
+
+
+# fast in-kernel sin/cos: one shared Cody-Waite reduction mod pi (4-term pi
+# split: k*P1 exact for k < 2^13, i.e. |arg| < ~2.5e4 — cylinder args are
+# omega*latent ~ O(1e3)) + near-minimax polys in y^2 (sin deg-11 odd /
+# cos deg-12 even, <= 1.1e-10 abs err on |y| <= 1.02*pi/2; ~2e-7 end-to-end
+# in f32 incl. reduction). Motivation: builtin sin+cos are two full-width
+# VPU transcendental passes, measured ~9 us/step of the cylinder mega-kernel
+# (scripts/ablate_megakernel.py) for 24 meaningful lanes of 384.
+_SINP = (1.0, -1.66666666e-01, 8.33333109e-03, -1.98408729e-04,
+         2.75257291e-06, -2.38950307e-08)
+_COSP = (1.0, -0.5, 4.16666664e-02, -1.38888834e-03, 2.48009721e-05,
+         -2.75220345e-07, 1.98694157e-09)
+_PI_SPLIT = (3.140625, 9.670257568359375e-04, 6.2771141e-07, 1.2154201e-10)
+
+
+def _fast_sincos(x):
+    k = jnp.round(x * (1.0 / np.pi))
+    y = x
+    for p in _PI_SPLIT:
+        y = y - k * p
+    y2 = y * y
+    s = _SINP[-1]
+    for c in _SINP[-2::-1]:
+        s = s * y2 + c
+    s = s * y
+    cs = _COSP[-1]
+    for c in _COSP[-2::-1]:
+        cs = cs * y2 + c
+    sgn = 1.0 - 2.0 * jnp.mod(k, 2.0)
+    return s * sgn, cs * sgn
 
 
 def _lane(row, k):
@@ -323,7 +359,10 @@ def _make_kernel(
             pod = pod_tile()
             phi_t, mu_p, nu_p, dl_prev = state_read()
             aug_old = pod * phi_t
-            dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
+            if _ABLATE.get("nodlo"):
+                dlo = aug_old * 0.19
+            else:
+                dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
             g = (dl_prev + beta * dlo) * pod
             mu_t = _B1 * mu_p + (1.0 - _B1) * g
             nu_t = jnp.maximum(_B2 * nu_p, jnp.abs(g) + _EPS)
@@ -399,7 +438,10 @@ def _make_kernel(
             omrow = crow_ref[3:4, :]
             xh = xhi_ref[:]
             xl = xlo_ref[:]
-            xb = _d(xh, bhs[:], _XBD) + _d(xh, bls[:], _XBD) + _d(xl, bhs[:], _XBD)
+            if _ABLATE.get("noxb"):
+                xb = _d(xh, bhs[:], _XBD)
+            else:
+                xb = _d(xh, bhs[:], _XBD) + _d(xh, bls[:], _XBD) + _d(xl, bhs[:], _XBD)
             pod = pod_tile()
             aug = pod * cur_state()
             ah, al = _split(aug)
@@ -410,9 +452,20 @@ def _make_kernel(
                 prod = prod * gather(aug, p)
             theta = prod * polymask
             args = prod * (omrow * trigmask)
-            Sn = jnp.sin(args)
-            Cs = jnp.cos(args)
-            Th = jnp.tanh(args)
+            if _ABLATE.get("notrig"):
+                Sn = args * 0.11
+                Cs = args * 0.13
+                Th = args * 0.17
+            elif _ABLATE.get("libtrig"):
+                Sn = jnp.sin(args)
+                Cs = jnp.cos(args)
+                Th = jnp.tanh(args)
+            else:
+                # builtin tanh stays: an Eigen-style deg-13/6 rational was
+                # measured +2.5 us/step (the VPU divide costs more than the
+                # builtin's polynomial path)
+                Sn, Cs = _fast_sincos(args)
+                Th = jnp.tanh(args)
             maskb = aug[:, 0:1]
             basis = (Sn * msin + Cs * mcos + Th * mtanh) * maskb
             D = theta + basis
@@ -422,11 +475,22 @@ def _make_kernel(
             # ax and ga share the LHS 3-pass structure: contract A^T against
             # [X | A] once (the hi/lo cross terms line up exactly)
             m_pad = xh.shape[1]
-            rhs_h = jnp.concatenate([xh, Ah], axis=1)
-            rhs_l = jnp.concatenate([xl, Al], axis=1)
-            axga = _d(Ah, rhs_h, _AXD) + _d(Ah, rhs_l, _AXD) + _d(Al, rhs_h, _AXD)
-            ax_s[:] = ax_s[:] + axga[:, :m_pad]
-            ga_s[:] = ga_s[:] + axga[:, m_pad:]
+            if _ABLATE.get("noaxga"):
+                ax_s[:] = ax_s[:] + _d(Ah, xh, _AXD)
+                ga_s[:] = ga_s[:] + _d(Ah, Ah, _AXD)
+            elif _ABLATE.get("noconcat"):
+                ax_s[:] = ax_s[:] + (
+                    _d(Ah, xh, _AXD) + _d(Ah, xl, _AXD) + _d(Al, xh, _AXD)
+                )
+                ga_s[:] = ga_s[:] + (
+                    _d(Ah, Ah, _AXD) + _d(Ah, Al, _AXD) + _d(Al, Ah, _AXD)
+                )
+            else:
+                rhs_h = jnp.concatenate([xh, Ah], axis=1)
+                rhs_l = jnp.concatenate([xl, Al], axis=1)
+                axga = _d(Ah, rhs_h, _AXD) + _d(Ah, rhs_l, _AXD) + _d(Al, rhs_h, _AXD)
+                ax_s[:] = ax_s[:] + axga[:, :m_pad]
+                ga_s[:] = ga_s[:] + axga[:, m_pad:]
             auga_s[:] = auga_s[:] + (
                 _d(ah, ah, _AXD) + _d(ah, al, _AXD) + _d(al, ah, _AXD)
             )
@@ -446,10 +510,11 @@ def _make_kernel(
             # (lat == 0 only on padded/masked rows, where the phi gradient is
             # multiplied by pod == 0 anyway; the fallback 0 also covers a
             # live phi crossing exactly 0.0, a measure-zero single-row event)
-            s_poly = _dot2(dtheta * theta, SEL(2))
-            augmask = mrow_ref[6:7, :]
-            denom = jnp.where(aug == 0.0, 1.0, aug)
-            dl = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
+            if not _ABLATE.get("nopoly"):
+                s_poly = _dot2(dtheta * theta, SEL(2))
+                augmask = mrow_ref[6:7, :]
+                denom = jnp.where(aug == 0.0, 1.0, aug)
+                dl = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
             if streamed:
                 dlout_ref[0 if aliased else _parity_out(s)] = dl
             else:

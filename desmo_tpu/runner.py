@@ -156,6 +156,9 @@ def run(
     out_dir = os.path.join(out_dir, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     spec, params, loss_fn, groups = build_model(cfg)
+    if cfg.variant == "ae" and cfg.ae_omega_data_scaled:
+        params = dict(params)
+        params["omega"] = ae_model.data_scaled_omega(params, jnp.asarray(x))
 
     # One POD sign convention everywhere (run/evaluate/sr): host LAPACK signs,
     # exactly the reference's np.linalg.svd (CYL:199-205). Training absorbs any

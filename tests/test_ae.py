@@ -153,3 +153,25 @@ def test_golden_ae_checkpoint_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(back[k]).reshape(np.asarray(sd[k]).shape), sd[k], err_msg=k
         )
+
+
+def test_data_scaled_omega_recipe():
+    """The convergence recipe keeps the reference's 1:0.1:0.01 channel ratio
+    and normalizes the sin arg scale to the initial latent RMS, so
+    omega * latent starts O(1) regardless of data units."""
+    spec = small_spec()
+    params = ae.init_params(spec)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((spec.n, spec.m)), jnp.float32)
+    om = ae.data_scaled_omega(params, x)
+    assert om.shape == (3, spec.r)
+    np.testing.assert_allclose(np.asarray(om[1] / om[0]), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(om[2] / om[0]), 0.01, rtol=1e-6)
+    latent, _ = ae.encode_decode(params, x)
+    rms = np.sqrt(np.mean(np.asarray(latent) ** 2, axis=0))
+    np.testing.assert_allclose(np.asarray(om[0]) * rms, 1.0, rtol=1e-5)
+    # scale invariance: 100x data -> args unchanged (omega shrinks to match)
+    om2 = ae.data_scaled_omega(params, 100.0 * x)
+    latent2, _ = ae.encode_decode(params, 100.0 * x)
+    rms2 = np.sqrt(np.mean(np.asarray(latent2) ** 2, axis=0))
+    np.testing.assert_allclose(np.asarray(om2[0]) * rms2, 1.0, rtol=1e-5)
