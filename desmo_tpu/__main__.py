@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import sys
 
 
@@ -49,6 +50,8 @@ def cmd_run(args) -> int:
         overrides["num_epochs"] = args.epochs
     if getattr(args, "ae_data_omega", False):
         overrides["ae_omega_data_scaled"] = True
+    if getattr(args, "ae_recipe", False):
+        overrides["ae_recipe"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = None
@@ -91,7 +94,11 @@ def cmd_run(args) -> int:
         "relative_error": artifacts.relative_error,
         "pod_error_r": artifacts.pod_error_r,
         "pod_error_2r": artifacts.pod_error_2r,
-        "steps_per_sec": artifacts.steps_per_sec,
+        # NaN when the run fits inside the first (compile-inclusive, untimed)
+        # chunk — emit null, valid JSON unlike the bare NaN literal
+        "steps_per_sec": None
+        if math.isnan(artifacts.steps_per_sec)
+        else artifacts.steps_per_sec,
         "out_dir": artifacts.out_dir,
     }
     print(json.dumps(summary))
@@ -196,6 +203,11 @@ def main(argv=None) -> int:
         help="distribute training over a device mesh, e.g. 'space=4,time=2' "
         "(desmo variants run the sharded mega-kernel; others the sharding-"
         "aware scanned chunk)",
+    )
+    p_run.add_argument(
+        "--ae-recipe", action="store_true",
+        help="AE variant: full convergence recipe (live MLP init, AE-only "
+        "warmup, data-scaled omega; see docs/RESULTS.md)",
     )
     p_run.add_argument(
         "--ae-data-omega", action="store_true",

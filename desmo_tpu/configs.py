@@ -35,6 +35,13 @@ class RunConfig:
     # RMS (keeps the reference 1:0.1:0.01 channel ratio but makes the args
     # O(1) in any data units — see models/autoencoder.data_scaled_omega)
     ae_omega_data_scaled: bool = False
+    # Full AE convergence recipe (--ae-recipe): live MLP init (He weights +
+    # 0.01 hidden biases; the reference's Xavier/zero-bias init produces an
+    # exactly-dead decoder funnel — autoencoder.init_params_live), MLP lr
+    # capped at 1e-3, an AE-only warmup phase of ae_warmup_epochs, then joint
+    # training with data-scaled omega and proportionally scaled lr_omega.
+    ae_recipe: bool = False
+    ae_warmup_epochs: int = 2000
     # --- optimizer groups, order = GROUP_ORDER (CYL:592-612) ---
     lr_coef: float = 1e-2
     lr_phi: float = 1e-3

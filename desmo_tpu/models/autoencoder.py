@@ -92,20 +92,70 @@ def init_params(spec: AESpec, seed: int = 43, dtype=jnp.float32) -> Params:
 
 
 def data_scaled_omega(params: Params, x_nm, ratio=(1.0, 0.1, 0.01)) -> jnp.ndarray:
-    """Data-scaled omega init — the validated AE convergence recipe.
+    """Data-scaled omega init (one leg of the AE convergence recipe).
 
     The preset's literal channel inits (1e4/1e3/1e2, ``...py:727-732``) assume
-    a particular latent scale; on O(1)-scaled data the Xavier-initialized
-    encoder produces latents for which sin(1e4 x) is high-frequency noise and
-    the AE-style ortho term ``||phi1||^2 ||phi2||^2`` rewards encoder collapse
-    (docs/RESULTS.md). Scale-free recipe: keep the reference's 1 : 0.1 : 0.01
-    sin/cos/tanh ratio but set the sin arg scale from the *initial latent RMS*,
-    so omega * latent starts O(1) in any data units. Enable with
-    ``RunConfig.ae_omega_data_scaled`` / ``--ae-data-omega``."""
+    a particular latent scale; on O(1)-scaled data sin(1e4 x) over the
+    encoder's latents is high-frequency noise. Scale-free version: keep the
+    reference's 1 : 0.1 : 0.01 sin/cos/tanh ratio but set the sin arg scale
+    from the *current latent RMS*, so omega * latent is O(1) in any data
+    units. Enable with ``RunConfig.ae_omega_data_scaled`` / ``--ae-data-omega``
+    (implied by the full ``ae_recipe``)."""
     latent, _ = encode_decode(params, x_nm)
     rms = jnp.sqrt(jnp.mean(latent * latent, axis=0))  # (r,)
     rms = jnp.maximum(rms, 1e-12)
     return jnp.asarray(ratio, latent.dtype)[:, None] / rms[None, :]
+
+
+def init_params_live(spec: AESpec, seed: int = 43, bias: float = 0.01) -> Params:
+    """He/ReLU-gain MLP init with small positive hidden biases — the init leg
+    of the AE convergence recipe (``RunConfig.ae_recipe``).
+
+    Why the reference init cannot train (measured, not hypothesized): with
+    Xavier weights and ZERO biases through the deep narrowing funnel
+    (m->256->...->2->...->m), the decoder's signal decays to ~1e-5 of the data
+    RMS and some funnel layer's ReLUs output exactly zero for EVERY input —
+    at that point the gradient w.r.t. every MLP weight is exactly 0.0 (only
+    the last decoder bias receives gradient), so the auxiliary autoencoder
+    can never leave its dead state; the torch reference shares this init and
+    optimizer family, and ships no AE training log. He init preserves
+    activation scale through ReLU layers; the +0.01 hidden biases keep units
+    alive at small pre-activations."""
+    params = init_params(spec, seed=seed)
+    widths = (spec.m, *ENCODER_WIDTHS, spec.r)
+    nl = len(widths) - 1
+    key = jax.random.PRNGKey(seed + 1000)
+    keys = jax.random.split(key, 2 * nl)
+    for i in range(nl):
+        params[f"ae_enc_w{i}"] = jax.random.normal(
+            keys[i], (widths[i], widths[i + 1]), jnp.float32
+        ) * float(np.sqrt(2.0 / widths[i]))
+        if i < nl - 1:
+            params[f"ae_enc_b{i}"] = jnp.full((widths[i + 1],), bias, jnp.float32)
+    dw = widths[::-1]
+    for i in range(nl):
+        params[f"ae_dec_w{i}"] = jax.random.normal(
+            keys[nl + i], (dw[i], dw[i + 1]), jnp.float32
+        ) * float(np.sqrt(2.0 / dw[i]))
+        if i < nl - 1:
+            params[f"ae_dec_b{i}"] = jnp.full((dw[i + 1],), bias, jnp.float32)
+    return params
+
+
+def build_warmup_loss(spec: AESpec):
+    """Autoencoder-only objective for the recipe's warmup phase: pure
+    MSE(decode(encode(X)), X). Metrics keep the joint loss' key set so the
+    chunked trainer/logger are oblivious to the phase. Dictionary params get
+    zero gradient (frozen) during warmup."""
+    from desmo_tpu import losses
+
+    def loss_fn(params: Params, batch: dict):
+        _latent, ae_rec = encode_decode(params, batch["x"])
+        m = losses.mse(ae_rec, batch["x"])
+        zero = jnp.zeros(())
+        return m, {"rec": m, "ortho": zero, "l1": zero, "ae": m}
+
+    return loss_fn
 
 
 def _mlp(params: Params, prefix: str, x: jnp.ndarray, n_layers: int) -> jnp.ndarray:

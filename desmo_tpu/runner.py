@@ -237,6 +237,45 @@ def run(
     def log_line(line):
         print(line, flush=True)
 
+    if cfg.variant == "ae" and cfg.ae_recipe and state is None:
+        # Full AE convergence recipe (docs/RESULTS.md "AE convergence"):
+        # 1. live MLP init — the reference's Xavier/zero-bias funnel has an
+        #    exactly-dead decoder (zero gradient on every MLP weight);
+        # 2. MLP lr capped at 1e-3 — at the preset's 1e-2 the encoder
+        #    collapses to spatially-constant latents within ~500 epochs;
+        # 3. AE-only warmup so the latent bottleneck is informative before
+        #    the dictionary objective joins;
+        # 4. data-scaled omega from the warmed latents, lr_omega scaled to
+        #    keep the reference's 1% relative omega step.
+        params = ae_model.init_params_live(spec, seed=cfg.seed)
+        # the auxiliary reconstruction anchors the latents against the rec
+        # term's collapse-to-constant pull; the preset's 1e-3 is too weak to
+        # hold once the dictionary objective joins (measured: rec stalls at
+        # the variance floor with 1e-3, reaches ~0.04 with 1.0)
+        cfg = dataclasses.replace(
+            cfg, lr_z=min(cfg.lr_z, 1e-3), ae_beta=max(cfg.ae_beta, 1.0)
+        )
+        loss_fn = ae_model.build_loss(
+            spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta,
+            method=resolve_loss_method(cfg),
+        )
+        if cfg.ae_warmup_epochs > 0:
+            warm = train.fit(
+                ae_model.build_warmup_loss(spec),
+                groups,
+                cfg,
+                params,
+                batch,
+                num_epochs=cfg.ae_warmup_epochs,
+                log=log_line if echo else None,
+            )
+            params = dict(warm.state.params)
+        om = ae_model.data_scaled_omega(params, xd)
+        params["omega"] = om
+        cfg = dataclasses.replace(
+            cfg, lr_omega=0.01 * float(jnp.mean(jnp.abs(om[0])))
+        )
+
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     import contextlib
 

@@ -175,3 +175,47 @@ def test_data_scaled_omega_recipe():
     latent2, _ = ae.encode_decode(params, 100.0 * x)
     rms2 = np.sqrt(np.mean(np.asarray(latent2) ** 2, axis=0))
     np.testing.assert_allclose(np.asarray(om2[0]) * rms2, 1.0, rtol=1e-5)
+
+
+def test_live_init_has_gradient_flow():
+    """Regression for the dead-funnel pathology: at the reference's
+    Xavier/zero-bias init the decoder funnel can output exactly zero for
+    every input, making the gradient of the AE reconstruction w.r.t. every
+    MLP weight exactly 0.0 (docs/RESULTS.md "AE convergence"). The recipe's
+    live init must keep gradients nonzero everywhere and latents varying
+    across points."""
+    spec = small_spec(n=96, m=64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((spec.n, spec.m)), jnp.float32)
+    params = ae.init_params_live(spec, seed=43)
+    # library params untouched by the live init
+    ref = ae.init_params(spec, seed=43)
+    for k in ("c", "z", "z_trig", "c_trig", "omega"):
+        np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(ref[k]))
+
+    def ae_loss(p):
+        _lat, rec = ae.encode_decode(p, x)
+        return jnp.mean((rec - x) ** 2)
+
+    g = jax.grad(ae_loss)(params)
+    for k in params:
+        if k.startswith("ae_") and k.endswith(tuple("0123456")) and "_w" in k:
+            assert float(jnp.max(jnp.abs(g[k]))) > 0.0, f"dead gradient at {k}"
+    lat, _ = ae.encode_decode(params, x)
+    assert np.all(np.asarray(lat).std(axis=0) > 1e-3), "latents spatially constant"
+
+
+def test_warmup_loss_is_pure_ae_mse():
+    spec = small_spec()
+    params = ae.init_params_live(spec, seed=43)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((spec.n, spec.m)), jnp.float32)
+    loss_fn = ae.build_warmup_loss(spec)
+    total, mets = loss_fn(params, {"x": x})
+    _lat, rec = ae.encode_decode(params, x)
+    np.testing.assert_allclose(float(total), float(jnp.mean((rec - x) ** 2)), rtol=1e-6)
+    assert set(mets) == {"rec", "ortho", "l1", "ae"}
+    # dictionary params get no gradient during warmup (frozen by construction)
+    g = jax.grad(lambda p: loss_fn(p, {"x": x})[0])(params)
+    assert float(jnp.max(jnp.abs(g["z"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g["omega"]))) == 0.0

@@ -206,3 +206,20 @@ def test_cli_mesh_run(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert np.isfinite(summary["relative_error"])
+
+
+def test_run_ae_recipe(tmp_path):
+    """--ae-recipe path: live init + AE-only warmup + data-scaled omega wired
+    through runner.run (tiny shapes; asserts the recipe's omega replaced the
+    preset channel inits and the run completes end to end)."""
+    cfg = dataclasses.replace(
+        tiny_cfg("ae"), ae_recipe=True, ae_warmup_epochs=20, omega_init=1e4
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    assert np.isfinite(art.relative_error)
+    om = np.asarray(art.state.params["omega"])
+    # recipe omegas start data-scaled (then train), nowhere near the
+    # 1e4/1e3/1e2 preset literals
+    assert om.shape == (3, 2) and np.all(np.abs(om) < 1e3)
