@@ -11,13 +11,20 @@ sequential grid ``(num_steps + 1, n_tiles)``. Two state transports, same math:
   scheduler live in VMEM scratch for the duration; per-step HBM traffic is
   just the streamed bf16 X planes (hidden under the MXU work) + metrics row.
 * STREAMED (spatial sizes whose full-width state exceeds VMEM, e.g. the
-  aneurysm's 27000 points): phi/mu/nu/dlat ping-pong through HBM arrays —
-  output parity ``s % 2`` is the next step's input parity ``(s-1) % 2``. On
-  hardware the parities are glued by ``input_output_aliases`` (in-place HBM,
-  'aliased' transport); under interpret the same kernel runs in 'emul'
-  transport (both parities in the output block, parity indexed in-kernel) so
-  CI asserts bit-equality with the resident mode on CPU. Verified BIT-EXACT
-  against the resident mode both on TPU and in CI.
+  aneurysm's 27000 points): state ping-pongs through COMPACT HBM arrays —
+  phi/mu/nu as three AUGW-lane slots of one (2, n_pad, 3*AUGW) array plus a
+  (2, n_pad, AUGW) dlat array (AUG state only populates lanes 0..r, so
+  full-width transport would ship ~8x dead lanes; the in-kernel math stays
+  128-wide at identical vreg cost). Output parity ``s % 2`` is the next
+  step's input parity ``(s-1) % 2``. On hardware the parities are glued by
+  ``input_output_aliases`` (in-place HBM, 'aliased' transport); under
+  interpret the same kernel runs in 'emul' transport (both parities in the
+  output block, parity indexed in-kernel) so CI asserts bit-equality with
+  the resident mode on CPU. Verified BIT-EXACT against the resident mode
+  both on TPU (compact transport, odd and even step counts) and in CI.
+  Note the large presets are MXU-bound, not DMA-bound: the compaction
+  measured only ~+2% (aneurysm) — the full-width state DMA was already
+  mostly hidden under the dot passes.
 
 The math is the same composite objective as ``models/desmo.py`` +
 ``losses.py`` + ``optim.py`` (reference ``DESMO/cylinder_flow/
@@ -61,6 +68,13 @@ from jax.experimental.pallas import tpu as pltpu
 from desmo_tpu import library
 
 LANES = 128
+# AUG-space state (phi/mu/nu/dlat) only ever populates lanes 0..r (r <= 8),
+# so the STREAMED transport ships it through HBM at AUGW lanes instead of
+# 128 — the ping-pong traffic of the large presets (aneurysm: 113 MB/step of
+# state + 14 MB of pod at full width) shrinks ~8x. In-kernel VPU cost is
+# unchanged (narrow f32 arrays occupy the same (8, 128)-tiled vregs); only
+# the DMA shrinks. The resident transport keeps full-width VMEM scratch.
+AUGW = 16
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
 # Timing-attribution ablations (scripts/ablate_megakernel.py). Timing on TPU
 # is data-independent, so numerics-breaking stubs still measure real cost.
@@ -250,14 +264,14 @@ def _make_kernel(
             return tuple(next(it) for _ in range(k))
 
         (sel_ref, gidx_ref, mrow_ref, pod_ref, xhi_ref, xlo_ref,
-         phi0_ref, mu0_ref, nu0_ref) = take(9)
+         init0_ref) = take(7)
         if fourier:
             zc0_ref, zcmu0_ref, zcnu0_ref, per0_ref, trow_ref = take(5)
         else:
             b0_ref, bmu0_ref, bnu0_ref = take(3)
         crow0_ref, svec0_ref = take(2)
         if aliased:
-            phiin_ref, muin_ref, nuin_ref, dlin_ref = take(4)
+            stin_ref, dlin_ref = take(2)
         (met_ref,) = take(1)
         if not streamed:
             phio_ref, muo_ref, nuo_ref = take(3)
@@ -267,8 +281,8 @@ def _make_kernel(
             b_ref, bmu_ref, bnu_ref = take(3)
         crow_ref, svec_ref = take(2)
         if streamed:
-            phiout_ref, muout_ref, nuout_ref, dlout_ref = take(4)
-            cur_phi, cur_mu, cur_nu = take(3)
+            stout_ref, dlout_ref = take(2)
+            (cur_ref,) = take(1)
         else:
             phis, mus, nus, dlat = take(4)
         ax_s, ga_s, auga_s, gb_s, bhs, bls, acc_s, sign_s = take(8)
@@ -293,31 +307,38 @@ def _make_kernel(
             idx = jnp.broadcast_to(gidx_ref[row : row + 1, :], x.shape)
             return jnp.take_along_axis(x, idx, axis=1)
 
-        # --- per-tile state access: resident mode slices full-VMEM scratch;
-        # streamed modes ping-pong (2, n_pad, 128) HBM arrays through blocks —
-        # input parity (s-1) % 2, output parity s % 2 (_parity_in/_parity_out,
+        # --- per-tile state access: resident mode slices full-VMEM scratch
+        # (128-lane); streamed modes ping-pong COMPACT HBM arrays through
+        # blocks — phi/mu/nu packed as three AUGW-lane slots of one
+        # (2, n_pad, 3*AUGW) array plus a (2, n_pad, AUGW) dlat array (dlat is
+        # separate because it is written at a later program point than the
+        # write-through; combining would need lane-sliced ref stores). Input
+        # parity (s-1) % 2, output parity s % 2 (_parity_in/_parity_out,
         # shared by the index maps, the in-kernel emul indexing and the host
         # final-parity selection). 'aliased' (hardware) glues write->read via
-        # input_output_aliases on (1, bt, 128) blocks; 'emul' (interpret-safe
+        # input_output_aliases on (1, bt, w) blocks; 'emul' (interpret-safe
         # CI equivalent) reads and writes both parities of the OUTPUT block
-        # (2, bt, 128) directly, no aliasing. The intra-visit carrier (updated
-        # phi for this visit's forward) is a tiny (bt, 128) scratch.
+        # (2, bt, w) directly, no aliasing. The intra-visit carrier (updated
+        # phi/mu/nu for this visit's forward) is a (bt, 3*AUGW) scratch.
+        def _slot(v, k):
+            return v[:, AUGW * k : AUGW * (k + 1)]
+
         def pod_tile():
             return pod_ref[:] if streamed else pod_ref[tile, :]
 
         def state_read():
             if aliased:
-                return phiin_ref[0], muin_ref[0], nuin_ref[0], dlin_ref[0]
+                st = stin_ref[0]
+                return _slot(st, 0), _slot(st, 1), _slot(st, 2), dlin_ref[0]
             if streamed:
                 pi = _parity_in(s)
-                return phiout_ref[pi], muout_ref[pi], nuout_ref[pi], dlout_ref[pi]
+                st = stout_ref[pi]
+                return _slot(st, 0), _slot(st, 1), _slot(st, 2), dlout_ref[pi]
             return phis[tile, :], mus[tile, :], nus[tile, :], dlat[tile, :]
 
         def state_write(phi_t, mu_t, nu_t):
             if streamed:
-                cur_phi[:] = phi_t
-                cur_mu[:] = mu_t
-                cur_nu[:] = nu_t
+                cur_ref[:] = jnp.concatenate([phi_t, mu_t, nu_t], axis=1)
             else:
                 phis[tile, :] = phi_t
                 mus[tile, :] = mu_t
@@ -325,13 +346,24 @@ def _make_kernel(
 
         def cur_state():
             if streamed:
-                return cur_phi[:]
+                return _slot(cur_ref[:], 0)
             return phis[tile, :]
+
+        def _widen(v):
+            # AUGW-lane aug-space value -> 128-lane (zero lanes >= AUGW)
+            return jnp.concatenate(
+                [v, jnp.zeros((v.shape[0], LANES - AUGW), v.dtype)], axis=1
+            )
 
         # ------------------------------------------------ init (s == 0)
         @pl.when(s == 0)
         def _():
-            state_write(phi0_ref[:], mu0_ref[:], nu0_ref[:])
+            i0 = init0_ref[:]
+            p0, m0, n0 = _slot(i0, 0), _slot(i0, 1), _slot(i0, 2)
+            if streamed:
+                state_write(p0, m0, n0)
+            else:
+                state_write(_widen(p0), _widen(m0), _widen(n0))
 
         @pl.when(jnp.logical_and(s == 0, t == 0))
         def _():
@@ -361,6 +393,12 @@ def _make_kernel(
             aug_old = pod * phi_t
             if _ABLATE.get("nodlo"):
                 dlo = aug_old * 0.19
+            elif streamed:
+                # compact state: contract the AUGW-lane aug against the top
+                # AUGW sign rows, keep the AUGW output lanes
+                dlo = _dot2(aug_old, sign_s[0:AUGW, :].astype(jnp.bfloat16))[
+                    :, :AUGW
+                ]
             else:
                 dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
             g = (dl_prev + beta * dlo) * pod
@@ -371,9 +409,7 @@ def _make_kernel(
         if streamed:
             # persist this visit's state at output parity s % 2 (write-through)
             po = 0 if aliased else _parity_out(s)
-            phiout_ref[po] = cur_phi[:]
-            muout_ref[po] = cur_mu[:]
-            nuout_ref[po] = cur_nu[:]
+            stout_ref[po] = cur_ref[:]
         else:
             # final-state streams, written only in the terminal update sweep
             @pl.when(s == num_steps)
@@ -443,7 +479,10 @@ def _make_kernel(
             else:
                 xb = _d(xh, bhs[:], _XBD) + _d(xh, bls[:], _XBD) + _d(xl, bhs[:], _XBD)
             pod = pod_tile()
-            aug = pod * cur_state()
+            if streamed:
+                aug = _widen(pod * cur_state())
+            else:
+                aug = pod * cur_state()
             ah, al = _split(aug)
 
             # factor selections as EXACT f32 lane gathers (no MXU, no hi/lo)
@@ -516,7 +555,7 @@ def _make_kernel(
                 denom = jnp.where(aug == 0.0, 1.0, aug)
                 dl = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
             if streamed:
-                dlout_ref[0 if aliased else _parity_out(s)] = dl
+                dlout_ref[0 if aliased else _parity_out(s)] = dl[:, :AUGW]
             else:
                 dlat[tile, :] = dl
 
@@ -699,9 +738,9 @@ def _build_call(
         return (0, 0)
 
     def initmap(s, t):
-        # init-state streams are only read at s == 0; afterwards pin the
+        # the init-state stream is only read at s == 0; afterwards pin the
         # index so the blocks are never re-fetched (a plain (t, 0) map would
-        # re-stream 12 MB of dead DMA per optimizer step)
+        # re-stream dead DMA on every optimizer step)
         return (jnp.where(s < 1, t, n_tiles - 1), 0)
 
     def finalmap(s, t):
@@ -724,28 +763,34 @@ def _build_call(
     def bothmap(s, t):
         return (0, t, 0)
 
-    state_blk = pl.BlockSpec((1, bt, LANES), pingmap_in, memory_space=pltpu.VMEM)
+    # streamed state travels compact: phi/mu/nu as AUGW-lane slots of one
+    # ping-pong array, dlat as its own AUGW-lane array (see the kernel's
+    # state-access comment)
+    stw = 3 * AUGW
+    st_blk = pl.BlockSpec((1, bt, stw), pingmap_in, memory_space=pltpu.VMEM)
+    dl_blk = pl.BlockSpec((1, bt, AUGW), pingmap_in, memory_space=pltpu.VMEM)
     if transport == "emul":
         # both parities of the tile in one block; parity picked in-kernel
-        state_out_blk = pl.BlockSpec((2, bt, LANES), bothmap, memory_space=pltpu.VMEM)
+        st_out_blk = pl.BlockSpec((2, bt, stw), bothmap, memory_space=pltpu.VMEM)
+        dl_out_blk = pl.BlockSpec((2, bt, AUGW), bothmap, memory_space=pltpu.VMEM)
     else:
-        state_out_blk = pl.BlockSpec((1, bt, LANES), pingmap_out, memory_space=pltpu.VMEM)
-    state_shape = jax.ShapeDtypeStruct((2, n_pad, LANES), jnp.float32)
+        st_out_blk = pl.BlockSpec((1, bt, stw), pingmap_out, memory_space=pltpu.VMEM)
+        dl_out_blk = pl.BlockSpec((1, bt, AUGW), pingmap_out, memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((2, n_pad, stw), jnp.float32)
+    dl_shape = jax.ShapeDtypeStruct((2, n_pad, AUGW), jnp.float32)
 
     in_specs = [
         pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         (
-            pl.BlockSpec((bt, LANES), tmap, memory_space=pltpu.VMEM)
+            pl.BlockSpec((bt, AUGW), tmap, memory_space=pltpu.VMEM)
             if streamed
             else pl.BlockSpec((n_pad, LANES), cmap, memory_space=pltpu.VMEM)
         ),
         pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, m_pad), tmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, LANES), initmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, stw), initmap, memory_space=pltpu.VMEM),
     ]
     if fourier:
         in_specs += [
@@ -807,16 +852,14 @@ def _build_call(
     io_aliases = {}
     if streamed:
         if transport == "aliased":
-            in_specs += [state_blk] * 4  # phiin, muin, nuin, dlin
-            # phiin..dlin alias phiout..dlout (met + small outs precede them)
+            in_specs += [st_blk, dl_blk]  # stin, dlin
+            # stin/dlin alias stout/dlout (met + small outs precede them)
             n_small = 1 + len(small_outs)
-            io_aliases = {n_in + i: n_small + i for i in range(4)}
-        out_specs += small_outs + [state_out_blk] * 4
-        out_shape += small_shapes + [state_shape] * 4
+            io_aliases = {n_in + i: n_small + i for i in range(2)}
+        out_specs += small_outs + [st_out_blk, dl_out_blk]
+        out_shape += small_shapes + [st_shape, dl_shape]
         scratch = [
-            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_phi
-            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_mu
-            pltpu.VMEM((bt, LANES), jnp.float32),  # cur_nu
+            pltpu.VMEM((bt, stw), jnp.float32),  # cur phi/mu/nu slots
         ] + scratch
     else:
         out_specs += [
@@ -871,10 +914,10 @@ class _Packed(NamedTuple):
     svec0: jnp.ndarray
 
 
-def _pack_aug(vec_rn, n_pad, lane0=None):
-    """(r, n) -> (n_pad, 128) with lanes 1..r; lane 0 = lane0 (or 0)."""
+def _pack_aug(vec_rn, n_pad, lane0=None, width=LANES):
+    """(r, n) -> (n_pad, width) with lanes 1..r; lane 0 = lane0 (or 0)."""
     r, n = vec_rn.shape
-    out = jnp.zeros((n_pad, LANES), jnp.float32)
+    out = jnp.zeros((n_pad, width), jnp.float32)
     out = out.at[:n, 1 : r + 1].set(vec_rn.T.astype(jnp.float32))
     if lane0 is not None:
         out = out.at[:, 0].set(lane0)
@@ -1016,7 +1059,7 @@ def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> boo
     m_pad = _round_up(spec.m, LANES)
     mb = 1 / (1024 * 1024)
     state = 4 * n_pad * LANES * 4 * mb  # phi/mu/nu/dlat scratch
-    init_streams = (3 * 2 * bt * LANES * 4 + n_pad * LANES * 4) * mb
+    init_streams = (2 * bt * 3 * AUGW * 4 + n_pad * LANES * 4) * mb
     b_state = 10 * LANES * m_pad * 4 * mb  # B in/out/moments + ax + gb rows
     x_stream = 2 * 2 * bt * m_pad * 2 * mb  # double-buffered bf16 planes
     return state + init_streams + b_state + x_stream + 2.0 < vmem_budget_mb
@@ -1092,11 +1135,26 @@ def make_fused_train_chunk(
             interpret, transport, nf,
         )
         rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
-        pod_fw = _pack_aug(batch["pod_modes"].T, n_pad, lane0=rowmask)
+        # streamed transport ships pod compact (AUGW lanes); resident keeps
+        # the full-width VMEM-resident layout. Init state is always packed
+        # compact as three AUGW slots of one stream (widened in-kernel for
+        # the resident scratch).
+        pod_fw = _pack_aug(
+            batch["pod_modes"].T, n_pad, lane0=rowmask,
+            width=AUGW if streamed else LANES,
+        )
         params, opt, sched = state.params, state.opt, state.sched
-        phi0 = _pack_aug(params["phi"], n_pad, lane0=jnp.ones((n_pad,), jnp.float32))
-        mu0 = _pack_aug(opt.mu["phi"], n_pad)
-        nu0 = _pack_aug(opt.nu["phi"], n_pad)
+        init0 = jnp.concatenate(
+            [
+                _pack_aug(
+                    params["phi"], n_pad,
+                    lane0=jnp.ones((n_pad,), jnp.float32), width=AUGW,
+                ),
+                _pack_aug(opt.mu["phi"], n_pad, width=AUGW),
+                _pack_aug(opt.nu["phi"], n_pad, width=AUGW),
+            ],
+            axis=1,
+        )
         if fourier:
             from desmo_tpu.models import fourier as fourier_model
 
@@ -1145,9 +1203,7 @@ def make_fused_train_chunk(
             pod_fw,
             x_hi,
             x_lo,
-            phi0,
-            mu0,
-            nu0,
+            init0,
         ]
         if fourier:
             args += [zc0, zcmu0, zcnu0, per0, trow]
@@ -1158,13 +1214,18 @@ def make_fused_train_chunk(
             if transport == "aliased":
                 # ping-pong state arrays (donated into their aliased outputs);
                 # parity (s-1)%2 is never read before parity s%2 was written
-                zstate = jnp.zeros((2, n_pad, LANES), jnp.float32)
-                args += [zstate, zstate, zstate, zstate]
-            (met, *small, phiio, muio, nuio, _dl) = call(*args)
+                args += [
+                    jnp.zeros((2, n_pad, 3 * AUGW), jnp.float32),
+                    jnp.zeros((2, n_pad, AUGW), jnp.float32),
+                ]
+            (met, *small, stio, _dl) = call(*args)
             # generation written in the final sweep: same parity arithmetic
             # as the kernel's _parity_out at s = num_steps
             parity = int(num_steps) % 2
-            phio, muo, nuo = phiio[parity], muio[parity], nuio[parity]
+            st = stio[parity]
+            phio = st[:, 0 * AUGW : 1 * AUGW]
+            muo = st[:, 1 * AUGW : 2 * AUGW]
+            nuo = st[:, 2 * AUGW : 3 * AUGW]
         else:
             (met, phio, muo, nuo, *small) = call(*args)
         if fourier:

@@ -1,8 +1,10 @@
-"""Same-window ablation attribution of the cylinder mega-kernel step.
+"""Same-window ablation attribution of the mega-kernel step (any preset).
 
 Each variant stubs one cost center via train_chunk._ABLATE (timing on TPU is
 data-independent, so numerics-breaking stubs still measure real cost); the
 delta vs baseline attributes that center's share of the step budget.
+
+    python scripts/ablate_megakernel.py [preset] [steps]
 """
 
 import sys
@@ -22,12 +24,12 @@ def main():
     from desmo_tpu.models import desmo
     from desmo_tpu.pallas import train_chunk as tc
 
-    cfg = configs.get("cylinder")
+    cfg = configs.get(sys.argv[1] if len(sys.argv) > 1 else "cylinder")
     spec = desmo.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     p = pod.pod(x, cfg.r)
     params = desmo.init_params(spec)
-    steps = 2000
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     batch = tc.prepare_batch(x, p.modes, bt=512, bm=128)
 
     def timed(reps=7):
