@@ -20,6 +20,7 @@ DESMO-Cylinder.py:781-786``; SURVEY §5.3-5.4). This module provides:
 
 from __future__ import annotations
 
+import functools
 import io
 import pickle
 import zipfile
@@ -33,7 +34,40 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _pack_leaves(leaves):
+    import jax.numpy as jnp
+
+    return jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+
+def device_fetch_tree(tree):
+    """Copy a pytree to host with ONE dispatch + ONE transfer per dtype
+    instead of one round trip per leaf: each per-leaf ``np.asarray`` (and
+    each eagerly dispatched op) costs a full tunneled round trip on this
+    runtime — measured ~25 ms each, ~620 ms per TrainState checkpoint, which
+    cut end-to-end runner throughput 4x at checkpoint_every=2000. The leaves
+    are packed into one device buffer by a single jitted call and fetched
+    once."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = list(leaves)
+    by_dtype: dict[np.dtype, list[int]] = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            by_dtype.setdefault(np.dtype(leaf.dtype), []).append(i)
+        else:
+            out[i] = np.asarray(leaf)
+    for idxs in by_dtype.values():
+        packed = np.asarray(_pack_leaves([leaves[i] for i in idxs]))
+        off = 0
+        for i in idxs:
+            out[i] = packed[off : off + leaves[i].size].reshape(leaves[i].shape)
+            off += leaves[i].size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
+    tree = device_fetch_tree(tree)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(

@@ -405,6 +405,9 @@ def run(
 
 
 def _to_state_dict(params: dict, variant: str) -> dict:
+    # one packed host fetch up front — the per-key np.asarray calls inside
+    # state_dict_from_params would otherwise each pay a tunnel round trip
+    params = checkpoint.device_fetch_tree(params)
     if variant == "ae":
         return ae_model.state_dict_from_params(params)
     return checkpoint.state_dict_from_params(params, variant)
