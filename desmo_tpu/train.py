@@ -312,8 +312,13 @@ def fit(
         n = min(chunk_size, end_epoch - done)
         state, metrics = train_chunk(state, batch, num_steps=n)
         # host transfer doubles as the synchronization fence (some TPU
-        # runtimes do not block in block_until_ready)
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        # runtimes do not block in block_until_ready); one packed fetch —
+        # per-key np.asarray costs a tunneled round trip each
+        from desmo_tpu import checkpoint as _ckpt
+
+        metrics = {
+            k: np.asarray(v) for k, v in _ckpt.device_fetch_tree(metrics).items()
+        }
         if not np.isfinite(metrics["total"][-1]):
             # failure detection (SURVEY §5.3): stop at the chunk boundary with
             # the last finite state still checkpointable by the caller
