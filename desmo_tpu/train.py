@@ -35,6 +35,26 @@ LossFn = Callable[[dict, dict], tuple[jnp.ndarray, dict]]
 """(params, batch) -> (total_loss, metrics dict incl. 'rec','ortho','l1')."""
 
 
+@jax.jit
+def _snapshot_tree(tree):
+    """Device-side copy of a pytree in one dispatch (eager per-leaf copies
+    would each pay a tunneled round trip). Used to decouple checkpoint
+    fetches from the donated training-state buffers."""
+    return jax.tree.map(jnp.copy, tree)
+
+
+_CKPT_POOL = None
+
+
+def _ckpt_pool():
+    global _CKPT_POOL
+    if _CKPT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CKPT_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    return _CKPT_POOL
+
+
 class TrainState(NamedTuple):
     params: dict
     opt: optim.AdamaxState
@@ -303,6 +323,7 @@ def fit(
     batch = jax.tree.map(jnp.asarray, batch)
 
     histories: list[dict] = []
+    _ckpt_pending = None
     start_epoch = int(state.epoch)
     end_epoch = start_epoch + num_epochs
     t0 = None  # started after the first chunk, to exclude compile time
@@ -345,7 +366,16 @@ def fit(
         if checkpoint_fn is not None and (
             done % cfg.checkpoint_every == 0 or done == end_epoch
         ):
-            checkpoint_fn(state, done)
+            # Async checkpoint: snapshot the state on-device with ONE jitted
+            # dispatch (the next chunk donates/overwrites these buffers), then
+            # fetch + write on a worker thread so the ~180 ms save overlaps
+            # the next chunk's compute instead of stalling the loop.
+            snap = _snapshot_tree(state)
+            if _ckpt_pending is not None:
+                _ckpt_pending.result()  # surface errors; keep writes ordered
+            _ckpt_pending = _ckpt_pool().submit(checkpoint_fn, snap, done)
+    if _ckpt_pending is not None:
+        _ckpt_pending.result()
     wall = time.perf_counter() - t0 if t0 is not None else 0.0
     # The first chunk's steps ran before the timer started (compile excluded).
     steps_timed = num_epochs - first_chunk
