@@ -486,9 +486,12 @@ def _make_kernel(
             ah, al = _split(aug)
 
             # factor selections as EXACT f32 lane gathers (no MXU, no hi/lo)
-            prod = gather(aug, 0)
-            for p in range(1, P):
-                prod = prod * gather(aug, p)
+            if _ABLATE.get("nogather"):
+                prod = aug * 0.7
+            else:
+                prod = gather(aug, 0)
+                for p in range(1, P):
+                    prod = prod * gather(aug, p)
             theta = prod * polymask
             args = prod * (omrow * trigmask)
             if _ABLATE.get("notrig"):
@@ -536,12 +539,16 @@ def _make_kernel(
             dA = (2.0 / nm) * (_dot3(A, gb_s[:], _STD) - xb)
             dD = dA * crow
             dtheta = dD * polymask
-            deriv = Cs * msin - Sn * mcos + (1.0 - Th * Th) * mtanh
+            if _ABLATE.get("noderiv"):
+                deriv = Th
+            else:
+                deriv = Cs * msin - Sn * mcos + (1.0 - Th * Th) * mtanh
             darg = dD * trigmask * deriv
 
-            acc_s[0:1, :] = acc_s[0:1, :] + jnp.sum(dA * D, axis=0, keepdims=True)
-            latrep = prod * trigmask
-            acc_s[1:2, :] = acc_s[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
+            if not _ABLATE.get("noacc"):
+                acc_s[0:1, :] = acc_s[0:1, :] + jnp.sum(dA * D, axis=0, keepdims=True)
+                latrep = prod * trigmask
+                acc_s[1:2, :] = acc_s[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
 
             dl = _dot2(darg * omrow, SEL(0))  # trig -> aug lanes
             # poly backward: d theta_t / d lat_i = E[t,i] * theta_t / lat_i —

@@ -32,7 +32,7 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     batch = tc.prepare_batch(x, p.modes, bt=512, bm=128)
 
-    def timed(reps=7):
+    def timed(reps=3):
         fused = tc.make_fused_train_chunk(spec, cfg, bt=512)
         state = jax.tree.map(jnp.array, train.init_state(params, cfg))
         state, mets = fused(state, batch, num_steps=steps)
@@ -50,10 +50,10 @@ def main():
         {"notrig": True},
         {"noxb": True},
         {"noaxga": True},
-        {"noconcat": True},
+        {"noacc": True},
+        {"nogather": True},
+        {"noderiv": True},
         {"nodlo": True},
-        {"nopoly": True},
-        {"notrig": True, "nodlo": True, "nopoly": True},
         {},
     ]
     base = None
