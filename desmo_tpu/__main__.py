@@ -145,13 +145,16 @@ def cmd_sr(args) -> int:
         npz_path=args.npz,
         synthetic=args.synthetic,
     )
-    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], cfg.r, cfg.poly_order, cfg.omega_init)
     sd = checkpoint.load_pt(args.checkpoint)
+    # size the model from the checkpoint (the shipped SR checkpoint is r=2,
+    # P=2 on cylinder data whose training preset is r=4, P=3)
+    r, poly_order = checkpoint.infer_spec_dims(sd)
+    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
     params = checkpoint.params_from_state_dict(sd, "desmo")
     import jax.numpy as jnp
 
     # imported checkpoints pair with the reference's np.linalg.svd mode signs
-    p = pod.pod_host(x, cfg.r)
+    p = pod.pod_host(x, r)
     batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
     result = sr.identify_and_reinject(
         params,

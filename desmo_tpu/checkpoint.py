@@ -338,6 +338,26 @@ def save_pt(path: str, state_dict: Mapping[str, np.ndarray]) -> None:
 # ---------------------------------------------------------------------------
 
 
+def infer_spec_dims(sd: Mapping[str, np.ndarray]) -> tuple[int, int]:
+    """(r, poly_order) of a reference-scheme desmo/fourier state dict.
+
+    The reference trains different ranks per experiment (the shipped DESMO-SR
+    checkpoint is r=2, P=2 while the cylinder preset is r=4, P=3), so
+    read-and-infer flows must size the model from the CHECKPOINT, not the
+    preset: r = number of ``phi_list.*`` masks, poly_order recovered from
+    ``len(c_coef)`` = C(r + P, P)."""
+    from desmo_tpu import library
+
+    r = sum(1 for k in sd if k.startswith("phi_list."))
+    if r == 0:
+        raise ValueError("state dict has no phi_list.* keys (AE checkpoint?)")
+    T = int(np.asarray(sd["c_coef"]).reshape(-1).shape[0])
+    for P in range(1, 13):
+        if library.num_poly_terms(r, P) == T:
+            return r, P
+    raise ValueError(f"no poly_order matches r={r}, len(c_coef)={T}")
+
+
 def params_from_state_dict(sd: Mapping[str, np.ndarray], variant: str = "desmo") -> dict:
     """Convert a reference ``state_dict`` into this framework's params pytree.
 

@@ -423,8 +423,20 @@ def evaluate(
     report error + POD baselines + sparsification table — the reference's
     read-and-infer workflow (``DESMO-SR/...py:620-713``), no training."""
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
-    spec, _params, _loss, _groups = build_model(cfg)
     sd = checkpoint.load_pt(checkpoint_path)
+    if cfg.variant != "ae":
+        # size the model from the CHECKPOINT — the reference trains different
+        # ranks per experiment (the shipped SR checkpoint is r=2, P=2 on
+        # cylinder data whose preset is r=4, P=3)
+        r, poly_order = checkpoint.infer_spec_dims(sd)
+        if (r, poly_order) != (cfg.r, cfg.poly_order):
+            if echo:
+                print(
+                    f"checkpoint is r={r}, P={poly_order} "
+                    f"(preset {cfg.r}, {cfg.poly_order}) — using checkpoint dims"
+                )
+            cfg = dataclasses.replace(cfg, r=r, poly_order=poly_order)
+    spec, _params, _loss, _groups = build_model(cfg)
     if cfg.variant == "ae":
         params = ae_model.params_from_state_dict(sd, spec)
     else:

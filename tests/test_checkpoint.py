@@ -132,3 +132,39 @@ def test_golden_checkpoints_import():
                 k.startswith(("period_list", "trig_period_list")) and got.shape == sd_ours[k].shape
             ), f"{path}:{k}: {got.shape} vs {sd_ours[k].shape}"
             np.testing.assert_array_equal(got, sd_ours[k], err_msg=f"{path}:{k}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference repo not mounted")
+def test_infer_spec_dims_from_shipped_checkpoints():
+    """Read-and-infer flows size the model from the CHECKPOINT: the shipped
+    SR checkpoint is r=2, P=2 while the cylinder training preset is r=4, P=3
+    (regression: cmd_sr/evaluate used the preset dims and crashed on shape
+    mismatch)."""
+    from desmo_tpu import checkpoint as ck
+
+    sr_pt = f"{REFERENCE}/DESMO-SR/cylinder_flow/DESMO_r2_final_2025-01-27_20-41-11.pt"
+    assert ck.infer_spec_dims(ck.load_pt(sr_pt)) == (2, 2)
+    cyl = glob.glob(f"{REFERENCE}/DESMO/cylinder_flow/DESMO_r4_final_*.pt")
+    assert cyl and ck.infer_spec_dims(ck.load_pt(cyl[0])) == (4, 3)
+
+
+def test_evaluate_with_mismatched_rank_checkpoint(tmp_path):
+    """runner.evaluate overrides the preset (r, P) with the checkpoint's."""
+    import dataclasses
+
+    from desmo_tpu import checkpoint as ck, configs, runner
+    from desmo_tpu.io import synthetic
+    from desmo_tpu.models import desmo
+
+    # save a tiny r=2/P=2 checkpoint, evaluate under an r=3/P=3 preset
+    spec = desmo.DesmoSpec(50, 30, 2, 2, 1.0)
+    params = desmo.init_params(spec)
+    pt = str(tmp_path / "r2.pt")
+    ck.save_pt(pt, ck.state_dict_from_params(params, "desmo"))
+    cfg = configs.RunConfig(
+        name="t", variant="desmo", n=50, m=30, r=3, poly_order=3,
+        omega_init=1.0, num_epochs=10,
+    )
+    x = synthetic.separable_rank_k(50, 30, k=2, seed=0)
+    out = runner.evaluate(cfg, x, pt, echo=False)
+    assert np.isfinite(out["relative_error"])
