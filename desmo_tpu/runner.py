@@ -436,6 +436,11 @@ def evaluate(
                     f"(preset {cfg.r}, {cfg.poly_order}) — using checkpoint dims"
                 )
             cfg = dataclasses.replace(cfg, r=r, poly_order=poly_order)
+        if cfg.variant == "fourier" and "z_list.0" in sd:
+            # series length = 2*nF + 1 coefficients per channel
+            nf = (int(np.asarray(sd["z_list.0"]).reshape(-1).shape[0]) - 1) // 2
+            if nf != cfg.n_fourier:
+                cfg = dataclasses.replace(cfg, n_fourier=nf)
     spec, _params, _loss, _groups = build_model(cfg)
     if cfg.variant == "ae":
         params = ae_model.params_from_state_dict(sd, spec)
