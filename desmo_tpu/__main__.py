@@ -204,7 +204,7 @@ def main(argv=None) -> int:
     p_run.add_argument(
         "--mesh", default=None, metavar="SPEC",
         help="distribute training over a device mesh, e.g. 'space=4,time=2' "
-        "(desmo variants run the sharded mega-kernel; others the sharding-"
+        "(desmo/fourier run the sharded mega-kernel; others the sharding-"
         "aware scanned chunk)",
     )
     p_run.add_argument(

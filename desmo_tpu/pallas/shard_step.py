@@ -203,9 +203,13 @@ def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret):
 
 
 def supports_sharded(spec, cfg) -> bool:
-    """The sharded chunk covers the plain DESMO variant (the configuration
-    spatial sharding exists for — aneurysm-scale row counts)."""
-    return getattr(cfg, "variant", "desmo") == "desmo" and supports(spec, cfg)
+    """The sharded chunk covers the plain DESMO and DESMOFourier variants
+    (the configurations spatial sharding exists for — aneurysm-scale row
+    counts); same lane bounds as the single-chip mega-kernel."""
+    return (
+        getattr(cfg, "variant", "desmo") in ("desmo", "fourier")
+        and supports(spec, cfg)
+    )
 
 
 def make_sharded_fused_chunk(
@@ -220,6 +224,13 @@ def make_sharded_fused_chunk(
     moments stay row-sharded over 'space' for the entire chunk; B/coef/omega/
     scheduler state is replicated (identical update computed on every device
     from the psummed reductions).
+
+    Fourier variant: the series parameters (z/z_trig coefficients + learnable
+    periods) are carried natively and the packed temporal matrix B is
+    materialized per step via ``fourier_model.fourier_series_batch`` under
+    ``jax.vjp`` — the analytic dL/dB from the psummed reductions chains
+    through the exact same series construction as the scanned path, so
+    numerics stay in the same class as the desmo branch.
     """
     if not supports_sharded(spec, cfg):
         raise ValueError(f"sharded mega-kernel does not support preset {cfg.name!r}")
@@ -232,6 +243,12 @@ def make_sharded_fused_chunk(
     beta = float(cfg.beta)
     lam = float(cfg.l1_lambda)
     b1, b2, eps = _B1, _B2, _EPS
+    fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    if fourier:
+        from desmo_tpu.models import fourier as fourier_model
+
+        tgrid = jnp.asarray(fourier_model.t_points(m))
+        _SKEYS = ("z", "z_trig", "period", "trig_period")
 
     from desmo_tpu import optim, train
 
@@ -252,9 +269,14 @@ def make_sharded_fused_chunk(
         phi0 = _pack_aug(params["phi"], n_pad, lane0=jnp.ones((n_pad,), jnp.float32))
         mu0 = _pack_aug(opt.mu["phi"], n_pad)
         nu0 = _pack_aug(opt.nu["phi"], n_pad)
-        b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
-        bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
-        bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
+        if fourier:
+            b0 = {k: params[k] for k in _SKEYS}
+            bmu0 = {k: opt.mu[k] for k in _SKEYS}
+            bnu0 = {k: opt.nu[k] for k in _SKEYS}
+        else:
+            b0 = _pack_b(params["z"], params["z_trig"], T, m_pad)
+            bmu0 = _pack_b(opt.mu["z"], opt.mu["z_trig"], T, m_pad)
+            bnu0 = _pack_b(opt.nu["z"], opt.nu["z_trig"], T, m_pad)
         crow0 = jnp.stack(
             [
                 _pack_wide_row(params["c"], params["c_trig"], T, r),
@@ -282,14 +304,27 @@ def make_sharded_fused_chunk(
 
             def step(carry, _):
                 phi, mu, nu, b, bmu, bnu, crow, count, sched, epoch = carry
-                bh, bl = _split(b)
+                if fourier:
+                    def build_b(sp):
+                        zv = fourier_model.fourier_series_batch(
+                            sp["z"], sp["period"], tgrid
+                        )
+                        ztv = fourier_model.fourier_series_batch(
+                            sp["z_trig"], sp["trig_period"], tgrid
+                        )
+                        return _pack_b(zv, ztv, T, m_pad)
+
+                    bser, build_vjp = jax.vjp(build_b, b)
+                else:
+                    bser = b
+                bh, bl = _split(bser)
                 gb = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
                 dl, ax, ga, auga, acc = call(
                     sel, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb, crow,
                 )
                 ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
 
-                rec = (jnp.sum(ga * gb) - 2.0 * jnp.sum(ax * b) + x_sq) / (n * m)
+                rec = (jnp.sum(ga * gb) - 2.0 * jnp.sum(ax * bser) + x_sq) / (n * m)
                 orthov = 0.5 * jnp.sum(jnp.abs(auga * offdiag))
                 l1v = jnp.sum(jnp.abs(crow[0:1, :]) * coefmask)
                 total = rec + beta * orthov + lam * l1v
@@ -301,10 +336,28 @@ def make_sharded_fused_chunk(
                     sched.lrs[0], sched.lrs[1], sched.lrs[2], sched.lrs[3],
                 )
 
-                gB = (2.0 / (n * m)) * (_dot3(ga, b, _STD) - ax)
-                bmu_n = b1 * bmu + (1.0 - b1) * gB
-                bnu_n = jnp.maximum(b2 * bnu, jnp.abs(gB) + eps)
-                b_n = b - (lr_z / bias) * bmu_n / bnu_n
+                gB = (2.0 / (n * m)) * (_dot3(ga, bser, _STD) - ax)
+                if fourier:
+                    (gsp,) = build_vjp(gB)
+                    lr_of = {
+                        "z": lr_z, "z_trig": lr_z,
+                        "period": sched.lrs[4], "trig_period": sched.lrs[4],
+                    }
+                    bmu_n = {
+                        k: b1 * bmu[k] + (1.0 - b1) * gsp[k] for k in b
+                    }
+                    bnu_n = {
+                        k: jnp.maximum(b2 * bnu[k], jnp.abs(gsp[k]) + eps)
+                        for k in b
+                    }
+                    b_n = {
+                        k: b[k] - (lr_of[k] / bias) * bmu_n[k] / bnu_n[k]
+                        for k in b
+                    }
+                else:
+                    bmu_n = b1 * bmu + (1.0 - b1) * gB
+                    bnu_n = jnp.maximum(b2 * bnu, jnp.abs(gB) + eps)
+                    b_n = b - (lr_z / bias) * bmu_n / bnu_n
 
                 gC = acc[0:1, :] + lam * jnp.sign(crow[0:1, :]) * coefmask
                 cmu = b1 * crow[1:2, :] + (1.0 - b1) * gC
@@ -360,27 +413,23 @@ def make_sharded_fused_chunk(
             x_sq,
         )
 
-        z, z_trig = _unpack_b(bfw, T, r, m)
-        mz, mzt = _unpack_b(bmufw, T, r, m)
-        nz, nzt = _unpack_b(bnufw, T, r, m)
         c, c_trig = _unpack_wide_row(crow_o[0], T, r)
         mc, mct = _unpack_wide_row(crow_o[1], T, r)
         nc, nct = _unpack_wide_row(crow_o[2], T, r)
         _, omega = _unpack_wide_row(crow_o[3], T, r)
         _, momega = _unpack_wide_row(crow_o[4], T, r)
         _, nomega = _unpack_wide_row(crow_o[5], T, r)
-        new_params = {
-            "phi": _unpack_aug(phio, r, n), "c": c, "z": z, "z_trig": z_trig,
-            "c_trig": c_trig, "omega": omega,
-        }
-        new_mu = {
-            "phi": _unpack_aug(muo, r, n), "c": mc, "z": mz, "z_trig": mzt,
-            "c_trig": mct, "omega": momega,
-        }
-        new_nu = {
-            "phi": _unpack_aug(nuo, r, n), "c": nc, "z": nz, "z_trig": nzt,
-            "c_trig": nct, "omega": nomega,
-        }
+        new_params = {"phi": _unpack_aug(phio, r, n), "c": c, "c_trig": c_trig, "omega": omega}
+        new_mu = {"phi": _unpack_aug(muo, r, n), "c": mc, "c_trig": mct, "omega": momega}
+        new_nu = {"phi": _unpack_aug(nuo, r, n), "c": nc, "c_trig": nct, "omega": nomega}
+        if fourier:
+            new_params.update(bfw)
+            new_mu.update(bmufw)
+            new_nu.update(bnufw)
+        else:
+            for tree, packed in ((new_params, bfw), (new_mu, bmufw), (new_nu, bnufw)):
+                zv, ztv = _unpack_b(packed, T, r, m)
+                tree["z"], tree["z_trig"] = zv, ztv
         new_state = train.TrainState(
             params={k: new_params[k] for k in state.params},
             opt=optim.AdamaxState(

@@ -147,7 +147,7 @@ def run(
     ``mesh`` is the VTK geometry (for figures); ``device_mesh`` is a
     ``jax.sharding.Mesh`` with a 'space' (and optionally 'time') axis — when
     given, training is distributed (SURVEY §5.7, new capability): the desmo
-    variant runs the sharded mega-kernel (``pallas.shard_step``, phi row-
+    and fourier variants run the sharded mega-kernel (``pallas.shard_step``, phi row-
     sharded over 'space', reductions psum'd over ICI); other variants run the
     sharding-aware scanned chunk with ``parallel.param_shardings``. Build one
     with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.

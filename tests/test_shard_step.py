@@ -124,3 +124,62 @@ def test_supports_sharded():
         shard_step.make_sharded_fused_chunk(
             spec, dataclasses.replace(cfg, variant="ae"), make_mesh(n_space=4, n_time=2)
         )
+
+
+def fourier_problem(n_space, n=256, m=40, r=2, P=2, nf=3, bt=16):
+    from desmo_tpu.models import fourier as fourier_model
+
+    cfg = configs.RunConfig(
+        name="shard_f",
+        variant="fourier",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=P,
+        omega_init=1.0,
+        lr_omega=1.0,
+        n_fourier=nf,
+        period_init=float(m),
+        num_epochs=40,
+        patience=300,
+        sched_every=1,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    p = pod.pod(x, r)
+    spec = fourier_model.FourierSpec(n, m, r, P, 1.0, nf, float(m))
+    params = fourier_model.init_params(spec)
+    batch = train_chunk.prepare_batch(x, p.modes, bt=bt, n_mult=bt * n_space)
+    return cfg, spec, params, batch
+
+
+def test_sharded_fourier_chunk_matches_single_device():
+    """Fourier sharded chunk (series built per step under jax.vjp) vs the
+    single-chip fourier mega-kernel (series built in-kernel by harmonic
+    recurrence) — step parity over 25 steps."""
+    n_space = 4
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = fourier_problem(n_space)
+    sharded = shard_step.make_sharded_fused_chunk(spec, cfg, mesh, bt=16)
+    s_sh = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = sharded(s_sh, batch, num_steps=25)
+
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=16, interpret=True)
+    s_k = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_k, m_k = fused(s_k, batch, num_steps=25)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total"]), np.asarray(m_k["total"]), rtol=5e-4, atol=1e-6
+    )
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]),
+            np.asarray(s_k.params[key]),
+            rtol=5e-4,
+            atol=1e-5,
+            err_msg=key,
+        )
+    assert int(s_sh.epoch) == 25 and int(s_sh.opt.count) == 25
