@@ -168,12 +168,30 @@ def test_run_with_device_mesh_sharded_kernel(tmp_path):
     assert os.path.exists(os.path.join(art.out_dir, "figures", "loss.png"))
 
 
-def test_run_with_device_mesh_scan_fallback(tmp_path):
-    """Non-desmo variants under a mesh use the sharding-aware scanned chunk
-    (param_shardings); uneven dims degrade to replication instead of erroring."""
+def test_run_with_device_mesh_fourier_sharded(tmp_path):
+    """Fourier preset under a mesh takes the SHARDED mega-kernel path (series
+    built per step under jax.vjp) end to end through runner.run."""
     from desmo_tpu.parallel import make_mesh
 
     cfg = dataclasses.replace(tiny_cfg("fourier"), num_epochs=30)
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        device_mesh=make_mesh(n_space=4, n_time=2),
+    )
+    assert np.isfinite(art.relative_error)
+    phi = art.state.params["phi"]
+    assert not phi.sharding.is_fully_replicated, phi.sharding
+
+
+def test_run_with_device_mesh_scan_fallback(tmp_path):
+    """Variants without a sharded kernel (AE) under a mesh use the
+    sharding-aware scanned chunk (param_shardings); uneven dims degrade to
+    replication instead of erroring."""
+    from desmo_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(tiny_cfg("ae"), num_epochs=30)
     x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)  # n=60: uneven
     x -= x.mean(axis=1, keepdims=True)
     art = runner.run(
