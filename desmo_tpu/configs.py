@@ -41,7 +41,7 @@ class RunConfig:
     # capped at 1e-3, an AE-only warmup phase of ae_warmup_epochs, then joint
     # training with data-scaled omega and proportionally scaled lr_omega.
     ae_recipe: bool = False
-    ae_warmup_epochs: int = 2000
+    ae_warmup_epochs: int = 6000
     # --- optimizer groups, order = GROUP_ORDER (CYL:592-612) ---
     lr_coef: float = 1e-2
     lr_phi: float = 1e-3
