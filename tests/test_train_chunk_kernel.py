@@ -355,3 +355,25 @@ def test_select_chunk_policy():
     bad = dataclasses.replace(cfg, chunk_method="megakernel", variant="fourier")
     with pytest.raises(ValueError, match="megakernel"):
         train_chunk.select_chunk(spec, bad)
+
+
+def test_streamed_fourier_matches_resident():
+    """The fourier_aneurysm hardware configuration streams its state; the
+    compact emul transport must reproduce the resident fourier kernel
+    bit-exactly (same in-kernel series recurrence, different state
+    transport). Odd step count exercises the final-parity selection."""
+    cfg, spec, params, batch = fourier_problem(n=96, m=40)
+    res = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=False)
+    stf = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=True)
+    s_r = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_s = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_r, m_r = res(s_r, batch, num_steps=11)
+    s_s, m_s = stf(s_s, batch, num_steps=11)
+    for key in ("rec", "ortho", "l1", "total"):
+        np.testing.assert_array_equal(
+            np.asarray(m_s[key]), np.asarray(m_r[key]), err_msg=key
+        )
+    for key in s_r.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.params[key]), np.asarray(s_r.params[key]), err_msg=key
+        )
