@@ -43,25 +43,16 @@ def bench_preset(preset: str, steps: int, reps: int):
     cfg = configs.get(preset)
     spec, params, loss_fn, groups = runner.build_model(cfg)
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
-    xd = jnp.asarray(x)
-    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
-    if cfg.variant != "ae":
-        batch["pod_modes"] = pod.pod(x, cfg.r).modes
 
     from desmo_tpu.pallas import train_chunk as tc
 
-    # resident/streamed mega-kernel where supported, scanned chunk otherwise —
-    # the same selection policy as runner.run
+    # the same chunk-selection AND batch-prep policies as runner.run
     train_chunk = tc.select_chunk(spec, cfg)
-    method = runner.resolve_loss_method(cfg)
-    if train_chunk is not None or (method == "fused" and cfg.variant == "desmo"):
-        from desmo_tpu.pallas import split_snapshots
-
-        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
-    elif method == "fused":
-        from desmo_tpu.pallas import pad_snapshots
-
-        batch["x_padded"] = pad_snapshots(xd)
+    batch = runner.prepare_chunk_batch(
+        cfg, x,
+        pod_modes=None if cfg.variant == "ae" else pod.pod(x, cfg.r).modes,
+        chunk=train_chunk,
+    )
     if train_chunk is None:
         train_chunk = train.make_train_chunk(loss_fn, groups, cfg, unroll=cfg.scan_unroll)
     state = jax.tree.map(jnp.array, train.init_state(params, cfg))

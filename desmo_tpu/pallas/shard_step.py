@@ -203,13 +203,10 @@ def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret):
 
 
 def supports_sharded(spec, cfg) -> bool:
-    """The sharded chunk covers the plain DESMO and DESMOFourier variants
-    (the configurations spatial sharding exists for — aneurysm-scale row
-    counts); same lane bounds as the single-chip mega-kernel."""
-    return (
-        getattr(cfg, "variant", "desmo") in ("desmo", "fourier")
-        and supports(spec, cfg)
-    )
+    """The sharded chunk covers exactly the variants the single-chip
+    mega-kernel does (desmo + fourier, same lane bounds) — one predicate,
+    no duplicated variant logic."""
+    return supports(spec, cfg)
 
 
 def make_sharded_fused_chunk(
@@ -291,9 +288,8 @@ def make_sharded_fused_chunk(
         gidx = jnp.asarray(consts.gidx)
         mrow = jnp.asarray(consts.mrow)
         offdiag = sel[LANES : 2 * LANES, :].astype(jnp.float32)
-        lane = np.arange(LANES)
         coefmask = jnp.asarray(
-            ((lane < T) | ((lane >= T) & (lane < T + 3 * r))).astype(np.float32)
+            (np.arange(LANES) < T + 3 * r).astype(np.float32)
         )[None, :]
 
         def body(

@@ -196,12 +196,18 @@ def _dot3(x, y, dims):
 
 
 # fast in-kernel sin/cos: one shared Cody-Waite reduction mod pi (4-term pi
-# split: k*P1 exact for k < 2^13, i.e. |arg| < ~2.5e4 — cylinder args are
-# omega*latent ~ O(1e3)) + near-minimax polys in y^2 (sin deg-11 odd /
-# cos deg-12 even, <= 1.1e-10 abs err on |y| <= 1.02*pi/2; ~2e-7 end-to-end
-# in f32 incl. reduction). Motivation: builtin sin+cos are two full-width
-# VPU transcendental passes, measured ~9 us/step of the cylinder mega-kernel
-# (scripts/ablate_megakernel.py) for 24 meaningful lanes of 384.
+# split) + near-minimax polys in y^2 (sin deg-11 odd / cos deg-12 even,
+# <= 1.1e-10 abs err on |y| <= 1.02*pi/2; ~2e-7 end-to-end in f32 incl.
+# reduction). Domain: k*P1 is EXACT for k < 2^13 (|arg| < ~2.5e4 — cylinder
+# args are omega*latent ~ O(1e3)); beyond that the reduction degrades
+# GRACEFULLY, not catastrophically: the k*P1/k*P2 rounding errors scale like
+# arg * 1.3e-11, i.e. still ~ulp(arg)-level (the f32 argument itself
+# quantizes at arg * 6e-8, the binding limit for ANY f32 sin at large args).
+# A run whose omega*latent leaves f32-sane territory can force the scanned
+# chunk (XLA builtin sin) with cfg.chunk_method='scan'. Motivation: builtin
+# sin+cos are two full-width VPU transcendental passes, measured ~9 us/step
+# of the cylinder mega-kernel (scripts/ablate_megakernel.py) for 24
+# meaningful lanes of 384.
 _SINP = (1.0, -1.66666666e-01, 8.33333109e-03, -1.98408729e-04,
          2.75257291e-06, -2.38950307e-08)
 _COSP = (1.0, -0.5, 4.16666664e-02, -1.38888834e-03, 2.48009721e-05,

@@ -123,6 +123,30 @@ def build_model(cfg: configs.RunConfig):
     return spec, params, loss_fn, groups
 
 
+def prepare_chunk_batch(cfg, x, pod_modes=None, chunk=None) -> dict:
+    """The ONE X-preparation policy for a compiled chunk, shared by
+    runner.run, bench.py and scripts/bench_matrix.py (it was previously
+    copy-pasted in all three): pre-split bf16 planes when the mega-kernel or
+    the fused desmo loss consumes them, padded X for the other fused paths,
+    plain X otherwise. ``chunk`` is the result of
+    ``train_chunk.select_chunk`` (None = scanned path)."""
+    xd = jnp.asarray(x)
+    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if pod_modes is not None:
+        batch["pod_modes"] = jnp.asarray(pod_modes)
+    if chunk is not None or (
+        resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo"
+    ):
+        from desmo_tpu.pallas import split_snapshots
+
+        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
+    elif resolve_loss_method(cfg) == "fused":
+        from desmo_tpu.pallas import pad_snapshots
+
+        batch["x_padded"] = pad_snapshots(xd)
+    return batch
+
+
 def reconstruct(params: dict, batch: dict, spec, variant: str) -> jnp.ndarray:
     if variant == "fourier":
         return fourier_model.apply(params, batch["pod_modes"], spec)[0]
@@ -176,15 +200,24 @@ def run(
     chunk = None
     param_shardings = None
     sharded_kernel = False
+    kernel_bt = 512  # tile size: passed to the sharded chunk AND its padding
     if device_mesh is not None:
         from desmo_tpu.pallas import shard_step
 
-        if (
-            getattr(cfg, "chunk_method", "auto") != "scan"
-            and shard_step.supports_sharded(spec, cfg)
-        ):
-            chunk = shard_step.make_sharded_fused_chunk(spec, cfg, device_mesh)
+        method = getattr(cfg, "chunk_method", "auto")
+        if method != "scan" and shard_step.supports_sharded(spec, cfg):
+            chunk = shard_step.make_sharded_fused_chunk(
+                spec, cfg, device_mesh, bt=kernel_bt
+            )
             sharded_kernel = True
+        elif method == "megakernel":
+            # mirror select_chunk's policy: an explicit megakernel request
+            # must not silently degrade to the scanned chunk
+            raise ValueError(
+                f"chunk_method='megakernel' but preset {cfg.name!r} has no "
+                "sharded mega-kernel (variant/terms) — see "
+                "pallas.shard_step.supports_sharded"
+            )
         else:
             from desmo_tpu import parallel
 
@@ -193,24 +226,16 @@ def run(
         chunk = tc.select_chunk(spec, cfg)
 
     xd = jnp.asarray(x)
-    batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if sharded_kernel:
-        # the sharded megastep needs every device to own whole (512, 128)
+        # the sharded megastep needs every device to own whole (bt, 128)
         # tiles; padded rows are masked inside the kernel (exact MSE)
-        pb = tc.prepare_batch(x, p.modes, n_mult=512 * device_mesh.shape["space"])
+        batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+        pb = tc.prepare_batch(
+            x, p.modes, bt=kernel_bt, n_mult=kernel_bt * device_mesh.shape["space"]
+        )
         batch["x_hi"], batch["x_lo"] = pb["x_hi"], pb["x_lo"]
-    elif chunk is not None or (
-        resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo"
-    ):
-        # pre-split bf16 X planes: consumed by both the mega-kernel and the
-        # scanned fused loss (same (512, 128) padding contract)
-        from desmo_tpu.pallas import split_snapshots
-
-        batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
-    elif resolve_loss_method(cfg) == "fused":
-        from desmo_tpu.pallas import pad_snapshots
-
-        batch["x_padded"] = pad_snapshots(xd)
+    else:
+        batch = prepare_chunk_batch(cfg, x, chunk=chunk)
     if cfg.variant != "ae":
         batch["pod_modes"] = p.modes
     if device_mesh is not None:
@@ -237,6 +262,10 @@ def run(
     def log_line(line):
         print(line, flush=True)
 
+    import contextlib
+
+    mesh_ctx = device_mesh if device_mesh is not None else contextlib.nullcontext()
+
     if cfg.variant == "ae" and cfg.ae_recipe and state is None:
         # Full AE convergence recipe (docs/RESULTS.md "AE convergence"):
         # 1. live MLP init — the reference's Xavier/zero-bias funnel has an
@@ -260,15 +289,19 @@ def run(
             method=resolve_loss_method(cfg),
         )
         if cfg.ae_warmup_epochs > 0:
-            warm = train.fit(
-                ae_model.build_warmup_loss(spec),
-                groups,
-                cfg,
-                params,
-                batch,
-                num_epochs=cfg.ae_warmup_epochs,
-                log=log_line if echo else None,
-            )
+            # the warmup respects a requested device mesh like the main
+            # phase (same sharding-aware scanned chunk)
+            with mesh_ctx:
+                warm = train.fit(
+                    ae_model.build_warmup_loss(spec),
+                    groups,
+                    cfg,
+                    params,
+                    batch,
+                    num_epochs=cfg.ae_warmup_epochs,
+                    log=log_line if echo else None,
+                    param_shardings=param_shardings,
+                )
             params = dict(warm.state.params)
         om = ae_model.data_scaled_omega(params, xd)
         params["omega"] = om
@@ -277,9 +310,6 @@ def run(
         )
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    import contextlib
-
-    mesh_ctx = device_mesh if device_mesh is not None else contextlib.nullcontext()
     with mesh_ctx:
         result = train.fit(
             loss_fn,

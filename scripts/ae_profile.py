@@ -76,24 +76,26 @@ def main():
     print(f"enc+dec+aemse fwd+bwd        {timed_grad(enc_dec_mse, params):8.1f} us", flush=True)
     print(f"full loss fwd+bwd            {timed_grad(full_loss, params):8.1f} us", flush=True)
 
-    # precision experiment: HIGH (3-pass) MLP
+    # precision experiment: the shipped default is HIGH (3-pass); patch to
+    # HIGHEST (6-pass, the pre-round-3 default) to show the headroom that
+    # motivated the change (702 -> 474 us/step measured 2026-08-17)
     import desmo_tpu.models.autoencoder as ae_mod
 
     orig = ae_mod._mlp
 
-    def mlp_high(params, prefix, x, n_layers):
+    def mlp_highest(params, prefix, x, n_layers):
         for i in range(n_layers):
-            x = jnp.dot(x, params[f"{prefix}_w{i}"], precision=jax.lax.Precision.HIGH)
+            x = jnp.dot(x, params[f"{prefix}_w{i}"], precision=jax.lax.Precision.HIGHEST)
             x = x + params[f"{prefix}_b{i}"]
             if i < n_layers - 1:
                 x = jax.nn.relu(x)
         return x
 
-    ae_mod._mlp = mlp_high
+    ae_mod._mlp = mlp_highest
     try:
         loss_h = ae.build_loss(spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta, method="factored")
         hi = timed_chunk(loss_h)
-        print(f"full AE chunk, MLP HIGH      {hi:8.1f} us   (delta {base - hi:+.1f})", flush=True)
+        print(f"full AE chunk, MLP HIGHEST   {hi:8.1f} us   (delta vs HIGH {base - hi:+.1f})", flush=True)
     finally:
         ae_mod._mlp = orig
 

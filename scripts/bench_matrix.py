@@ -43,25 +43,16 @@ def main():
         cfg = configs.get(name)
         x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
         spec, params, loss_fn, groups = runner.build_model(cfg)
-        xd = jnp.asarray(x)
-        batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
-        if cfg.variant != "ae":
-            batch["pod_modes"] = pod.pod(x, cfg.r).modes
 
         # same chunk selection AND batch prep as runner.run / bench.py
         from desmo_tpu.pallas import train_chunk as tc
 
         chunk = tc.select_chunk(spec, cfg)
-        if chunk is not None or (
-            runner.resolve_loss_method(cfg) == "fused" and cfg.variant == "desmo"
-        ):
-            from desmo_tpu.pallas import split_snapshots
-
-            batch["x_hi"], batch["x_lo"] = split_snapshots(xd)
-        elif runner.resolve_loss_method(cfg) == "fused":
-            from desmo_tpu.pallas import pad_snapshots
-
-            batch["x_padded"] = pad_snapshots(xd)
+        batch = runner.prepare_chunk_batch(
+            cfg, x,
+            pod_modes=None if cfg.variant == "ae" else pod.pod(x, cfg.r).modes,
+            chunk=chunk,
+        )
         if chunk is None:
             chunk = train.make_train_chunk(loss_fn, groups, cfg)
         state = jax.tree.map(jnp.array, train.init_state(params, cfg))
