@@ -137,6 +137,28 @@ def test_r4_poly3_shape_regime():
     np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=5e-4, atol=1e-6)
 
 
+def test_r8_max_rank_regime():
+    """r=8 (the supports() ceiling): aug state uses lanes 0..8 — guards the
+    compact transport's AUGW=16 slot width and the EMAT/gather tables at the
+    maximum rank."""
+    cfg, spec, params, batch = problem(n=64, m=24, r=8, P=2)
+    assert train_chunk.supports(spec, cfg)
+    (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, steps=12)
+    np.testing.assert_allclose(m_k["total"], m_ref["total"], rtol=5e-4, atol=1e-6)
+    # and through the streamed (emul) transport, bit-exact vs resident
+    stf = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=True)
+    s_s = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_s, m_s = stf(s_s, batch, num_steps=12)
+    res = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, streamed=False)
+    s_r = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    s_r, m_r = res(s_r, batch, num_steps=12)
+    np.testing.assert_array_equal(np.asarray(m_s["total"]), np.asarray(m_r["total"]))
+    for key in s_r.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.params[key]), np.asarray(s_r.params[key]), err_msg=key
+        )
+
+
 def test_streamed_state_variant_matches_resident():
     """The streamed-state mode (state ping-ponged through HBM arrays, for
     spatial sizes whose full-width state exceeds VMEM) must reproduce the
