@@ -41,6 +41,7 @@ from jax.sharding import PartitionSpec as P
 from desmo_tpu import library
 from desmo_tpu.pallas.train_chunk import (
     LANES,
+    _BT_DEFAULT,
     _AXD,
     _B1,
     _B2,
@@ -210,7 +211,7 @@ def supports_sharded(spec, cfg) -> bool:
 
 
 def make_sharded_fused_chunk(
-    spec, cfg, mesh, bt: int = 512, interpret: Optional[bool] = None,
+    spec, cfg, mesh, bt: int = _BT_DEFAULT, interpret: Optional[bool] = None,
 ):
     """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running
     each step as one per-device Pallas megastep + a 'space' psum.

@@ -168,10 +168,12 @@ def build_constants(r: int, P: int) -> ChunkConstants:
     )
 
 
-def _split(v):
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+# ONE canonical hi/lo split + 3-pass scheme, shared with the dual-GEMM loss
+# kernel — a precision-scheme change edited in one module must not silently
+# diverge the other (the parity tests assume identical numerics)
+from desmo_tpu.pallas.dual_gemm import _BN as _BT_DEFAULT  # noqa: E402
+from desmo_tpu.pallas.dual_gemm import _round_up  # noqa: E402, F401
+from desmo_tpu.pallas.dual_gemm import _split_bf16 as _split  # noqa: E402
 
 
 def _d(u, v, dims):
@@ -189,10 +191,7 @@ def _dot2(x, M, dims=_STD):
     return _d(h, M, dims) + _d(l, M, dims)
 
 
-def _dot3(x, y, dims):
-    xh, xl = _split(x)
-    yh, yl = _split(y)
-    return _d(xh, yh, dims) + _d(xh, yl, dims) + _d(xl, yh, dims)
+from desmo_tpu.pallas.dual_gemm import _dot3  # noqa: E402, F401  (same scheme)
 
 
 # fast in-kernel sin/cos: one shared Cody-Waite reduction mod pi (4-term pi
@@ -912,21 +911,6 @@ def _build_call(
     return call, consts
 
 
-def _round_up(x, mult):
-    return -(-x // mult) * mult
-
-
-class _Packed(NamedTuple):
-    phi0: jnp.ndarray
-    mu0: jnp.ndarray
-    nu0: jnp.ndarray
-    b0: jnp.ndarray
-    bmu0: jnp.ndarray
-    bnu0: jnp.ndarray
-    crow0: jnp.ndarray
-    svec0: jnp.ndarray
-
-
 def _pack_aug(vec_rn, n_pad, lane0=None, width=LANES):
     """(r, n) -> (n_pad, width) with lanes 1..r; lane 0 = lane0 (or 0)."""
     r, n = vec_rn.shape
@@ -1036,7 +1020,7 @@ def supports(spec, cfg) -> bool:
     return T + 3 * r <= LANES and P <= 8 and r <= 8
 
 
-def select_chunk(spec, cfg, bt: int = 512):
+def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     """The single chunk-selection policy shared by runner/bench: returns the
     mega-kernel chunk, or None for the scanned path.
 
@@ -1062,7 +1046,7 @@ def select_chunk(spec, cfg, bt: int = 512):
     return make_fused_train_chunk(spec, cfg, bt)
 
 
-def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> bool:
+def resident_fits(spec, cfg, bt: int = _BT_DEFAULT, vmem_budget_mb: float = 30.0) -> bool:
     """Whether the RESIDENT variant's VMEM working set (full-width
     phi/mu/nu/dlat scratch + resident pod + B-state + X stream blocks) fits
     the budget empirically validated on v5e (~35 MB compiles; 30 MB margin).
@@ -1078,7 +1062,7 @@ def resident_fits(spec, cfg, bt: int = 512, vmem_budget_mb: float = 30.0) -> boo
     return state + init_streams + b_state + x_stream + 2.0 < vmem_budget_mb
 
 
-def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES, n_mult: int | None = None):
+def prepare_batch(x, pod_modes, bt: int = _BT_DEFAULT, bm: int = LANES, n_mult: int | None = None):
     """Pad + hi/lo-split X once, outside the chunk, to (bt, bm) multiples;
     returns the batch dict the mega-kernel consumes. ``n_mult`` overrides the
     row-padding multiple (the sharded chunk needs bt * n_space so every
@@ -1098,7 +1082,7 @@ def prepare_batch(x, pod_modes, bt: int = 512, bm: int = LANES, n_mult: int | No
 
 
 def make_fused_train_chunk(
-    spec, cfg, bt: int = 512, interpret: bool | None = None,
+    spec, cfg, bt: int = _BT_DEFAULT, interpret: bool | None = None,
     streamed: bool | None = None,
 ):
     """Build ``chunk(state, batch, num_steps) -> (state, metrics)`` running the
@@ -1139,6 +1123,8 @@ def make_fused_train_chunk(
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def chunk(state, batch, num_steps: int):
+        if num_steps < 1:
+            raise ValueError(f"mega-kernel chunk needs num_steps >= 1, got {num_steps}")
         x_hi, x_lo = batch["x_hi"], batch["x_lo"]
         n_pad, m_pad = x_hi.shape
         if n_pad % bt:

@@ -200,7 +200,7 @@ def run(
     chunk = None
     param_shardings = None
     sharded_kernel = False
-    kernel_bt = 512  # tile size: passed to the sharded chunk AND its padding
+    kernel_bt = tc._BT_DEFAULT  # ONE tile-size constant feeds the sharded chunk AND its padding
     if device_mesh is not None:
         from desmo_tpu.pallas import shard_step
 
