@@ -217,6 +217,22 @@ def threshold_sweep(
     return results
 
 
+def greedy_order(energies: TermEnergies) -> list[tuple[float, str, object]]:
+    """Ascending-energy removal order, with the reference's exact tie-breaking:
+    entries are appended poly-first in index order, then per-latent
+    (sin, cos, tanh) interleaved, and Python's stable sort preserves insertion
+    order among equal energies (``...TurbulentChannel.py:1173-1190``)."""
+    order: list[tuple[float, str, object]] = []
+    for t, e in enumerate(energies.poly):
+        order.append((float(e), "poly", t))
+    r = energies.trig.shape[1]
+    for i in range(r):
+        for k in range(3):
+            order.append((float(energies.trig[k, i]), "trig", (k, i)))
+    order.sort(key=lambda x: x[0])
+    return order
+
+
 def greedy_prune(
     params: dict,
     batch: dict,
@@ -230,14 +246,7 @@ def greedy_prune(
     Entry k of the result has the k lowest-energy terms removed."""
     if energies is None:
         energies = term_energies(params, spec=spec)
-    order = []  # (energy, kind, index)
-    for t, e in enumerate(energies.poly):
-        order.append((float(e), "poly", t))
-    r = energies.trig.shape[1]
-    for i in range(r):
-        for k in range(3):
-            order.append((float(energies.trig[k, i]), "trig", (k, i)))
-    order.sort(key=lambda x: x[0])
+    order = greedy_order(energies)
 
     err_fn = _recon_error_fn(spec, variant)
     results = []
