@@ -87,6 +87,8 @@ def main() -> None:
         results[preset] = bench_preset(preset, steps=steps, reps=reps)
 
     def entry(preset, label):
+        from desmo_tpu import configs, flops
+
         base = BASELINES[preset]
         med = results[preset]["median"]
         return {
@@ -95,6 +97,10 @@ def main() -> None:
             "unit": "steps/s",
             "vs_baseline": round(med / base, 2) if base else None,
             "spread": results[preset],
+            # MFU-grade fields: useful = unpadded single-pass FLOPs;
+            # executed = padded x bf16-passes; pct_of_3pass_peak = useful
+            # throughput vs the v5e 197/3 TFLOP/s fp32-grade ceiling
+            "mfu": flops.mfu(med, flops.step_flops(configs.get(preset))),
         }
 
     out = entry("cylinder", "cylinder_flow full-batch optimizer steps/sec (n=3961, m=1001, r=4, P=3)")
