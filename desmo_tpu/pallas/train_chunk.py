@@ -213,6 +213,12 @@ _COSP = (1.0, -0.5, 4.16666664e-02, -1.38888834e-03, 2.48009721e-05,
          -2.75220345e-07, 1.98694157e-09)
 _PI_SPLIT = (3.140625, 9.670257568359375e-04, 6.2771141e-07, 1.2154201e-10)
 
+# |omega * latent| bound for exact _fast_sincos Cody-Waite reduction (k*P1
+# exact for k < 2^13). ENFORCED, not advisory: every step tracks the max
+# |trig arg| into metrics lane 4 ("max_arg"), and train.fit falls back to the
+# scanned chunk (XLA builtin sin/cos) when a chunk exceeds it.
+SINCOS_DOMAIN = 2.5e4
+
 
 def _fast_sincos(x):
     k = jnp.round(x * (1.0 / np.pi))
@@ -499,6 +505,11 @@ def _make_kernel(
                     prod = prod * gather(aug, p)
             theta = prod * polymask
             args = prod * (omrow * trigmask)
+            # track max |trig arg| for the _fast_sincos domain guard
+            # (SINCOS_DOMAIN); one lane-row max per tile, ~free on the VPU
+            acc_s[2:3, :] = jnp.maximum(
+                acc_s[2:3, :], jnp.max(jnp.abs(args), axis=0, keepdims=True)
+            )
             if _ABLATE.get("notrig"):
                 Sn = args * 0.11
                 Cs = args * 0.13
@@ -586,13 +597,22 @@ def _make_kernel(
                 l1v = jnp.sum(jnp.abs(crow_ref[0:1, :]) * coefmask)
                 total = rec + beta * orthov + lam * l1v
                 lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                maxarg = jnp.max(acc_s[2:3, :])
                 met_row = jnp.where(
                     lane_i == 0,
                     rec,
                     jnp.where(
                         lane_i == 1,
                         orthov,
-                        jnp.where(lane_i == 2, l1v, jnp.where(lane_i == 3, total, 0.0)),
+                        jnp.where(
+                            lane_i == 2,
+                            l1v,
+                            jnp.where(
+                                lane_i == 3,
+                                total,
+                                jnp.where(lane_i == 4, maxarg, 0.0),
+                            ),
+                        ),
                     ),
                 )
                 # metrics blocks are (8, 128): row s % 8 within block s // 8
@@ -1288,6 +1308,9 @@ def make_fused_train_chunk(
             "ortho": met[:num_steps, 1],
             "l1": met[:num_steps, 2],
             "total": met[:num_steps, 3],
+            # max |omega*latent| per step: the _fast_sincos domain telemetry
+            # consumed by train.fit's SINCOS_DOMAIN fallback guard
+            "max_arg": met[:num_steps, 4],
         }
         return new_state, metrics
 

@@ -284,6 +284,9 @@ class TrainResult:
     history: dict[str, np.ndarray]  # per-epoch metrics
     steps_per_sec: float
     wall_seconds: float
+    # max |omega*latent| seen by the mega-kernel (fast-sincos telemetry);
+    # 0.0 when the run never used the kernel path
+    max_abs_trig_arg: float = 0.0
 
 
 def fit(
@@ -305,6 +308,15 @@ def fit(
     ``checkpoint_fn(state, epoch)`` is invoked every ``cfg.checkpoint_every``
     epochs, mirroring the reference's periodic ``torch.save`` (``CYL:781-786``)
     — but from chunk boundaries, never from inside the compiled loop.
+
+    Threading contract: ``checkpoint_fn`` runs ASYNCHRONOUSLY on a worker
+    thread against an on-device snapshot of the state, overlapping the next
+    chunk's compute. It must therefore be thread-safe, and may dispatch jitted
+    JAX fetches concurrently with the training loop (safe for the fetch
+    helpers in ``checkpoint``; custom fns must not mutate shared host state
+    without locking). A failed save raises at the next chunk boundary (the
+    loop polls the pending future each chunk), at the next checkpoint submit,
+    or at the end of ``fit`` — never silently.
     """
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
     if num_epochs <= 0:
@@ -323,6 +335,7 @@ def fit(
     batch = jax.tree.map(jnp.asarray, batch)
 
     histories: list[dict] = []
+    max_abs_trig_arg = 0.0
     _ckpt_pending = None
     start_epoch = int(state.epoch)
     end_epoch = start_epoch + num_epochs
@@ -340,6 +353,27 @@ def fit(
         metrics = {
             k: np.asarray(v) for k, v in _ckpt.device_fetch_tree(metrics).items()
         }
+        # _fast_sincos domain guard: the mega-kernel reports max |omega*latent|
+        # per step; beyond SINCOS_DOMAIN its Cody-Waite reduction degrades, so
+        # fall back to the scanned chunk (XLA builtin sin/cos) for the rest of
+        # the run. State layouts are interchangeable (bit-exact resume).
+        max_arg = metrics.pop("max_arg", None)
+        if max_arg is not None and chunk is not None:
+            from desmo_tpu.pallas import train_chunk as _tc
+
+            seen = float(np.max(max_arg))
+            max_abs_trig_arg = max(max_abs_trig_arg, seen)
+            if seen > _tc.SINCOS_DOMAIN:
+                if log is not None:
+                    log(
+                        f"WARNING: max |omega*latent| = {seen:.3g} exceeds the "
+                        f"fast-sincos domain ({_tc.SINCOS_DOMAIN:.3g}); "
+                        "falling back to the scanned chunk (builtin trig) for "
+                        "the remaining epochs"
+                    )
+                train_chunk = make_train_chunk(
+                    loss_fn, group_of, cfg, param_shardings
+                )
         if not np.isfinite(metrics["total"][-1]):
             # failure detection (SURVEY §5.3): stop at the chunk boundary with
             # the last finite state still checkpointable by the caller
@@ -363,6 +397,12 @@ def fit(
                         f"L1 loss: {metrics['l1'][j]:.4f} "
                     )
         done += n
+        # surface async-checkpoint failures promptly (ADVICE r3): if the
+        # worker already finished, a failed save raises HERE, not only at the
+        # next checkpoint submit
+        if _ckpt_pending is not None and _ckpt_pending.done():
+            _ckpt_pending.result()
+            _ckpt_pending = None
         if checkpoint_fn is not None and (
             done % cfg.checkpoint_every == 0 or done == end_epoch
         ):
@@ -383,4 +423,7 @@ def fit(
     history = {
         k: np.concatenate([h[k] for h in histories]) for k in histories[0]
     }
-    return TrainResult(state=state, history=history, steps_per_sec=sps, wall_seconds=wall)
+    return TrainResult(
+        state=state, history=history, steps_per_sec=sps, wall_seconds=wall,
+        max_abs_trig_arg=max_abs_trig_arg,
+    )

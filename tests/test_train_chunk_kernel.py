@@ -399,3 +399,55 @@ def test_streamed_fourier_matches_resident():
         np.testing.assert_array_equal(
             np.asarray(s_s.params[key]), np.asarray(s_r.params[key]), err_msg=key
         )
+
+
+def test_sincos_domain_guard_engages():
+    """Drive |omega*latent| beyond SINCOS_DOMAIN (~2.5e4) and assert the guard
+    is enforced end-to-end: the kernel reports the breach in its "max_arg"
+    metrics lane, and train.fit falls back to the scanned chunk (builtin trig)
+    for the remaining epochs with numerics intact (finite trace, correct epoch
+    accounting, telemetry surfaced on TrainResult)."""
+    from desmo_tpu.models import desmo as desmo_model
+
+    cfg, spec, params, batch = problem(omega_init=1e6)
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    _, mets = fused(state, batch, num_steps=3)
+    maxarg = np.asarray(mets["max_arg"])
+    assert maxarg.shape == (3,)
+    assert maxarg.max() > train_chunk.SINCOS_DOMAIN
+
+    # telemetry is honest: step-0 value equals the host-side max |arg| over
+    # the trig lanes (args = omega * POD-scaled latent)
+    aug = np.asarray(batch["pod_modes"] * params["phi"].T)  # (n, r)
+    host_max = np.max(np.abs(np.asarray(params["omega"])) * np.max(np.abs(aug), axis=0))
+    np.testing.assert_allclose(maxarg[0], host_max, rtol=1e-5)
+
+    logs = []
+    loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    result = train.fit(
+        loss_fn, desmo_model.param_groups(params), cfg, params, batch,
+        num_epochs=12, chunk_size=4, log=logs.append, chunk=fused,
+    )
+    assert any("fast-sincos domain" in line for line in logs)
+    assert result.max_abs_trig_arg > train_chunk.SINCOS_DOMAIN
+    assert int(result.state.epoch) == 12
+    assert np.isfinite(result.history["total"]).all()
+    assert len(result.history["total"]) == 12
+
+
+def test_sincos_guard_quiet_in_domain():
+    """A run inside the domain must not fall back (no warning) and must
+    report its true (small) max arg."""
+    from desmo_tpu.models import desmo as desmo_model
+
+    cfg, spec, params, batch = problem()
+    fused = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    logs = []
+    loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    result = train.fit(
+        loss_fn, desmo_model.param_groups(params), cfg, params, batch,
+        num_epochs=8, chunk_size=4, log=logs.append, chunk=fused,
+    )
+    assert not any("fast-sincos" in line for line in logs)
+    assert 0.0 < result.max_abs_trig_arg < train_chunk.SINCOS_DOMAIN
