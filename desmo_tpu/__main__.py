@@ -52,6 +52,8 @@ def cmd_run(args) -> int:
         overrides["ae_omega_data_scaled"] = True
     if getattr(args, "ae_recipe", False):
         overrides["ae_recipe"] = True
+    if getattr(args, "period_multistart", None):
+        overrides["period_multistart"] = args.period_multistart
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = None
@@ -216,6 +218,12 @@ def main(argv=None) -> int:
         "--ae-data-omega", action="store_true",
         help="AE variant: rescale the omega init from the initial latent RMS "
         "(convergence recipe for data whose scale differs from the preset's)",
+    )
+    p_run.add_argument(
+        "--period-multistart", type=int, default=None, metavar="N",
+        help="Fourier variants: probe up to N FFT-informed candidate periods "
+        "before training and keep the best (rescues a mismatched period_init; "
+        "see models/fourier.period_candidates)",
     )
     p_run.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
     p_run.add_argument(

@@ -27,6 +27,13 @@ class RunConfig:
     omega_init: float = 10000.0
     n_fourier: int = 0  # Fourier variant only
     period_init: float = 0.0  # Fourier variant only
+    # Fourier period multi-start (beyond reference — the learnable periods
+    # have a no-gradient basin when period_init is far from the data's true
+    # period; see models/fourier.period_candidates): probe up to this many
+    # FFT-informed candidate periods for period_probe_epochs each, keep the
+    # best state by rec loss. 0/1 = off (reference behavior).
+    period_multistart: int = 0
+    period_probe_epochs: int = 300
     # --- loss (SURVEY §2.6) ---
     beta: float = 1e-3  # orthogonality weight
     l1_lambda: float = 1e-4  # sparsity weight

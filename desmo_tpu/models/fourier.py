@@ -97,6 +97,51 @@ def fourier_series_batch(
     return out.reshape(*coeffs.shape[:-1], t.shape[0])
 
 
+def period_candidates(
+    x: np.ndarray,
+    period_init: float,
+    n_candidates: int = 4,
+    pod_modes: np.ndarray | None = None,
+    max_rows: int = 512,
+) -> list[float]:
+    """FFT-informed fundamental-period candidates for period multi-start.
+
+    The reference hard-codes ``period_init`` per dataset
+    (``DESMO_Fourier/cylinder_flow/DESMO-Cylinder.py:596-600``) because the
+    learnable periods have a no-gradient basin: far from the data's true
+    period the loss surface is flat in the period directions and training
+    never migrates them (docs/RESULTS.md, round-3 notes). Mitigation (beyond
+    reference): read the dominant temporal frequency off the data's power
+    spectrum and probe a few fundamentals derived from it.
+
+    Returns up to ``n_candidates`` periods in snapshot-index units, the
+    preset's ``period_init`` first (so a short probe can only improve on the
+    reference behavior), then ``mult / f_peak`` for mult = 1, 2, 3 — the peak
+    may be any harmonic of the fundamental the series needs, and probing the
+    small multiples covers that ambiguity at negligible cost.
+    """
+    xa = np.asarray(x, np.float32)
+    if pod_modes is not None:
+        sig = np.asarray(pod_modes).T @ xa  # (r, m) temporal coefficients
+    else:
+        step = max(1, xa.shape[0] // max_rows)
+        sig = xa[::step]
+    sig = sig - sig.mean(axis=1, keepdims=True)
+    power = np.abs(np.fft.rfft(sig, axis=1)) ** 2
+    spectrum = power.sum(axis=0)
+    spectrum[0] = 0.0  # DC
+    k_peak = int(np.argmax(spectrum))
+    out = [float(period_init)]
+    if k_peak > 0:
+        m = xa.shape[1]
+        base = float(m) / k_peak  # cycles of k_peak over the m-index window
+        for mult in (1, 2, 3):
+            c = base * mult
+            if not any(abs(c - o) / o < 0.05 for o in out):
+                out.append(c)
+    return out[:n_candidates]
+
+
 def temporal_values(params: Params, t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize z (T, m) and z_trig values (3, r, m) from the series."""
     z = fourier_series_batch(params["z"], params["period"], t)

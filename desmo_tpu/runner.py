@@ -155,6 +155,41 @@ def reconstruct(params: dict, batch: dict, spec, variant: str) -> jnp.ndarray:
     return desmo_model.apply(params, batch["pod_modes"], spec)[0]
 
 
+def fourier_period_multistart(
+    cfg, params, batch, loss_fn, groups, chunk=None, log=None,
+    param_shardings=None,
+):
+    """Probe FFT-informed candidate periods (``fourier.period_candidates``)
+    for ``cfg.period_probe_epochs`` each and return the best probe state by
+    final rec loss; the main fit resumes from it. Beyond reference: rescues
+    runs whose hard-coded ``period_init`` sits in the period no-gradient
+    basin (``DESMO_Fourier/cylinder_flow/DESMO-Cylinder.py:596-600``)."""
+    cands = fourier_model.period_candidates(
+        np.asarray(batch["x"]),
+        cfg.period_init,
+        n_candidates=cfg.period_multistart,
+        pod_modes=np.asarray(batch["pod_modes"]),
+    )
+    best = None
+    for pc in cands:
+        p2 = dict(params)
+        p2["period"] = jnp.full_like(params["period"], pc)
+        p2["trig_period"] = jnp.full_like(params["trig_period"], pc)
+        res = train.fit(
+            loss_fn, groups, cfg, p2, batch,
+            num_epochs=cfg.period_probe_epochs, log=None, chunk=chunk,
+            param_shardings=param_shardings,
+        )
+        rec = float(res.history["rec"][-1])
+        if log is not None:
+            log(f"period multi-start: candidate {pc:.4f} -> rec {rec:.6f}")
+        if best is None or rec < best[0]:
+            best = (rec, pc, res.state)
+    if log is not None:
+        log(f"period multi-start: keeping period {best[1]:.4f} (rec {best[0]:.6f})")
+    return best[2]
+
+
 def run(
     cfg: configs.RunConfig,
     x: np.ndarray,
@@ -308,6 +343,14 @@ def run(
         cfg = dataclasses.replace(
             cfg, lr_omega=0.01 * float(jnp.mean(jnp.abs(om[0])))
         )
+
+    if cfg.variant == "fourier" and cfg.period_multistart > 1 and state is None:
+        with mesh_ctx:
+            state = fourier_period_multistart(
+                cfg, params, batch, loss_fn, groups, chunk=chunk,
+                log=log_line if echo else None,
+                param_shardings=param_shardings,
+            )
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh_ctx:

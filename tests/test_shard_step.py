@@ -82,7 +82,7 @@ def test_sharded_chunk_keeps_phi_distributed():
     assert np.isfinite(np.asarray(mets["total"])).all()
     # the trained phi must come out sharded over 'space' (never gathered)
     shard = next(iter(state.params["phi"].addressable_shards))
-    assert shard.data.shape[-1] == cfg.n // n_space or shard.data.shape[-1] < cfg.n, (
+    assert shard.data.shape == (cfg.r, cfg.n // n_space), (
         state.params["phi"].sharding
     )
     spec_out = state.params["phi"].sharding.spec
