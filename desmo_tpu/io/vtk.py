@@ -424,11 +424,23 @@ def read_legacy_vtk(path: str) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_data: Optional[dict] = None) -> str:
-    """Write an XML .vtu with ascii DataArrays: the mesh geometry plus any
-    fields (e.g. DESMO modes or reconstructions). The reference only renders
-    to figures; exporting VTK lets results round-trip into ParaView/VTK
-    tooling. Readable back by ``read_vtu`` (tested) and by VTK itself."""
+def write_vtu(
+    path: str,
+    mesh: Mesh,
+    point_data: Optional[dict] = None,
+    cell_data: Optional[dict] = None,
+    data_format: str = "ascii",
+) -> str:
+    """Write an XML .vtu: the mesh geometry plus any fields (e.g. DESMO modes
+    or reconstructions). The reference only renders to figures; exporting VTK
+    lets results round-trip into ParaView/VTK tooling. Readable back by
+    ``read_vtu`` (tested) and by VTK itself.
+
+    ``data_format``: "ascii" (default) or "appended" — the raw-appended
+    binary layout the reference's cylinder series ships in (one
+    ``<AppendedData encoding="raw">`` blob of [UInt32 nbytes][payload]
+    blocks, little-endian), used by the reference-scale ingestion
+    rehearsal (``scripts/ingest_rehearsal.py``)."""
     point_data = {**mesh.point_data, **(point_data or {})}
     cell_data = {**mesh.cell_data, **(cell_data or {})}
     if mesh.points is None:
@@ -447,6 +459,9 @@ def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_dat
         "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32", "uint64": "UInt64",
     }
 
+    appended = data_format == "appended"
+    blob = bytearray()  # raw [UInt32 nbytes][payload] blocks
+
     def da(name, arr, vtk_type=None):
         arr = np.asarray(arr)
         if vtk_type is None:
@@ -455,15 +470,24 @@ def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_dat
                 arr = arr.astype(np.float32)
                 vtk_type = "Float32"
         ncomp = arr.shape[1] if arr.ndim > 1 else 1
+        head = (
+            f'<DataArray type="{vtk_type}" Name={quoteattr(str(name))} '
+            f'NumberOfComponents="{ncomp}"'
+        )
+        if appended:
+            payload = np.ascontiguousarray(
+                arr, dtype=arr.dtype.newbyteorder("<")
+            ).tobytes()
+            offset = len(blob)
+            blob.extend(np.uint32(len(payload)).tobytes())
+            blob.extend(payload)
+            return f'{head} format="appended" offset="{offset}"/>'
         if np.issubdtype(arr.dtype, np.integer):
             vals = " ".join(str(int(v)) for v in arr.reshape(-1))
         else:
             fmt = "{:.17g}" if arr.dtype == np.float64 else "{:.9g}"
             vals = " ".join(fmt.format(float(v)) for v in arr.reshape(-1))
-        return (
-            f'<DataArray type="{vtk_type}" Name={quoteattr(str(name))} '
-            f'NumberOfComponents="{ncomp}" format="ascii">{vals}</DataArray>'
-        )
+        return f'{head} format="ascii">{vals}</DataArray>'
 
     def section(tag, data):
         if not data:
@@ -471,10 +495,7 @@ def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_dat
         inner = "\n".join(da(k, v) for k, v in data.items())
         return f"<{tag}>\n{inner}\n</{tag}>"
 
-    doc = f"""<?xml version="1.0"?>
-<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
-<UnstructuredGrid>
-<Piece NumberOfPoints="{n}" NumberOfCells="{ncells}">
+    body = f"""<Piece NumberOfPoints="{n}" NumberOfCells="{ncells}">
 {section("PointData", point_data)}
 {section("CellData", cell_data)}
 <Points>
@@ -485,12 +506,66 @@ def write_vtu(path: str, mesh: Mesh, point_data: Optional[dict] = None, cell_dat
 {da("offsets", np.asarray(offsets, np.int64), "Int64")}
 {da("types", np.asarray(types, np.uint8), "UInt8")}
 </Cells>
-</Piece>
+</Piece>"""
+    tail = (
+        '<AppendedData encoding="raw">_%%BLOB%%</AppendedData>\n' if appended else ""
+    )
+    doc = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian" header_type="UInt32">
+<UnstructuredGrid>
+{body}
 </UnstructuredGrid>
-</VTKFile>
+{tail}</VTKFile>
 """
-    with open(path, "w") as f:
-        f.write(doc)
+    with open(path, "wb") as f:
+        if appended:
+            pre, post = doc.split("%%BLOB%%")
+            f.write(pre.encode())
+            f.write(bytes(blob))
+            f.write(post.encode())
+        else:
+            f.write(doc.encode())
+    return path
+
+
+def write_legacy_vtk(
+    path: str,
+    dims: tuple[int, int, int],
+    point_data: Optional[dict] = None,
+    spacing: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    binary: bool = True,
+) -> str:
+    """Write a legacy STRUCTURED_POINTS .vtk (the turbulent-channel series
+    format: 128x128 grid, binary big-endian VECTORS — the reference reads it
+    via the vtk bindings, ``...TurbulentChannel.py:150-168``). 3-component
+    arrays are emitted as VECTORS, 1-component as SCALARS; readable back by
+    ``read_legacy_vtk``."""
+    npts = int(np.prod(dims))
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\n")
+        f.write(b"desmo-tpu structured points\n")
+        f.write(b"BINARY\n" if binary else b"ASCII\n")
+        f.write(b"DATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {dims[0]} {dims[1]} {dims[2]}\n".encode())
+        f.write(f"ORIGIN {origin[0]:g} {origin[1]:g} {origin[2]:g}\n".encode())
+        f.write(f"SPACING {spacing[0]:g} {spacing[1]:g} {spacing[2]:g}\n".encode())
+        f.write(f"POINT_DATA {npts}\n".encode())
+        for name, arr in (point_data or {}).items():
+            arr = np.asarray(arr, np.float32)
+            ncomp = arr.shape[1] if arr.ndim > 1 else 1
+            if arr.shape[0] != npts:
+                raise ValueError(f"{name}: {arr.shape[0]} tuples != {npts} points")
+            if ncomp == 3:
+                f.write(f"VECTORS {name} float\n".encode())
+            else:
+                f.write(f"SCALARS {name} float {ncomp}\nLOOKUP_TABLE default\n".encode())
+            if binary:
+                f.write(arr.astype(">f4").tobytes())
+                f.write(b"\n")
+            else:
+                for row in arr.reshape(npts, -1):
+                    f.write((" ".join(f"{v:.9g}" for v in row) + "\n").encode())
     return path
 
 

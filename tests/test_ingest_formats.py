@@ -1,0 +1,52 @@
+"""End-to-end CLI ingestion over all three on-disk reference formats
+(raw-appended PointData .vtu, raw-appended CellData voxel .vtu, legacy binary
+STRUCTURED_POINTS .vtk) at small shapes; the full reference-scale rehearsal
+lives in ``scripts/ingest_rehearsal.py`` (results in docs/RESULTS.md)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+import ingest_rehearsal as ir  # noqa: E402
+
+from desmo_tpu.__main__ import main as cli_main  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "preset,gen,kwargs,ext,loc,t_end",
+    [
+        ("cylinder", ir.gen_cylinder, dict(n=50, m=8), ".vtu", "point", 8),
+        ("aneurysm", ir.gen_aneurysm, dict(nx=4, m=6), ".vtu", "cell", 6),
+        ("channel", ir.gen_channel, dict(side=8, n_files=10), ".vtk", "point", 10),
+    ],
+)
+def test_cli_run_from_on_disk_series(tmp_path, capsys, preset, gen, kwargs, ext, loc, t_end):
+    d, n_files, _ = gen(str(tmp_path), **kwargs)
+    rc = cli_main([
+        "run", "--preset", preset, "--data-dir", d,
+        "--extension", ext, "--location", loc,
+        "--t-end", str(t_end), "--epochs", "5",
+        "--out-dir", str(tmp_path / "runs"), "--no-figures",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    summary = json.loads([l for l in out.strip().splitlines() if l.startswith("{")][-1])
+    assert summary["preset"] == preset
+    assert np.isfinite(summary["relative_error"])
+
+
+def test_native_and_python_loaders_agree_on_all_formats(tmp_path):
+    """The rehearsal's loader cross-check at small shapes: both loaders must
+    produce identical matrices for every on-disk format."""
+    for gen, kwargs, ext, loc in [
+        (ir.gen_cylinder, dict(n=40, m=5), ".vtu", "point"),
+        (ir.gen_aneurysm, dict(nx=3, m=4), ".vtu", "cell"),
+        (ir.gen_channel, dict(side=6, n_files=6), ".vtk", "point"),
+    ]:
+        d, n_files, _ = gen(str(tmp_path), **kwargs)
+        res = ir.time_loaders(d, n_files, ext, loc)  # asserts allclose inside
+        assert res["shape"][1] == n_files
