@@ -26,3 +26,62 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Two test tiers: the default run (`pytest tests/ -q`) excludes tests marked
+# slow (via addopts in pyproject.toml) and finishes in ~3 min; the full suite
+# (`pytest tests/ -m '' -q`, ~11 min) adds the trajectory-parity /
+# kernel-interpret / end-to-end heavyweights listed here. Measured cutoff:
+# anything >= ~6.5 s per --durations on the 8-device CPU mesh. Kept as one
+# central list (not scattered decorators) so re-tiering after a profiling run
+# is a single edit.
+# ---------------------------------------------------------------------------
+_SLOW = {
+    "tests/test_ae.py::test_ae_training_converges",
+    "tests/test_ae.py::test_live_init_has_gradient_flow",
+    "tests/test_ae_chunk.py::TestAEChunkParity",
+    "tests/test_fourier.py::test_period_multistart_rescues_mismatch",
+    "tests/test_golden_forward.py::test_fourier_checkpoint_forward_parity",
+    "tests/test_graft_entry.py::test_dryrun_multichip_subprocess",
+    "tests/test_graft_entry.py::test_nonfinite_loss_detection",
+    "tests/test_ingest_formats.py::test_cli_run_from_on_disk_series",
+    "tests/test_model.py::test_factored_loss_matches_direct",
+    "tests/test_model.py::test_loss_is_differentiable_everywhere",
+    "tests/test_pallas.py::test_fused_loss_in_model",
+    "tests/test_parallel.py::test_space_mesh_matches_single_device",
+    "tests/test_runner.py::test_aneurysm_voxel_celldata_run",
+    "tests/test_runner.py::test_cli_mesh_run",
+    "tests/test_runner.py::test_run_ae_recipe",
+    "tests/test_runner.py::test_run_all_variants",
+    "tests/test_runner.py::test_run_with_device_mesh_fourier_sharded",
+    "tests/test_runner.py::test_run_with_device_mesh_scan_fallback",
+    "tests/test_runner.py::test_run_with_device_mesh_sharded_kernel",
+    "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",
+    "tests/test_shard_step.py::test_sharded_fourier_chunk_matches_single_device",
+    "tests/test_shard_step.py::test_sharded_resume_roundtrip",
+    "tests/test_sr.py::test_full_sr_pipeline_on_trained_model",
+    "tests/test_train.py::test_flat_chunk_matches_pytree_step",
+    "tests/test_train_chunk_kernel.py::test_final_state_matches_reference_chunk",
+    "tests/test_train_chunk_kernel.py::test_fourier_aneurysm_shape_regime",
+    "tests/test_train_chunk_kernel.py::test_fourier_final_state_matches_reference_chunk",
+    "tests/test_train_chunk_kernel.py::test_fourier_metrics_trace_matches_reference_chunk",
+    "tests/test_train_chunk_kernel.py::test_fourier_resume_from_mid_chunk_state",
+    "tests/test_train_chunk_kernel.py::test_fourier_streamed_matches_resident",
+    "tests/test_train_chunk_kernel.py::test_metrics_trace_matches_reference_chunk",
+    "tests/test_train_chunk_kernel.py::test_r4_poly3_shape_regime",
+    "tests/test_train_chunk_kernel.py::test_r8_max_rank_regime",
+    "tests/test_train_chunk_kernel.py::test_select_chunk_policy",
+    "tests/test_train_chunk_kernel.py::test_sincos_domain_guard_engages",
+    "tests/test_train_chunk_kernel.py::test_streamed_fourier_matches_resident",
+    "tests/test_train_chunk_kernel.py::test_streamed_state_variant_matches_resident",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        parent = base.rsplit("::", 1)[0]
+        if base in _SLOW or parent in _SLOW:
+            item.add_marker(pytest.mark.slow)
