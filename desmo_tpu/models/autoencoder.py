@@ -222,16 +222,67 @@ def ae_sparsity_l1(params: Params) -> jnp.ndarray:
     )
 
 
+def _factored_ae_mse(params: Params, latent: jnp.ndarray, x: jnp.ndarray, batch: dict) -> jnp.ndarray:
+    """``MSE(decoder(latent), X)`` WITHOUT materializing the (n, m) decode.
+
+    Factor the quadratic through the last decoder layer: with H the 256-wide
+    last hidden activation, W/b the final layer, and 1 the all-ones row,
+
+        ||H W + 1 b - X||^2 = <H^T H, W W^T> - 2 <H^T X, W>
+                              + 2 (1^T H W) . b - 2 (1^T X) . b
+                              + n ||b||^2 + ||X||^2
+
+    — the same trick ``losses.factored_mse`` applies to the dictionary
+    product (the reference materializes the decode,
+    ``DESMO_AE/DESMO_Cylinder_AE-Final.py:859-860``). X is read once
+    (``H^T X``) instead of three times (decode fwd + residual + backward),
+    measured -41 us/step on ae_cylinder (scripts/ae_ablate.py 'aefact').
+    ``batch['x_colsum']``/``batch['x_sq']`` are used when precomputed
+    (``runner.prepare_chunk_batch``) so no extra pass over X runs per step."""
+    HIGH = jax.lax.Precision.HIGH
+    n_layers = len(ENCODER_WIDTHS) + 1
+    h = latent
+    for i in range(n_layers - 1):
+        h = jax.nn.relu(
+            jnp.dot(h, params[f"ae_dec_w{i}"], precision=HIGH) + params[f"ae_dec_b{i}"]
+        )
+    W = params[f"ae_dec_w{n_layers - 1}"]
+    b = params[f"ae_dec_b{n_layers - 1}"]
+    n, m = x.shape
+    x_sq = batch.get("x_sq")
+    if x_sq is None:
+        x_sq = jnp.sum(x * x)
+    xcol = batch.get("x_colsum")
+    if xcol is None:
+        xcol = jnp.sum(x, axis=0)
+    hh = jnp.dot(h.T, h, precision=HIGH)
+    ww = jnp.dot(W, W.T, precision=HIGH)
+    hx = jnp.dot(h.T, x, precision=HIGH)
+    sh = jnp.sum(h, axis=0)
+    sq = (
+        jnp.sum(hh * ww)
+        - 2.0 * jnp.sum(hx * W)
+        + x_sq
+        + 2.0 * jnp.dot(jnp.dot(sh, W, precision=HIGH), b)
+        - 2.0 * jnp.dot(xcol, b)
+        + n * jnp.dot(b, b)
+    )
+    return sq / (n * m)
+
+
 def build_loss(spec: AESpec, beta: float, l1_lambda: float, ae_beta: float, method: str = "factored"):
     """total = MSE + beta*ortho + l1_lambda*L1 + ae_beta*MSE(ae_rec, X)
-    (``...py:859-871``). ``batch = {'x': X (n, m)[, 'x_sq']}``."""
+    (``...py:859-871``). ``batch = {'x': X (n, m)[, 'x_sq', 'x_colsum']}``.
+    The AE-MSE term is factored (``_factored_ae_mse``) on the perf paths;
+    ``method='naive'`` keeps the materialized decode for exact-parity runs."""
     from desmo_tpu import losses
 
     factors = spec.factor_table()
+    n_layers = len(ENCODER_WIDTHS) + 1
 
     def loss_fn(params: Params, batch: dict):
         x = batch["x"]
-        latent, ae_rec = encode_decode(params, x)
+        latent = _mlp(params, "ae_enc", x, n_layers)
         A = _dictionary(params, latent, spec, factors)
         B = desmo_model.temporal_matrix(params)
         if method == "fused":
@@ -247,7 +298,10 @@ def build_loss(spec: AESpec, beta: float, l1_lambda: float, ae_beta: float, meth
             rec = losses.factored_mse(A, B, x, batch.get("x_sq"))
         else:
             rec = losses.mse(jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST), x)
-        ae = losses.mse(ae_rec, x)
+        if method == "naive":
+            ae = losses.mse(_mlp(params, "ae_dec", latent, n_layers), x)
+        else:
+            ae = _factored_ae_mse(params, latent, x, batch)
         ortho = ae_orthogonality(latent)
         l1 = ae_sparsity_l1(params)
         total = rec + beta * ortho + l1_lambda * l1 + ae_beta * ae

@@ -1048,9 +1048,19 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     mega-kernel (ValueError if unsupported); 'auto' picks it on TPU for the
     desmo/fourier variants when the loss method resolves to the fused path."""
     method = getattr(cfg, "chunk_method", "auto")
+    variant = getattr(cfg, "variant", "desmo")
     if method == "scan":
         return None
     if method == "megakernel":
+        if variant == "ae":
+            from desmo_tpu.pallas import ae_chunk
+
+            if not ae_chunk.ae_supports(spec, cfg, bt):
+                raise ValueError(
+                    f"chunk_method='megakernel' but AE preset {cfg.name!r} is "
+                    "not supported — see pallas.ae_chunk.ae_supports"
+                )
+            return ae_chunk.make_ae_fused_chunk(spec, cfg, bt)
         if not supports(spec, cfg):
             raise ValueError(
                 f"chunk_method='megakernel' but preset {cfg.name!r} is not "
@@ -1060,6 +1070,12 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     if jax.default_backend() != "tpu":
         return None
     if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
+        return None
+    if variant == "ae":
+        # The AE mega-kernel is measured SLOWER than the scanned path on
+        # hardware (round 4: Mosaic serializes the narrow-funnel chain; see
+        # docs/RESULTS.md "AE mega-kernel") — auto keeps the scanned chunk;
+        # chunk_method='megakernel' opts in explicitly.
         return None
     if not supports(spec, cfg):
         return None

@@ -132,6 +132,10 @@ def prepare_chunk_batch(cfg, x, pod_modes=None, chunk=None) -> dict:
     ``train_chunk.select_chunk`` (None = scanned path)."""
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
+    if getattr(cfg, "variant", "desmo") == "ae":
+        # consumed by the factored AE-MSE (models/autoencoder._factored_ae_mse)
+        # so the compiled step never re-reduces X
+        batch["x_colsum"] = jnp.sum(xd, axis=0)
     if pod_modes is not None:
         batch["pod_modes"] = jnp.asarray(pod_modes)
     if chunk is not None or (

@@ -14,7 +14,10 @@ Variants:
             256->m) + AE MSE; funnel layers stubbed by slicing/tiling
   floor   - near-zero loss: measures packed-Adamax + scheduler + scan overhead
   aefact  - full loss, but the AE MSE factored through the last decoder layer
-            (never materializes the (n, m) decode; candidate optimization)
+            (never materializes the (n, m) decode). Measured -40.8 us/step and
+            SHIPPED as the default perf path (models/autoencoder.build_loss),
+            so 'full' now equals 'aefact'; the local naive-decode history is
+            kept for the attribution table in docs/RESULTS.md.
 
 Prints a table + attribution summary. Run on the real TPU.
 """

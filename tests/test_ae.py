@@ -96,6 +96,31 @@ def test_tanh_receives_no_gradient():
     assert np.any(np.asarray(g["z_trig"][0]) != 0.0)
 
 
+def test_factored_ae_mse_matches_naive():
+    """The factored AE-MSE (never materializes the (n, m) decode) must agree
+    with the naive decode+MSE in value AND gradients — same objective, only
+    the fp association differs."""
+    rng = np.random.default_rng(7)
+    spec = small_spec()
+    params = ae.init_params_live(spec, seed=5)
+    x = jnp.asarray(rng.standard_normal((spec.n, spec.m)), jnp.float32)
+    batch = {"x": x, "x_sq": jnp.sum(x * x), "x_colsum": jnp.sum(x, axis=0)}
+    fac = ae.build_loss(spec, 1e-3, 1e-6, 1.0, method="factored")
+    naive = ae.build_loss(spec, 1e-3, 1e-6, 1.0, method="naive")
+    (tf, mf), gf = jax.value_and_grad(fac, has_aux=True)(params, batch)
+    (tn, mn), gn = jax.value_and_grad(naive, has_aux=True)(params, {"x": x})
+    np.testing.assert_allclose(float(mf["ae"]), float(mn["ae"]), rtol=1e-5)
+    np.testing.assert_allclose(float(tf), float(tn), rtol=1e-5)
+    for k in gf:
+        scale = max(np.max(np.abs(np.asarray(gn[k]))), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(gn[k]), rtol=5e-4, atol=5e-5 * scale, err_msg=k
+        )
+    # the batch helpers are optional — omitting them must not change values
+    (tf2, _) = fac(params, {"x": x})
+    np.testing.assert_allclose(float(tf2), float(tf), rtol=1e-6)
+
+
 def test_ae_training_converges():
     rng = np.random.default_rng(3)
     n, m = 80, 48
