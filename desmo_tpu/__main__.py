@@ -54,6 +54,12 @@ def cmd_run(args) -> int:
         overrides["ae_recipe"] = True
     if getattr(args, "period_multistart", None):
         overrides["period_multistart"] = args.period_multistart
+    if getattr(args, "seeds", None):
+        overrides["n_seeds"] = args.seeds
+    if getattr(args, "seed_phi_sigma", None) is not None:
+        overrides["seed_phi_sigma"] = args.seed_phi_sigma
+    if getattr(args, "seed_omega_spread", None) is not None:
+        overrides["seed_omega_spread"] = args.seed_omega_spread
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = None
@@ -224,6 +230,21 @@ def main(argv=None) -> int:
         help="Fourier variants: probe up to N FFT-informed candidate periods "
         "before training and keep the best (rescues a mismatched period_init; "
         "see models/fourier.period_candidates)",
+    )
+    p_run.add_argument(
+        "--seeds", type=int, default=None, metavar="S",
+        help="desmo variant: train S independently-initialized models "
+        "SIMULTANEOUSLY (lane-packed in the MXU's 128-lane pad, ~the cost of "
+        "one for K<=32-term presets) and keep the best — see ensemble.py",
+    )
+    p_run.add_argument(
+        "--seed-phi-sigma", type=float, default=None, metavar="SIGMA",
+        help="multi-seed: relative phi init jitter for seeds > 0 (default 0.02)",
+    )
+    p_run.add_argument(
+        "--seed-omega-spread", type=float, default=None, metavar="DECADES",
+        help="multi-seed: omega init log-spread in decades for seeds > 0 "
+        "(default 0 = keep the preset omega_init)",
     )
     p_run.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
     p_run.add_argument(

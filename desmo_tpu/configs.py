@@ -83,6 +83,16 @@ class RunConfig:
     dim: int = 2  # 2: strip w + planar magnitude; 3: 3-component magnitude
     # --- post-analysis: greedy one-at-a-time pruning (channel only) ---
     run_greedy_prune: bool = False
+    # --- lane-packed multi-seed training (beyond reference; ensemble.py):
+    # train n_seeds independently-initialized models simultaneously, packing
+    # their K-term lane axes into the MXU's 128-lane pad (up to
+    # ensemble.max_seeds_packed per compiled group), keep the best by final
+    # total loss. 0/1 = off. Seed 0 keeps the exact reference init; later
+    # seeds jitter phi by (1 + sigma*N(0,1)) and omega log-uniformly within
+    # 10**[-spread, +spread]. desmo variant only.
+    n_seeds: int = 1
+    seed_phi_sigma: float = 0.02
+    seed_omega_spread: float = 0.0
 
     @property
     def group_lrs(self) -> tuple[float, ...]:

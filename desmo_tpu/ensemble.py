@@ -1,0 +1,483 @@
+"""Lane-packed multi-seed (ensemble / multi-start) DESMO training.
+
+NEW CAPABILITY beyond the reference (which hard-codes one deterministic
+all-ones init per dataset, ``DESMO/cylinder_flow/DESMO-Cylinder.py:506-530``,
+and can only multi-start by re-running the whole script): train S
+independently-initialized DESMO models SIMULTANEOUSLY for roughly the cost
+of ONE, then keep the best.
+
+Why this is nearly free on TPU: every MXU contraction in the training step
+has the K = T + 3r term axis as its lane dimension, and the hardware issues
+full 128-lane ops regardless — at K=27 (r=4, P=2: aneurysm, channel) 79% of
+every dot's lanes are padding (docs/RESULTS.md "MFU-grade throughput
+accounting"). Packing S seeds' term axes side by side (S*K <= 128 lanes)
+makes those padding lanes do useful work:
+
+    A_packed (n, S*K)   = [A_seed0 | A_seed1 | ...]   (block-column)
+    B_packed (S*K, m)   = [B_seed0 ; B_seed1 ; ...]   (block-row)
+
+* ``X B^T``, ``A^T X``, ``A^T A``, ``dA = A gb`` — identical MXU cost to one
+  seed (the lane axis was padded to 128 anyway); only the BLOCK-DIAGONAL of
+  the packed Grams is used, so per-seed objectives stay exactly independent.
+* the dictionary build (gathers, trig) is lane-local VPU work — per-seed
+  columns evaluate in parallel lanes by construction.
+* X is shared: one streamed read serves all S seeds.
+* Adamax runs over one flat packed buffer (seed-major group LRs); the
+  ReduceLROnPlateau scheduler is vmapped over seeds, each driven by its own
+  total loss — every seed follows exactly the trajectory it would follow
+  alone (asserted vs. independent single-seed runs in
+  ``tests/test_ensemble.py``).
+
+Capacity: S*K <= 128 lanes — 4 seeds for the r=4/P=2 presets (K=27),
+2 seeds for cylinder r=4/P=3 (K=47). Larger S falls back to multiple packed
+groups run sequentially (``max_seeds_packed``).
+
+Scope: the desmo variant (POD-masked modes). The Fourier variant already has
+its own first-chunk period multi-start (``runner.fourier_period_multistart``);
+the AE variant's cost is MLP-dominated (no lane padding to recycle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desmo_tpu import library, losses, optim, train
+from desmo_tpu.configs import GROUP_ORDER, RunConfig
+from desmo_tpu.models import desmo as desmo_model
+
+LANES = 128
+
+
+def max_seeds_packed(spec) -> int:
+    """How many seeds fit in one 128-lane pack for this architecture."""
+    K = spec.num_poly_terms + 3 * spec.r
+    return max(1, LANES // K)
+
+
+def packed_factor_table(spec, n_seeds: int) -> np.ndarray:
+    """Seed-blocked factor table into ``[1, lat(0,0)..lat(0,r-1), lat(1,0)..]``.
+
+    Index 0 stays the shared constant-one column; seed s's mode i lives at
+    column ``1 + s*r + i`` of the augmented latent matrix.
+    """
+    F = spec.factor_table()  # (T, P), 0 = ones column, i+1 = mode i
+    blocks = [np.where(F > 0, F + s * spec.r, 0) for s in range(n_seeds)]
+    return np.concatenate(blocks, axis=0)  # (S*T, P)
+
+
+def init_params(
+    spec,
+    n_seeds: int,
+    seed: int = 0,
+    phi_sigma: float = 0.02,
+    omega_spread: float = 0.0,
+) -> dict:
+    """Per-seed DESMO params with a leading seed axis on every key.
+
+    Seed 0 is EXACTLY the reference init (all ones, omega = omega_init) so
+    the ensemble always contains the reference trajectory; seeds 1.. jitter
+    phi multiplicatively (1 + sigma*N(0,1)) and omega log-uniformly within
+    ``10**[-omega_spread, +omega_spread]``.
+    """
+    base = desmo_model.init_params(spec)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+    stacked = {k: jnp.broadcast_to(v, (n_seeds, *v.shape)) for k, v in base.items()}
+    if n_seeds > 1 and phi_sigma > 0.0:
+        noise = phi_sigma * jax.random.normal(
+            keys[0], (n_seeds - 1, spec.r, spec.n), jnp.float32
+        )
+        phi = jnp.concatenate([stacked["phi"][:1], stacked["phi"][1:] * (1.0 + noise)])
+        stacked = dict(stacked, phi=phi)
+    if n_seeds > 1 and omega_spread > 0.0:
+        fac = 10.0 ** jax.random.uniform(
+            keys[1], (n_seeds - 1, 3, spec.r), jnp.float32,
+            minval=-omega_spread, maxval=omega_spread,
+        )
+        om = jnp.concatenate([stacked["omega"][:1], stacked["omega"][1:] * fac])
+        stacked = dict(stacked, omega=om)
+    return stacked
+
+
+def extract_seed(params: dict, s: int) -> dict:
+    """Standard single-seed desmo params of ensemble member ``s`` — directly
+    compatible with checkpoint/sparsify/viz/evaluate."""
+    return {k: v[s] for k, v in params.items()}
+
+
+def _block_mask(n_seeds: int, K: int) -> jnp.ndarray:
+    """(S*K, S*K) block-diagonal 0/1 mask."""
+    eye = jnp.eye(n_seeds, dtype=jnp.float32)
+    return jnp.kron(eye, jnp.ones((K, K), jnp.float32))
+
+
+def packed_dictionary(params: dict, pod_modes: jnp.ndarray, spec, factors_packed):
+    """Packed spatial dictionary ``A (n, S*K)`` + per-seed latents ``(S, n, r)``.
+
+    Column layout per seed block: [T polynomial terms, 3r trig terms] —
+    the SAME order as the single-seed dictionary, so block s of A against
+    block s of B reproduces ``desmo.spatial_dictionary`` exactly.
+    """
+    S = params["phi"].shape[0]
+    n = pod_modes.shape[0]
+    # latents: (S, n, r); packed view (n, S*r) feeds the polynomial gather
+    latents = pod_modes[None, :, :] * jnp.transpose(params["phi"], (0, 2, 1))
+    lat_packed = jnp.transpose(latents, (1, 0, 2)).reshape(n, S * spec.r)
+    theta = library.eval_library(lat_packed, factors_packed)  # (n, S*T)
+    theta = theta.reshape(n, S, spec.num_poly_terms) * params["c"][None, :, :]
+    # trig: (S, 3, r, n) elementwise — lane-parallel across seeds
+    args = params["omega"][:, :, :, None] * jnp.transpose(latents, (0, 2, 1))[:, None, :, :]
+    basis = jnp.stack(
+        [jnp.sin(args[:, 0]), jnp.cos(args[:, 1]), jnp.tanh(args[:, 2])], axis=1
+    )  # (S, 3, r, n)
+    g = params["c_trig"][:, :, :, None] * basis
+    g = jnp.transpose(g.reshape(S, 3 * spec.r, n), (2, 0, 1))  # (n, S, 3r)
+    A = jnp.concatenate([theta, g], axis=2).reshape(n, -1)  # (n, S*K)
+    return A, latents
+
+
+def packed_temporal(params: dict) -> jnp.ndarray:
+    """``B (S*K, m)`` block-rows matching ``packed_dictionary``'s columns."""
+    S, _, m = params["z"].shape
+    z_trig = params["z_trig"].reshape(S, -1, m)
+    return jnp.concatenate([params["z"], z_trig], axis=1).reshape(-1, m)
+
+
+def factored_mse_blocks(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    x: jnp.ndarray,
+    x_sq: Optional[jnp.ndarray],
+    n_seeds: int,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Per-seed ``mean((A_s B_s - X)^2)`` -> (S,), from ONE set of packed dots.
+
+    The packed Grams ``A^T A`` / ``B B^T`` cost the same MXU time as a single
+    seed's (the lane axis pads to 128 regardless); only their block-diagonal
+    enters the per-seed objectives, so gradients stay seed-independent
+    (off-diagonal blocks get zero cotangent).
+    """
+    S = n_seeds
+    K = a.shape[1] // S
+    n, m = x.shape[0], b.shape[1]
+    ga = jnp.dot(a.T, a, precision=precision)
+    gb = jnp.dot(b, b.T, precision=precision)
+    ax = jnp.dot(a.T, x, precision=precision)
+    if x_sq is None:
+        x_sq = jnp.sum(x * x)
+    idx = jnp.arange(S)
+    ga_d = ga.reshape(S, K, S, K)[idx, :, idx, :]  # (S, K, K)
+    gb_d = gb.reshape(S, K, S, K)[idx, :, idx, :]
+    cross = jnp.sum((ax * b).reshape(S, K, m), axis=(1, 2))
+    sq = jnp.sum(ga_d * gb_d, axis=(1, 2)) - 2.0 * cross + x_sq
+    return sq / (n * m)
+
+
+def build_loss(spec, cfg: RunConfig, n_seeds: int, method: str = "factored") -> Callable:
+    """Packed multi-seed loss: ``(params, batch) -> (sum_s total_s, metrics)``.
+
+    Per-seed params are disjoint, so ``grad(sum_s total_s)`` IS the stacked
+    per-seed gradient. Metrics carry (S,) vectors: rec/ortho/l1/total.
+    method='fused' routes the X contractions through the packed Pallas
+    dual-GEMM (one read of X per step for ALL seeds); 'factored' is pure XLA.
+    """
+    factors_packed = packed_factor_table(spec, n_seeds)
+    interpret = jax.default_backend() != "tpu"
+    K = spec.num_poly_terms + 3 * spec.r
+
+    def loss_fn(params: dict, batch: dict):
+        A, latents = packed_dictionary(params, batch["pod_modes"], spec, factors_packed)
+        B = packed_temporal(params)
+        if method == "fused":
+            from desmo_tpu.pallas import dual_gemm
+
+            x_sq = batch.get("x_sq")
+            if x_sq is None:
+                x_sq = jnp.sum(batch["x"] * batch["x"])
+            if "x_hi" in batch:
+                rec = dual_gemm.factored_mse_fused_split_blocks(
+                    A, B, batch["x_hi"], batch["x_lo"], x_sq, n_seeds, interpret
+                )
+            else:
+                rec = dual_gemm.factored_mse_fused_blocks(
+                    A, B, batch.get("x_padded", batch["x"]), x_sq, n_seeds, interpret
+                )
+        else:
+            rec = factored_mse_blocks(
+                A, B, batch["x"], batch.get("x_sq"), n_seeds
+            )
+        # per-seed orthogonality: |off-diagonal latent Gram|, upper triangle
+        gram = jnp.einsum(
+            "sni,snj->sij", latents, latents, precision=jax.lax.Precision.HIGHEST
+        )
+        iu = jnp.triu(jnp.ones((spec.r, spec.r), dtype=bool), k=1)
+        ortho = jnp.sum(jnp.where(iu[None], jnp.abs(gram), 0.0), axis=(1, 2))
+        l1 = jnp.sum(jnp.abs(params["c"]), axis=1) + jnp.sum(
+            jnp.abs(params["c_trig"]), axis=(1, 2)
+        )
+        total_s = rec + cfg.beta * ortho + cfg.l1_lambda * l1
+        metrics = {"rec": rec, "ortho": ortho, "l1": l1, "total_s": total_s}
+        return jnp.sum(total_s), metrics
+
+    return loss_fn
+
+
+class _SeedFlatLayout:
+    """Packed-buffer layout with SEED-MAJOR group LRs.
+
+    Same packing as ``train._FlatLayout`` but every element's LR index is
+    ``seed * len(GROUP_ORDER) + group`` into the raveled (S, G) scheduler LR
+    matrix — each seed's plateau scheduler steers only its own slice.
+    """
+
+    def __init__(self, params: dict, group_of: dict[str, str], n_seeds: int):
+        self.keys = list(params)
+        self.shapes = {k: tuple(np.shape(params[k])) for k in self.keys}
+        self.n_seeds = n_seeds
+        G = len(GROUP_ORDER)
+        sizes = {k: int(np.prod(self.shapes[k])) for k in self.keys}
+        self.offsets = {}
+        off = 0
+        for k in self.keys:
+            self.offsets[k] = off
+            off += sizes[k]
+        self.total = off
+        gidx = np.empty(off, np.int32)
+        for k in self.keys:
+            shape = self.shapes[k]
+            assert shape[0] == n_seeds, f"{k}: missing seed axis"
+            per_seed = sizes[k] // n_seeds
+            g = GROUP_ORDER.index(group_of[k])
+            block = np.repeat(np.arange(n_seeds, dtype=np.int32) * G + g, per_seed)
+            gidx[self.offsets[k] : self.offsets[k] + sizes[k]] = block
+        self.group_index = gidx
+
+    def flatten(self, tree: dict) -> jnp.ndarray:
+        return jnp.concatenate(
+            [jnp.ravel(tree[k]).astype(jnp.float32) for k in self.keys]
+        )
+
+    def unflatten(self, vec: jnp.ndarray) -> dict:
+        out = {}
+        for k in self.keys:
+            size = int(np.prod(self.shapes[k]))
+            out[k] = jax.lax.dynamic_slice_in_dim(
+                vec, self.offsets[k], size
+            ).reshape(self.shapes[k])
+        return out
+
+
+def init_state(params: dict, cfg: RunConfig, n_seeds: int) -> train.TrainState:
+    """TrainState whose scheduler carries per-seed LR rows (S, G)."""
+    lrs = jnp.broadcast_to(
+        jnp.asarray(cfg.group_lrs, jnp.float32), (n_seeds, len(GROUP_ORDER))
+    )
+    sched = optim.PlateauState(
+        lrs=lrs,
+        best=jnp.full((n_seeds,), jnp.inf, jnp.float32),
+        num_bad=jnp.zeros((n_seeds,), jnp.int32),
+    )
+    return train.TrainState(
+        params=params,
+        opt=optim.adamax_init(params),
+        sched=sched,
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_ensemble_chunk(loss_fn, group_of: dict[str, str], cfg: RunConfig, n_seeds: int):
+    """Jitted scan of packed multi-seed epochs — ``train.make_train_chunk``'s
+    packed fast path with (a) seed-major per-element LRs and (b) a vmapped
+    per-seed ReduceLROnPlateau driven by each seed's own total loss."""
+    G = len(GROUP_ORDER)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    vplateau = jax.vmap(
+        lambda st, m: optim.plateau_step(
+            st, m, patience=cfg.patience, factor=cfg.sched_factor,
+            min_lr=cfg.sched_min_lr,
+        )
+    )
+
+    def chunk_impl(state: train.TrainState, batch: dict, num_steps: int):
+        layout = _SeedFlatLayout(state.params, group_of, n_seeds)
+        gidx = jnp.asarray(layout.group_index)
+
+        def full_loss(vec, batch):
+            return loss_fn(layout.unflatten(vec), batch)
+
+        def body(carry, _):
+            vec, mu, nu, count, sched, epoch = carry
+            (total, metrics), g = jax.value_and_grad(full_loss, has_aux=True)(
+                vec, batch
+            )
+            count = count + 1
+            bias = 1.0 - b1 ** count.astype(jnp.float32)
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
+            lr_elem = sched.lrs.ravel()[gidx]
+            vec = vec - (lr_elem / bias) * mu / nu
+            stepped = vplateau(sched, metrics["total_s"])
+            do_sched = epoch % cfg.sched_every == 0
+            sched = jax.tree.map(
+                lambda a, b: jnp.where(do_sched, a, b), stepped, sched
+            )
+            metrics = dict(metrics)
+            metrics["total"] = total
+            return (vec, mu, nu, count, sched, epoch + 1), metrics
+
+        carry = (
+            layout.flatten(state.params),
+            layout.flatten(state.opt.mu),
+            layout.flatten(state.opt.nu),
+            state.opt.count,
+            state.sched,
+            state.epoch,
+        )
+        (vec, mu, nu, count, sched, epoch), metrics = jax.lax.scan(
+            body, carry, None, length=num_steps,
+            unroll=min(getattr(cfg, "scan_unroll", 1), num_steps),
+        )
+        out_state = train.TrainState(
+            params=layout.unflatten(vec),
+            opt=optim.AdamaxState(count, layout.unflatten(mu), layout.unflatten(nu)),
+            sched=sched,
+            epoch=epoch,
+        )
+        return out_state, metrics
+
+    return jax.jit(chunk_impl, static_argnames=("num_steps",), donate_argnames=("state",))
+
+
+def seed_state(state: train.TrainState, cfg: RunConfig, s: int) -> train.TrainState:
+    """Single-seed ``TrainState`` view of ensemble member ``s`` — resumable by
+    the standard scanned chunk / mega-kernel (same layouts, same semantics)."""
+    return train.TrainState(
+        params=extract_seed(state.params, s),
+        opt=optim.AdamaxState(
+            count=state.opt.count,
+            mu=extract_seed(state.opt.mu, s),
+            nu=extract_seed(state.opt.nu, s),
+        ),
+        sched=optim.PlateauState(
+            lrs=state.sched.lrs[s],
+            best=state.sched.best[s],
+            num_bad=state.sched.num_bad[s],
+        ),
+        epoch=state.epoch,
+    )
+
+
+def fit(
+    cfg: RunConfig,
+    spec,
+    batch: dict,
+    n_seeds: int,
+    num_epochs: Optional[int] = None,
+    seed: int = 0,
+    phi_sigma: float = 0.02,
+    omega_spread: float = 0.0,
+    method: Optional[str] = None,
+    log: Optional[Callable[[str], None]] = print,
+) -> tuple[train.TrainResult, int, np.ndarray]:
+    """Train an S-seed packed ensemble; returns ``(result, best, final_totals)``
+    where ``result.state`` is the BEST member's single-seed TrainState.
+
+    Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
+    sequentially (still one compiled chunk each).
+    """
+    if method is None:
+        method = "fused" if jax.default_backend() == "tpu" else "factored"
+    num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
+    cap = max_seeds_packed(spec)
+    groups = desmo_model.param_groups(desmo_model.init_params(spec))
+
+    import time as _time
+
+    results = []  # (final_total, seed_index, single_state, history)
+    start = 0
+    gi = 0
+    t0 = None
+    steps_timed = 0
+    while start < n_seeds:
+        S = min(cap, n_seeds - start)
+        loss_fn = build_loss(spec, cfg, S, method=method)
+        params = init_params(
+            spec, S, seed=seed + gi, phi_sigma=phi_sigma, omega_spread=omega_spread
+        )
+        if start > 0:
+            # only the global seed 0 keeps the exact reference init; later
+            # groups jitter every member
+            key = jax.random.PRNGKey(seed + 1000 + gi)
+            noise = phi_sigma * jax.random.normal(
+                key, (1, spec.r, spec.n), jnp.float32
+            )
+            params = dict(
+                params,
+                phi=params["phi"].at[0].multiply(1.0 + noise[0]),
+            )
+        state = init_state(params, cfg, S)
+        chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
+        state = jax.tree.map(jnp.array, state)
+        chunk_size = min(cfg.checkpoint_every, num_epochs)
+        done = 0
+        histories = []
+        while done < num_epochs:
+            nsteps = min(chunk_size, num_epochs - done)
+            state, mets = chunk(state, batch, num_steps=nsteps)
+            mets = {k: np.asarray(v) for k, v in mets.items()}
+            if t0 is None:
+                t0 = _time.perf_counter()  # exclude the first (compile) chunk
+            else:
+                steps_timed += nsteps * S  # seed-steps
+            if not np.isfinite(mets["total"][-1]):
+                bad = int(np.argmax(~np.isfinite(mets["total"])))
+                raise FloatingPointError(
+                    f"non-finite ensemble loss at epoch {done + bad}"
+                )
+            histories.append(mets)
+            done += nsteps
+            if log is not None and (done % max(cfg.log_every, nsteps) == 0 or done == num_epochs):
+                tot = mets["total_s"][-1]
+                log(
+                    f"[ensemble group {gi}] epoch {done}/{num_epochs} "
+                    f"per-seed total: {np.array2string(tot, precision=6)}"
+                )
+        finals = histories[-1]["total_s"][-1]
+        hist = {
+            k: np.concatenate([h[k] for h in histories]) for k in histories[0]
+        }
+        for s in range(S):
+            results.append((float(finals[s]), start + s, state, s, hist))
+        start += S
+        gi += 1
+
+    final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[1])])
+    best_total, best_global, best_state, best_local, best_hist = min(
+        results, key=lambda r: r[0]
+    )
+    if log is not None:
+        log(
+            f"[ensemble] best seed = {best_global} "
+            f"(total {best_total:.8f}; all: {np.array2string(final_totals, precision=6)})"
+        )
+    single = seed_state(best_state, cfg, best_local)
+    history = {
+        "rec": best_hist["rec"][:, best_local],
+        "ortho": best_hist["ortho"][:, best_local],
+        "l1": best_hist["l1"][:, best_local],
+        "total": best_hist["total_s"][:, best_local],
+    }
+    wall = _time.perf_counter() - t0 if t0 is not None else 0.0
+    sps = steps_timed / wall if wall > 0 and steps_timed else float("nan")
+    result = train.TrainResult(
+        state=single, history=history,
+        steps_per_sec=sps,  # SEED-steps/s across all packed groups
+        wall_seconds=wall,
+    )
+    return result, best_global, final_totals

@@ -287,3 +287,100 @@ def _bwd_split(interpret, res, g):
 
 
 factored_mse_fused_split.defvjp(_fwd_split, _bwd_split)
+
+
+# ---------------------------------------------------------------------------
+# Per-seed (block) variants for lane-packed multi-seed training (ensemble.py):
+# A (n, S*K) / B (S*K, m) hold S independent models side by side in the lane
+# axis; the return is the PER-SEED mse vector (S,). Only the block-diagonal
+# of the packed Grams enters each seed's value, and the backward scales each
+# seed's block by its own cotangent — gradients are exactly the stacked
+# single-seed gradients (tested vs. factored_mse per seed).
+# ---------------------------------------------------------------------------
+
+
+def _mse_blocks_value(a, b, ax, x_sq, nm, n_blocks):
+    S = n_blocks
+    K = a.shape[1] // S
+    m = b.shape[1]
+    ga = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
+    gb = jnp.dot(b, b.T, precision=jax.lax.Precision.HIGHEST)
+    idx = jnp.arange(S)
+    ga_d = ga.reshape(S, K, S, K)[idx, :, idx, :]
+    gb_d = gb.reshape(S, K, S, K)[idx, :, idx, :]
+    cross = jnp.sum((ax * b).reshape(S, K, m), axis=(1, 2))
+    vals = (jnp.sum(ga_d * gb_d, axis=(1, 2)) - 2.0 * cross + x_sq) / nm
+    return vals, ga, gb
+
+
+def _blocks_bwd_core(a, b, ax, xb, ga, gb, nm, g_vec, n_blocks):
+    """Shared backward: per-block cotangent g_vec (S,) scales its block."""
+    S = n_blocks
+    K = a.shape[1] // S
+    mask = jnp.kron(jnp.eye(S, dtype=a.dtype), jnp.ones((K, K), a.dtype))
+    g_lane = jnp.repeat(g_vec, K)  # (S*K,)
+    scale = 2.0 / nm
+    gb_bd = gb * mask * g_lane[:, None]
+    ga_bd = ga * mask * g_lane[:, None]
+    da = scale * (
+        jnp.dot(a, gb_bd, precision=jax.lax.Precision.HIGHEST)
+        - xb * g_lane[None, :]
+    )
+    db = scale * (
+        jnp.dot(ga_bd, b, precision=jax.lax.Precision.HIGHEST)
+        - ax * g_lane[:, None]
+    )
+    return da, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def factored_mse_fused_blocks(a, b, x, x_sq, n_blocks, interpret: bool = False):
+    """Per-seed ``mean((A_s @ B_s - x)^2) -> (S,)`` with one fused read of x
+    shared by all S packed seeds and an x-free backward."""
+    ax, _ = dual_contractions(a, b, x, interpret=interpret)
+    vals, _, _ = _mse_blocks_value(a, b, ax, x_sq, a.shape[0] * b.shape[1], n_blocks)
+    return vals
+
+
+def _fwd_blocks(a, b, x, x_sq, n_blocks, interpret):
+    ax, xb = dual_contractions(a, b, x, interpret=interpret)
+    nm = a.shape[0] * b.shape[1]
+    vals, ga, gb = _mse_blocks_value(a, b, ax, x_sq, nm, n_blocks)
+    return vals, (a, b, ax, xb, ga, gb, nm, x.shape)
+
+
+def _bwd_blocks(n_blocks, interpret, res, g_vec):
+    a, b, ax, xb, ga, gb, nm, x_shape = res
+    da, db = _blocks_bwd_core(a, b, ax, xb, ga, gb, nm, g_vec, n_blocks)
+    dx = jnp.zeros(x_shape, a.dtype)  # X constant; DCE'd
+    return da, db, dx, jnp.sum(g_vec) / nm
+
+
+factored_mse_fused_blocks.defvjp(_fwd_blocks, _bwd_blocks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def factored_mse_fused_split_blocks(
+    a, b, x_hi, x_lo, x_sq, n_blocks, interpret: bool = False
+):
+    """``factored_mse_fused_blocks`` over pre-split bf16 X planes."""
+    ax, _ = dual_contractions_split(a, b, x_hi, x_lo, interpret=interpret)
+    vals, _, _ = _mse_blocks_value(a, b, ax, x_sq, a.shape[0] * b.shape[1], n_blocks)
+    return vals
+
+
+def _fwd_split_blocks(a, b, x_hi, x_lo, x_sq, n_blocks, interpret):
+    ax, xb = dual_contractions_split(a, b, x_hi, x_lo, interpret=interpret)
+    nm = a.shape[0] * b.shape[1]
+    vals, ga, gb = _mse_blocks_value(a, b, ax, x_sq, nm, n_blocks)
+    return vals, (a, b, ax, xb, ga, gb, nm, x_hi.shape)
+
+
+def _bwd_split_blocks(n_blocks, interpret, res, g_vec):
+    a, b, ax, xb, ga, gb, nm, x_shape = res
+    da, db = _blocks_bwd_core(a, b, ax, xb, ga, gb, nm, g_vec, n_blocks)
+    dx = jnp.zeros(x_shape, jnp.bfloat16)  # unused; DCE'd
+    return da, db, dx, dx, jnp.sum(g_vec) / nm
+
+
+factored_mse_fused_split_blocks.defvjp(_fwd_split_blocks, _bwd_split_blocks)

@@ -357,20 +357,51 @@ def run(
             )
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    with mesh_ctx:
-        result = train.fit(
-            loss_fn,
-            groups,
-            cfg,
-            params,
-            batch,
-            num_epochs=n_epochs,
+
+    if cfg.n_seeds > 1:
+        if cfg.variant != "desmo" or state is not None or device_mesh is not None:
+            raise ValueError(
+                "n_seeds > 1 requires the desmo variant, no --resume and no "
+                "device mesh (ensemble.py scope)"
+            )
+        # Lane-packed multi-seed training (ensemble.py, beyond reference):
+        # S models trained simultaneously in the 128-lane pad, best kept.
+        from desmo_tpu import ensemble
+
+        method = resolve_loss_method(cfg)
+        result, best_seed, finals = ensemble.fit(
+            cfg, spec, batch, n_seeds=cfg.n_seeds, num_epochs=n_epochs,
+            seed=cfg.seed, phi_sigma=cfg.seed_phi_sigma,
+            omega_spread=cfg.seed_omega_spread,
+            method=method if method in ("factored", "fused") else None,
             log=log_line if echo else None,
-            checkpoint_fn=ckpt,
-            state=state,
-            chunk=chunk,
-            param_shardings=param_shardings,
         )
+        if echo:
+            rate = (
+                f"; {result.steps_per_sec:.1f} seed-steps/s"
+                if np.isfinite(result.steps_per_sec)
+                else ""  # single-chunk runs have no post-compile timing
+            )
+            print(
+                f"[ensemble] kept seed {best_seed}/{cfg.n_seeds} "
+                f"(finals: {finals}){rate}"
+            )
+        ckpt(result.state, int(result.state.epoch))
+    else:
+        with mesh_ctx:
+            result = train.fit(
+                loss_fn,
+                groups,
+                cfg,
+                params,
+                batch,
+                num_epochs=n_epochs,
+                log=log_line if echo else None,
+                checkpoint_fn=ckpt,
+                state=state,
+                chunk=chunk,
+                param_shardings=param_shardings,
+            )
     start_epoch = int(result.state.epoch) - n_epochs
     for i in range(0, n_epochs, cfg.log_every):
         logger.log_epoch(

@@ -1,0 +1,201 @@
+"""Lane-packed multi-seed (ensemble) training: packed-vs-single parity.
+
+The packed ensemble must be *exactly* S independent DESMO trainings: same
+per-seed loss values, same gradients, same Adamax/plateau trajectories.
+Trajectory comparisons use a tame omega LR — at the presets' lr_omega=1e3
+the omega trajectory is chaotic and fp-noise-level association differences
+(packed vs single dot tiling) amplify within ~5 steps; step-1 parity is
+asserted exactly for the real-preset LRs instead."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desmo_tpu import configs, ensemble, train
+from desmo_tpu.models import desmo
+
+
+def _problem(S=3, n=96, m=40, r=4, P=2, lr_omega=None):
+    rng = np.random.default_rng(0)
+    spec = desmo.DesmoSpec(n, m, r, P, omega_init=3.0)
+    cfg = dataclasses.replace(configs.get("aneurysm"), n=n, m=m)
+    if lr_omega is not None:
+        cfg = dataclasses.replace(cfg, lr_omega=lr_omega)
+    params = ensemble.init_params(spec, S, seed=1, phi_sigma=0.1, omega_spread=0.2)
+    x = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    pod_modes = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    batch = {"x": x, "pod_modes": pod_modes, "x_sq": jnp.sum(x * x)}
+    return spec, cfg, params, batch
+
+
+def test_max_seeds_packed():
+    # K=27 at r=4/P=2 -> 4 seeds; K=47 at r=4/P=3 -> 2 seeds
+    assert ensemble.max_seeds_packed(desmo.DesmoSpec(10, 10, 4, 2)) == 4
+    assert ensemble.max_seeds_packed(desmo.DesmoSpec(10, 10, 4, 3)) == 2
+    assert ensemble.max_seeds_packed(desmo.DesmoSpec(10, 10, 2, 2)) == 10
+
+
+def test_seed0_is_reference_init():
+    spec = desmo.DesmoSpec(16, 8, 4, 2, omega_init=123.0)
+    p = ensemble.init_params(spec, 3, phi_sigma=0.5, omega_spread=1.0)
+    base = desmo.init_params(spec)
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(p[k][0]), np.asarray(base[k]))
+    # other seeds ARE jittered
+    assert not np.allclose(np.asarray(p["phi"][1]), np.asarray(base["phi"]))
+    assert not np.allclose(np.asarray(p["omega"][2]), np.asarray(base["omega"]))
+
+
+def test_packed_loss_matches_per_seed():
+    S = 3
+    spec, cfg, params, batch = _problem(S)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    total, mets = loss(params, batch)
+    single = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    for s in range(S):
+        t, ms = single(ensemble.extract_seed(params, s), batch)
+        np.testing.assert_allclose(float(mets["rec"][s]), float(ms["rec"]), rtol=2e-5)
+        np.testing.assert_allclose(float(mets["ortho"][s]), float(ms["ortho"]), rtol=2e-5)
+        np.testing.assert_allclose(float(mets["l1"][s]), float(ms["l1"]), rtol=1e-6)
+        np.testing.assert_allclose(float(mets["total_s"][s]), float(t), rtol=2e-5)
+    np.testing.assert_allclose(float(total), float(jnp.sum(mets["total_s"])), rtol=1e-6)
+
+
+def test_packed_grad_matches_per_seed():
+    S = 3
+    spec, cfg, params, batch = _problem(S)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    single = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    g = jax.grad(lambda p: loss(p, batch)[0])(params)
+    for s in range(S):
+        gs = jax.grad(lambda p: single(p, batch)[0])(
+            ensemble.extract_seed(params, s)
+        )
+        for k in gs:
+            np.testing.assert_allclose(
+                np.asarray(g[k][s]), np.asarray(gs[k]),
+                rtol=5e-4, atol=1e-5, err_msg=f"seed{s}:{k}",
+            )
+
+
+def test_fused_blocks_matches_factored():
+    """The packed Pallas dual-GEMM (interpret mode) must agree with the pure
+    XLA packed loss in per-seed values AND gradients."""
+    from desmo_tpu.pallas import split_snapshots
+
+    S = 3
+    spec, cfg, params, batch = _problem(S)
+    lf = ensemble.build_loss(spec, cfg, S, method="fused")
+    lx = ensemble.build_loss(spec, cfg, S, method="factored")
+    b2 = dict(batch)
+    b2["x_hi"], b2["x_lo"] = split_snapshots(batch["x"])
+    _, mf = lf(params, b2)
+    _, mx = lx(params, batch)
+    np.testing.assert_allclose(np.asarray(mf["rec"]), np.asarray(mx["rec"]), rtol=5e-4)
+    gf = jax.grad(lambda p: lf(p, b2)[0])(params)
+    gx = jax.grad(lambda p: lx(p, batch)[0])(params)
+    for k in gx:
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(gx[k]), rtol=5e-3, atol=2e-5, err_msg=k
+        )
+
+
+def test_one_step_exact_at_preset_lrs():
+    """At the real preset LRs (incl. lr_omega=1e3) the FIRST step must match
+    the single-seed trainer bitwise-closely (before chaos can amplify)."""
+    S = 3
+    spec, cfg, params, batch = _problem(S)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = desmo.param_groups(desmo.init_params(spec))
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    st, mets = chunk(st, batch, num_steps=1)
+    single = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    sc = train.make_train_chunk(single, groups, cfg)
+    for s in range(S):
+        ss = jax.tree.map(
+            jnp.array, train.init_state(ensemble.extract_seed(params, s), cfg)
+        )
+        ss, sm = sc(ss, batch, num_steps=1)
+        np.testing.assert_allclose(
+            float(mets["total_s"][-1][s]), float(sm["total"][-1]), rtol=1e-6
+        )
+        for k in ss.params:
+            np.testing.assert_allclose(
+                np.asarray(st.params[k][s]), np.asarray(ss.params[k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"seed{s}:{k}",
+            )
+
+
+@pytest.mark.slow
+def test_trajectory_parity_tame_lrs():
+    """60 packed steps == 60 single-seed steps for every seed (tame omega LR;
+    scheduler rows must evolve independently and match too)."""
+    S = 3
+    spec, cfg, params, batch = _problem(S, lr_omega=0.1)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = desmo.param_groups(desmo.init_params(spec))
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    st, mets = chunk(st, batch, num_steps=60)
+    single = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    sc = train.make_train_chunk(single, groups, cfg)
+    for s in range(S):
+        ss = jax.tree.map(
+            jnp.array, train.init_state(ensemble.extract_seed(params, s), cfg)
+        )
+        ss, sm = sc(ss, batch, num_steps=60)
+        np.testing.assert_allclose(
+            float(mets["total_s"][-1][s]), float(sm["total"][-1]), rtol=1e-4
+        )
+        for k in ss.params:
+            np.testing.assert_allclose(
+                np.asarray(st.params[k][s]), np.asarray(ss.params[k]),
+                rtol=1e-4, atol=1e-6, err_msg=f"seed{s}:{k}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(st.sched.lrs[s]), np.asarray(ss.sched.lrs), rtol=1e-6
+        )
+
+
+def test_seed_state_resumes_on_single_chunk():
+    """extract-best-then-continue: the single-seed TrainState view must be
+    directly consumable by the standard scanned chunk."""
+    S = 2
+    spec, cfg, params, batch = _problem(S, lr_omega=0.1)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = desmo.param_groups(desmo.init_params(spec))
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    st, _ = chunk(st, batch, num_steps=10)
+    sview = jax.tree.map(jnp.array, ensemble.seed_state(st, cfg, 1))
+    single = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    sc = train.make_train_chunk(single, groups, cfg)
+    s2, mets = sc(sview, batch, num_steps=5)
+    assert np.isfinite(np.asarray(mets["total"])).all()
+    assert int(s2.epoch) == 15
+
+
+def test_fit_selects_best_seed():
+    """End-to-end ensemble.fit: more seeds than fit in one pack (forces two
+    packed groups), best-by-final-total selection, resumable best state."""
+    S = 6  # cap is 4 at K=27 -> groups of 4 + 2
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=50, log_every=1000)
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=S, num_epochs=40, seed=0,
+        phi_sigma=0.1, omega_spread=0.2, method="factored", log=None,
+    )
+    assert finals.shape == (S,)
+    assert np.isfinite(finals).all()
+    assert best == int(np.argmin(finals))
+    assert result.history["total"].shape == (40,)
+    # the returned state is the best member's and is standard single-seed
+    assert result.state.params["phi"].shape == (spec.r, spec.n)
+    np.testing.assert_allclose(
+        float(result.history["total"][-1]), float(finals[best]), rtol=1e-6
+    )

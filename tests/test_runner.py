@@ -241,3 +241,25 @@ def test_run_ae_recipe(tmp_path):
     # recipe omegas start data-scaled (then train), nowhere near the
     # 1e4/1e3/1e2 preset literals
     assert om.shape == (3, 2) and np.all(np.abs(om) < 1e3)
+
+
+def test_run_multiseed_ensemble(tmp_path):
+    """--seeds path: lane-packed ensemble trains, keeps the best seed, and
+    the post-pipeline (sweep/figures/checkpoints) runs on the winner."""
+    cfg = dataclasses.replace(
+        tiny_cfg(), n_seeds=3, seed_phi_sigma=0.1, seed_omega_spread=0.2,
+        num_epochs=200,
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    assert np.isfinite(art.relative_error)
+    assert art.relative_error < 1.0
+    files = os.listdir(art.out_dir)
+    assert any(f.endswith("_final.pt") for f in files)
+    # rejected combinations fail loudly, not silently single-seed
+    with pytest.raises(ValueError, match="n_seeds"):
+        runner.run(
+            dataclasses.replace(tiny_cfg("fourier"), n_seeds=2),
+            x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        )
