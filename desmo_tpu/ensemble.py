@@ -404,9 +404,10 @@ def fit(
     gi = 0
     t0 = None
     steps_timed = 0
+    from desmo_tpu.pallas import train_chunk as _tc
+
     while start < n_seeds:
         S = min(cap, n_seeds - start)
-        loss_fn = build_loss(spec, cfg, S, method=method)
         params = init_params(
             spec, S, seed=seed + gi, phi_sigma=phi_sigma, omega_spread=omega_spread
         )
@@ -422,7 +423,18 @@ def fit(
                 phi=params["phi"].at[0].multiply(1.0 + noise[0]),
             )
         state = init_state(params, cfg, S)
-        chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
+        # SEED-PACKED MEGA-KERNEL when it applies (TPU, desmo, pack fits):
+        # S models inside one pallas_call for ~the cost of one (the in-kernel
+        # trig/gather/contraction work is lane-width-fixed). Fallback: the
+        # packed scan chunk.
+        chunk = _tc.select_ensemble_chunk(spec, cfg, S)
+        if chunk is not None and "x_hi" not in batch:
+            batch = {**batch, **_tc.prepare_batch(
+                batch["x"], batch["pod_modes"]
+            )}
+        if chunk is None:
+            loss_fn = build_loss(spec, cfg, S, method=method)
+            chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
         state = jax.tree.map(jnp.array, state)
         chunk_size = min(cfg.checkpoint_every, num_epochs)
         done = 0
@@ -431,6 +443,19 @@ def fit(
             nsteps = min(chunk_size, num_epochs - done)
             state, mets = chunk(state, batch, num_steps=nsteps)
             mets = {k: np.asarray(v) for k, v in mets.items()}
+            max_arg = mets.pop("max_arg", None)
+            if max_arg is not None and float(np.max(max_arg)) > _tc.SINCOS_DOMAIN:
+                # same guard as train.fit: beyond the fast-sincos domain the
+                # kernel's Cody-Waite reduction degrades — finish on the
+                # packed scan chunk (builtin trig); layouts are interchangeable
+                if log is not None:
+                    log(
+                        f"WARNING: max |omega*latent| = {float(np.max(max_arg)):.3g} "
+                        f"exceeds the fast-sincos domain ({_tc.SINCOS_DOMAIN:.3g}); "
+                        "falling back to the packed scan chunk"
+                    )
+                loss_fn = build_loss(spec, cfg, S, method=method)
+                chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
             if t0 is None:
                 t0 = _time.perf_counter()  # exclude the first (compile) chunk
             else:

@@ -101,43 +101,77 @@ class ChunkConstants(NamedTuple):
     n_sel: int
 
 
-def build_constants(r: int, P: int) -> ChunkConstants:
-    """Selection matrices + lane masks for a given (r, poly_order)."""
+def build_constants(r: int, P: int, n_seeds: int = 1) -> ChunkConstants:
+    """Selection matrices + lane masks for a given (r, poly_order).
+
+    ``n_seeds > 1`` seed-blocks every table for the lane-packed multi-seed
+    mega-kernel (see ``ensemble.py``): seed s's WIDE block occupies lanes
+    [s*K, (s+1)*K) with the standard [T poly, 3r trig] order inside, and its
+    AUG modes live at lanes 1 + s*r + i (lane 0 stays the SHARED row-validity
+    mask, which doubles as the constant-one factor for every seed). With
+    ``n_seeds == 1`` the tables are bit-identical to the single-seed ones.
+    """
     T = library.num_poly_terms(r, P)
     K = T + 3 * r
-    if K > LANES:
-        raise ValueError(f"K={K} terms exceed {LANES} lanes")
+    S = n_seeds
+    if S * K > LANES:
+        raise ValueError(f"{S} seeds x K={K} terms exceed {LANES} lanes")
+    if 1 + S * r > LANES:
+        raise ValueError(f"{S} seeds x r={r} aug lanes exceed {LANES}")
     F = library.factor_table(r, P)  # (T, P), 0 = const, i+1 = mode i
     E = library.monomial_exponents(r, P)
 
     mats = []
-    # COLLAPSE: WIDE -> AUG: trig lane (k,i) -> aug lane i+1
+    # COLLAPSE: WIDE -> AUG: trig lane (s,k,i) -> aug lane 1 + s*r + i
     C = np.zeros((LANES, LANES), np.float32)
-    for i in range(r):
-        for k in range(3):
-            C[T + k * r + i, i + 1] = 1.0
+    for s in range(S):
+        for i in range(r):
+            for k in range(3):
+                C[s * K + T + k * r + i, 1 + s * r + i] = 1.0
     mats.append(C)
-    # OFFDIAG over AUG lanes (for the ortho sign matrix)
+    # OFFDIAG over AUG lanes (for the ortho sign matrix), within-seed only
     D = np.zeros((LANES, LANES), np.float32)
-    for i in range(r):
-        for j in range(r):
-            if i != j:
-                D[i + 1, j + 1] = 1.0
+    for s in range(S):
+        for i in range(r):
+            for j in range(r):
+                if i != j:
+                    D[1 + s * r + i, 1 + s * r + j] = 1.0
     mats.append(D)
-    # EMAT: poly lane t -> aug lane i+1 with weight E[t, i] (exact small ints
-    # in bf16). The poly backward then is ONE matmul + a guarded division:
-    # d theta_t / d lat_i = E[t,i] * theta_t / lat_i, so
+    # EMAT: poly lane (s,t) -> aug lane 1 + s*r + i with weight E[t, i]
+    # (exact small ints in bf16). The poly backward then is ONE matmul + a
+    # guarded division: d theta_t / d lat_i = E[t,i] * theta_t / lat_i, so
     # dl_i = (sum_t dtheta_t * theta_t * E[t,i]) / lat_i.
     EM = np.zeros((LANES, LANES), np.float32)
-    for i in range(r):
-        EM[:T, i + 1] = E[:, i].astype(np.float32)
+    for s in range(S):
+        for i in range(r):
+            EM[s * K : s * K + T, 1 + s * r + i] = E[:, i].astype(np.float32)
     mats.append(EM)
+    if S > 1:
+        # SEEDSEL: wide lane -> seed lane (per-seed metric reductions)
+        SS = np.zeros((LANES, LANES), np.float32)
+        for s in range(S):
+            SS[s * K : (s + 1) * K, s] = 1.0
+        mats.append(SS)
+        # AUGSEL: aug lane -> seed lane (per-seed ortho reductions)
+        AS = np.zeros((LANES, LANES), np.float32)
+        for s in range(S):
+            AS[1 + s * r : 1 + (s + 1) * r, s] = 1.0
+        mats.append(AS)
+        # WMASK: wide block-diagonal 0/1 (keeps the packed Grams per-seed —
+        # cross-seed B/A correlations must not leak into gradients)
+        WM = np.zeros((LANES, LANES), np.float32)
+        for s in range(S):
+            WM[s * K : (s + 1) * K, s * K : (s + 1) * K] = 1.0
+        mats.append(WM)
     sel = np.concatenate(mats, axis=0).astype(jnp.bfloat16)
 
     lane = np.arange(LANES)
-    polymask = (lane < T).astype(np.float32)
-    trigmask = ((lane >= T) & (lane < K)).astype(np.float32)
-    kind = (lane - T) // max(r, 1)
+    blk = np.minimum(lane // K, S - 1)  # seed block of each wide lane
+    off = lane - blk * K  # offset within the seed block
+    inblk = lane < S * K
+    polymask = (inblk & (off < T)).astype(np.float32)
+    trigmask = (inblk & (off >= T) & (off < K)).astype(np.float32)
+    kind = (off - T) // max(r, 1)
     msin = (trigmask * (kind == 0)).astype(np.float32)
     mcos = (trigmask * (kind == 1)).astype(np.float32)
     mtanh = (trigmask * (kind == 2)).astype(np.float32)
@@ -148,18 +182,20 @@ def build_constants(r: int, P: int) -> ChunkConstants:
     mrow[3] = mcos
     mrow[4] = mtanh
     # mrow[5, 0] = x_sq is filled at call time
-    mrow[6, 1 : r + 1] = 1.0  # aug-lane mask (for the poly-backward division)
+    mrow[6, 1 : 1 + S * r] = 1.0  # aug-lane mask (poly-backward division)
 
     # gather index rows (exact VPU selections instead of MXU matmuls):
     # rows 0..P-1: AUG-lane of factor p per WIDE lane (trig lanes get the
     # latent for p==0 and the row mask for p>0, exactly like SEL_p).
     gidx = np.zeros((8, LANES), np.int32)
     for p in range(P):
-        for t in range(T):
-            gidx[p, t] = F[t, p]
-        for i in range(r):
-            for k in range(3):
-                gidx[p, T + k * r + i] = i + 1 if p == 0 else 0
+        for s in range(S):
+            for t in range(T):
+                f = F[t, p]
+                gidx[p, s * K + t] = f + s * r if f > 0 else 0
+            for i in range(r):
+                for k in range(3):
+                    gidx[p, s * K + T + k * r + i] = 1 + s * r + i if p == 0 else 0
     return ChunkConstants(
         sel=np.asarray(sel),
         mrow=mrow,
@@ -253,13 +289,25 @@ def _parity_out(s):
     return jax.lax.rem(s, 2)
 
 
+def aug_width(r: int, n_seeds: int = 1) -> int:
+    """Streamed-transport aug width: smallest AUGW multiple holding the
+    shared mask lane + n_seeds*r mode lanes."""
+    need = 1 + n_seeds * r
+    w = AUGW
+    while w < need:
+        w *= 2
+    return w
+
+
 def _make_kernel(
     spec_r, spec_P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg,
-    transport: str, nf: int = 0, kp: int = 0,
+    transport: str, nf: int = 0, kp: int = 0, n_seeds: int = 1,
 ):
     nm = float(n * m)
     P = spec_P
     r = spec_r
+    SEEDS = n_seeds
+    augw = aug_width(r, SEEDS)
     patience = float(cfg.patience)
     sched_factor = float(cfg.sched_factor)
     sched_min_lr = float(cfg.sched_min_lr)
@@ -332,7 +380,7 @@ def _make_kernel(
         # (2, bt, w) directly, no aliasing. The intra-visit carrier (updated
         # phi/mu/nu for this visit's forward) is a (bt, 3*AUGW) scratch.
         def _slot(v, k):
-            return v[:, AUGW * k : AUGW * (k + 1)]
+            return v[:, augw * k : augw * (k + 1)]
 
         def pod_tile():
             return pod_ref[:] if streamed else pod_ref[tile, :]
@@ -361,9 +409,9 @@ def _make_kernel(
             return phis[tile, :]
 
         def _widen(v):
-            # AUGW-lane aug-space value -> 128-lane (zero lanes >= AUGW)
+            # augw-lane aug-space value -> 128-lane (zero lanes >= augw)
             return jnp.concatenate(
-                [v, jnp.zeros((v.shape[0], LANES - AUGW), v.dtype)], axis=1
+                [v, jnp.zeros((v.shape[0], LANES - augw), v.dtype)], axis=1
             )
 
         # ------------------------------------------------ init (s == 0)
@@ -397,7 +445,17 @@ def _make_kernel(
         @pl.when(s > 0)
         def _():
             sv = svec_ref[0:1, :]
-            lr_phi = _lane(sv, _L_LRPHI_USED)
+            if SEEDS > 1:
+                # per-seed saved lr_phi, splat onto each seed's aug lanes
+                w = augw if streamed else LANES
+                li = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+                lr_phi = jnp.zeros((1, w), jnp.float32)
+                for si in range(SEEDS):
+                    lr_s = _lane(svec_ref[si : si + 1, :], _L_LRPHI_USED)
+                    inb = jnp.logical_and(li >= 1 + si * r, li < 1 + (si + 1) * r)
+                    lr_phi = jnp.where(inb, lr_s, lr_phi)
+            else:
+                lr_phi = _lane(sv, _L_LRPHI_USED)
             bias = _lane(sv, _L_BIAS_USED)
             pod = pod_tile()
             phi_t, mu_p, nu_p, dl_prev = state_read()
@@ -405,10 +463,10 @@ def _make_kernel(
             if _ABLATE.get("nodlo"):
                 dlo = aug_old * 0.19
             elif streamed:
-                # compact state: contract the AUGW-lane aug against the top
-                # AUGW sign rows, keep the AUGW output lanes
-                dlo = _dot2(aug_old, sign_s[0:AUGW, :].astype(jnp.bfloat16))[
-                    :, :AUGW
+                # compact state: contract the augw-lane aug against the top
+                # augw sign rows, keep the augw output lanes
+                dlo = _dot2(aug_old, sign_s[0:augw, :].astype(jnp.bfloat16))[
+                    :, :augw
                 ]
             else:
                 dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
@@ -475,7 +533,12 @@ def _make_kernel(
                 bh, bl = _split(bv)
                 bhs[:] = bh
                 bls[:] = bl
-                gb_s[:] = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
+                gb_raw = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
+                if SEEDS > 1:
+                    # keep only within-seed B correlations: dA = A @ gb and
+                    # the rec Gram product must not couple packed seeds
+                    gb_raw = gb_raw * SEL(5).astype(jnp.float32)
+                gb_s[:] = gb_raw
                 ax_s[:] = jnp.zeros_like(ax_s)
                 ga_s[:] = jnp.zeros_like(ga_s)
                 auga_s[:] = jnp.zeros_like(auga_s)
@@ -578,7 +641,7 @@ def _make_kernel(
                 denom = jnp.where(aug == 0.0, 1.0, aug)
                 dl = dl + jnp.where(aug == 0.0, 0.0, s_poly / denom) * augmask
             if streamed:
-                dlout_ref[0 if aliased else _parity_out(s)] = dl[:, :AUGW]
+                dlout_ref[0 if aliased else _parity_out(s)] = dl[:, :augw]
             else:
                 dlat[tile, :] = dl
 
@@ -587,34 +650,64 @@ def _make_kernel(
             def _():
                 offdiag = SEL(1).astype(jnp.float32)
                 bv = bfull_s[:] if fourier else b_ref[:]
-                rec = (
-                    jnp.sum(ga_s[:] * gb_s[:])
-                    - 2.0 * jnp.sum(ax_s[:] * bv)
-                    + x_sq
-                ) / nm
-                orthov = 0.5 * jnp.sum(jnp.abs(auga_s[:] * offdiag))
                 coefmask = polymask + trigmask
-                l1v = jnp.sum(jnp.abs(crow_ref[0:1, :]) * coefmask)
-                total = rec + beta * orthov + lam * l1v
                 lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
                 maxarg = jnp.max(acc_s[2:3, :])
-                met_row = jnp.where(
-                    lane_i == 0,
-                    rec,
-                    jnp.where(
-                        lane_i == 1,
-                        orthov,
+                if SEEDS == 1:
+                    rec = (
+                        jnp.sum(ga_s[:] * gb_s[:])
+                        - 2.0 * jnp.sum(ax_s[:] * bv)
+                        + x_sq
+                    ) / nm
+                    orthov = 0.5 * jnp.sum(jnp.abs(auga_s[:] * offdiag))
+                    l1v = jnp.sum(jnp.abs(crow_ref[0:1, :]) * coefmask)
+                    total = rec + beta * orthov + lam * l1v
+                    met_row = jnp.where(
+                        lane_i == 0,
+                        rec,
                         jnp.where(
-                            lane_i == 2,
-                            l1v,
+                            lane_i == 1,
+                            orthov,
                             jnp.where(
-                                lane_i == 3,
-                                total,
-                                jnp.where(lane_i == 4, maxarg, 0.0),
+                                lane_i == 2,
+                                l1v,
+                                jnp.where(
+                                    lane_i == 3,
+                                    total,
+                                    jnp.where(lane_i == 4, maxarg, 0.0),
+                                ),
                             ),
                         ),
-                    ),
-                )
+                    )
+                else:
+                    # per-seed metrics: block sums via the SEEDSEL / AUGSEL
+                    # selection matmuls (gb is block-masked, so ga*gb and the
+                    # cross term group cleanly by seed block). Lane si of
+                    # each *_row holds seed si's value.
+                    gagb_col = jnp.sum(ga_s[:] * gb_s[:], axis=0, keepdims=True)
+                    rec_gram = _dot2(gagb_col, SEL(3))
+                    wv = jnp.sum(ax_s[:] * bv, axis=1, keepdims=True)
+                    cross_row = _dot2(wv, SEL(3), _AXD)
+                    rec_row = (rec_gram - 2.0 * cross_row + x_sq) / nm
+                    ao = jnp.abs(auga_s[:] * offdiag)
+                    w2 = jnp.sum(ao, axis=1, keepdims=True)
+                    ortho_row = 0.5 * _dot2(w2, SEL(4), _AXD)
+                    ca = jnp.abs(crow_ref[0:1, :]) * coefmask
+                    l1_row = _dot2(ca, SEL(3))
+                    total_row = rec_row + beta * ortho_row + lam * l1_row
+                    # met lanes per seed: 8*si + (rec, ortho, l1, total,
+                    # global maxarg)
+                    met_row = jnp.zeros((1, LANES), jnp.float32)
+                    for si in range(SEEDS):
+                        vals = (
+                            _lane(rec_row, si),
+                            _lane(ortho_row, si),
+                            _lane(l1_row, si),
+                            _lane(total_row, si),
+                            maxarg,
+                        )
+                        for j, v in enumerate(vals):
+                            met_row = jnp.where(lane_i == 8 * si + j, v, met_row)
                 # metrics blocks are (8, 128): row s % 8 within block s // 8
                 met_ref[pl.ds(jnp.remainder(s, 8), 1), :] = met_row
                 sign_s[:] = jnp.sign(auga_s[:]) * offdiag
@@ -623,13 +716,36 @@ def _make_kernel(
                 count = _lane(sv, _L_COUNT) + 1.0
                 powb = _lane(sv, _L_POW) * _B1
                 bias = 1.0 - powb
-                lr_coef = _lane(sv, _LR0 + 0)
-                lr_phi = _lane(sv, _LR0 + 1)
-                lr_z = _lane(sv, _LR0 + 2)
-                lr_om = _lane(sv, _LR0 + 3)
+                if SEEDS == 1:
+                    lr_coef = _lane(sv, _LR0 + 0)
+                    lr_phi = _lane(sv, _LR0 + 1)
+                    lr_z = _lane(sv, _LR0 + 2)
+                    lr_om = _lane(sv, _LR0 + 3)
+                    ga_use = ga_s[:]
+                else:
+                    # per-seed group LRs splat onto each seed's lanes/rows
+                    # (exact: scalar where-selects, no matmul rounding)
+                    row_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+                    lr_coef = jnp.zeros((1, LANES), jnp.float32)
+                    lr_om = jnp.zeros((1, LANES), jnp.float32)
+                    lr_z = jnp.zeros((LANES, 1), jnp.float32)
+                    lr_phi_seed = []
+                    for si in range(SEEDS):
+                        svs = svec_ref[si : si + 1, :]
+                        inw = jnp.logical_and(
+                            lane_i >= si * K, lane_i < (si + 1) * K
+                        )
+                        inr = jnp.logical_and(
+                            row_i >= si * K, row_i < (si + 1) * K
+                        )
+                        lr_coef = jnp.where(inw, _lane(svs, _LR0 + 0), lr_coef)
+                        lr_om = jnp.where(inw, _lane(svs, _LR0 + 3), lr_om)
+                        lr_z = jnp.where(inr, _lane(svs, _LR0 + 2), lr_z)
+                        lr_phi_seed.append(_lane(svs, _LR0 + 1))
+                    ga_use = ga_s[:] * SEL(5).astype(jnp.float32)
 
                 # ---- B (temporal z / z_trig rows), group 'z'
-                gB = (2.0 / nm) * (_dot3(ga_s[:], bv, _STD) - ax_s[:])
+                gB = (2.0 / nm) * (_dot3(ga_use, bv, _STD) - ax_s[:])
                 if fourier:
                     # backprop the B gradient through the Fourier series into
                     # the coefficient block (group 'z') and the per-channel
@@ -706,41 +822,50 @@ def _make_kernel(
 
                 # ---- plateau scheduler (torch ReduceLROnPlateau semantics,
                 # stepped with this step's pre-update total, on the
-                # sched_every cadence; see optim.plateau_step / train._sched_update)
-                best = _lane(sv, _L_BEST)
-                num_bad = _lane(sv, _L_NUMBAD)
-                epoch = _lane(sv, _L_EPOCH)
-                improved = total < best * (1.0 - _SCHED_THRESHOLD)
-                best_n = jnp.where(improved, total, best)
-                nb = jnp.where(improved, 0.0, num_bad + 1.0)
-                red = nb > patience
+                # sched_every cadence; see optim.plateau_step / train._sched_update).
+                # One svec row per packed seed, each driven by its own total.
                 lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
                 is_lr = lanes < 5
-                lrs = sv * jnp.where(is_lr, 1.0, 0.0)
-                stepped = jnp.where(
-                    red, jnp.maximum(lrs * sched_factor, sched_min_lr), lrs
-                )
-                nb = jnp.where(red, 0.0, nb)
-                do_sched = jnp.mod(epoch, sched_every) == 0.0
-                lrs_n = jnp.where(do_sched, stepped, lrs)
-                best_n = jnp.where(do_sched, best_n, best)
-                # num_bad when not scheduled stays unchanged (reference quirk:
-                # the scheduler is only consulted every sched_every epochs)
-                nb_n = jnp.where(do_sched, nb, num_bad)
-
-                new_sv = jnp.where(is_lr, lrs_n, 0.0)
 
                 def put(vec, k, val):
                     return jnp.where(lanes == k, val, vec)
 
-                new_sv = put(new_sv, _L_BEST, best_n)
-                new_sv = put(new_sv, _L_POW, powb)
-                new_sv = put(new_sv, _L_COUNT, count)
-                new_sv = put(new_sv, _L_NUMBAD, nb_n)
-                new_sv = put(new_sv, _L_LRPHI_USED, lr_phi)
-                new_sv = put(new_sv, _L_BIAS_USED, bias)
-                new_sv = put(new_sv, _L_EPOCH, epoch + 1.0)
-                svec_ref[0:1, :] = new_sv
+                for si in range(SEEDS):
+                    if SEEDS == 1:
+                        svs, total_s, lr_phi_used = sv, total, lr_phi
+                    else:
+                        svs = svec_ref[si : si + 1, :]
+                        total_s = _lane(total_row, si)
+                        lr_phi_used = lr_phi_seed[si]
+                    best = _lane(svs, _L_BEST)
+                    num_bad = _lane(svs, _L_NUMBAD)
+                    epoch = _lane(svs, _L_EPOCH)
+                    improved = total_s < best * (1.0 - _SCHED_THRESHOLD)
+                    best_n = jnp.where(improved, total_s, best)
+                    nb = jnp.where(improved, 0.0, num_bad + 1.0)
+                    red = nb > patience
+                    lrs = svs * jnp.where(is_lr, 1.0, 0.0)
+                    stepped = jnp.where(
+                        red, jnp.maximum(lrs * sched_factor, sched_min_lr), lrs
+                    )
+                    nb = jnp.where(red, 0.0, nb)
+                    do_sched = jnp.mod(epoch, sched_every) == 0.0
+                    lrs_n = jnp.where(do_sched, stepped, lrs)
+                    best_n = jnp.where(do_sched, best_n, best)
+                    # num_bad when not scheduled stays unchanged (reference
+                    # quirk: the scheduler is only consulted every
+                    # sched_every epochs)
+                    nb_n = jnp.where(do_sched, nb, num_bad)
+
+                    new_sv = jnp.where(is_lr, lrs_n, 0.0)
+                    new_sv = put(new_sv, _L_BEST, best_n)
+                    new_sv = put(new_sv, _L_POW, powb)
+                    new_sv = put(new_sv, _L_COUNT, count)
+                    new_sv = put(new_sv, _L_NUMBAD, nb_n)
+                    new_sv = put(new_sv, _L_LRPHI_USED, lr_phi_used)
+                    new_sv = put(new_sv, _L_BIAS_USED, bias)
+                    new_sv = put(new_sv, _L_EPOCH, epoch + 1.0)
+                    svec_ref[si : si + 1, :] = new_sv
 
     return kernel
 
@@ -748,18 +873,21 @@ def _make_kernel(
 @functools.lru_cache(maxsize=8)
 def _build_call(
     r, P, n, m, n_pad, m_pad, num_steps, bt, beta, lam, cfg, interpret,
-    transport, nf=0,
+    transport, nf=0, n_seeds=1,
 ):
     T = library.num_poly_terms(r, P)
     K = T + 3 * r
     kp = _round_up(K, 8)
     fourier = nf > 0
+    if fourier and n_seeds > 1:
+        raise ValueError("seed packing covers the desmo variant only")
     streamed = transport != "resident"
     n_tiles = n_pad // bt
-    consts = build_constants(r, P)
+    consts = build_constants(r, P, n_seeds)
+    augw = aug_width(r, n_seeds)
     kernel = _make_kernel(
         r, P, T, K, n, m, num_steps, n_tiles, bt, beta, lam, cfg, transport,
-        nf=nf, kp=kp,
+        nf=nf, kp=kp, n_seeds=n_seeds,
     )
     S = num_steps
 
@@ -795,28 +923,28 @@ def _build_call(
     def bothmap(s, t):
         return (0, t, 0)
 
-    # streamed state travels compact: phi/mu/nu as AUGW-lane slots of one
-    # ping-pong array, dlat as its own AUGW-lane array (see the kernel's
+    # streamed state travels compact: phi/mu/nu as augw-lane slots of one
+    # ping-pong array, dlat as its own augw-lane array (see the kernel's
     # state-access comment)
-    stw = 3 * AUGW
+    stw = 3 * augw
     st_blk = pl.BlockSpec((1, bt, stw), pingmap_in, memory_space=pltpu.VMEM)
-    dl_blk = pl.BlockSpec((1, bt, AUGW), pingmap_in, memory_space=pltpu.VMEM)
+    dl_blk = pl.BlockSpec((1, bt, augw), pingmap_in, memory_space=pltpu.VMEM)
     if transport == "emul":
         # both parities of the tile in one block; parity picked in-kernel
         st_out_blk = pl.BlockSpec((2, bt, stw), bothmap, memory_space=pltpu.VMEM)
-        dl_out_blk = pl.BlockSpec((2, bt, AUGW), bothmap, memory_space=pltpu.VMEM)
+        dl_out_blk = pl.BlockSpec((2, bt, augw), bothmap, memory_space=pltpu.VMEM)
     else:
         st_out_blk = pl.BlockSpec((1, bt, stw), pingmap_out, memory_space=pltpu.VMEM)
-        dl_out_blk = pl.BlockSpec((1, bt, AUGW), pingmap_out, memory_space=pltpu.VMEM)
+        dl_out_blk = pl.BlockSpec((1, bt, augw), pingmap_out, memory_space=pltpu.VMEM)
     st_shape = jax.ShapeDtypeStruct((2, n_pad, stw), jnp.float32)
-    dl_shape = jax.ShapeDtypeStruct((2, n_pad, AUGW), jnp.float32)
+    dl_shape = jax.ShapeDtypeStruct((2, n_pad, augw), jnp.float32)
 
     in_specs = [
         pl.BlockSpec((consts.n_sel * LANES, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, LANES), cmap, memory_space=pltpu.VMEM),
         (
-            pl.BlockSpec((bt, AUGW), tmap, memory_space=pltpu.VMEM)
+            pl.BlockSpec((bt, augw), tmap, memory_space=pltpu.VMEM)
             if streamed
             else pl.BlockSpec((n_pad, LANES), cmap, memory_space=pltpu.VMEM)
         ),
@@ -1040,6 +1168,17 @@ def supports(spec, cfg) -> bool:
     return T + 3 * r <= LANES and P <= 8 and r <= 8
 
 
+def supports_packed(spec, cfg, n_seeds: int) -> bool:
+    """Whether the SEED-PACKED mega-kernel can run ``n_seeds`` models in one
+    lane register (``ensemble.py``): desmo variant, S*K wide lanes and
+    1 + S*r aug lanes within 128."""
+    if getattr(cfg, "variant", "desmo") != "desmo" or n_seeds < 1:
+        return False
+    r, P = spec.r, spec.poly_order
+    K = library.num_poly_terms(r, P) + 3 * r
+    return n_seeds * K <= LANES and 1 + n_seeds * r <= LANES and P <= 8
+
+
 def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     """The single chunk-selection policy shared by runner/bench: returns the
     mega-kernel chunk, or None for the scanned path.
@@ -1080,6 +1219,29 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     if not supports(spec, cfg):
         return None
     return make_fused_train_chunk(spec, cfg, bt)
+
+
+def select_ensemble_chunk(spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT):
+    """Chunk-selection policy for the lane-packed multi-seed trainer
+    (``ensemble.fit``), mirroring ``select_chunk``: the seed-packed
+    mega-kernel on TPU when the pack fits, else None (packed scan)."""
+    method = getattr(cfg, "chunk_method", "auto")
+    if method == "scan":
+        return None
+    if method == "megakernel":
+        if not supports_packed(spec, cfg, n_seeds):
+            raise ValueError(
+                f"chunk_method='megakernel' but {n_seeds} seeds don't pack "
+                f"for preset {cfg.name!r} — see train_chunk.supports_packed"
+            )
+        return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt)
+    if jax.default_backend() != "tpu":
+        return None
+    if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
+        return None
+    if not supports_packed(spec, cfg, n_seeds):
+        return None
+    return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt)
 
 
 def resident_fits(spec, cfg, bt: int = _BT_DEFAULT, vmem_budget_mb: float = 30.0) -> bool:
@@ -1327,6 +1489,227 @@ def make_fused_train_chunk(
             # max |omega*latent| per step: the _fast_sincos domain telemetry
             # consumed by train.fit's SINCOS_DOMAIN fallback guard
             "max_arg": met[:num_steps, 4],
+        }
+        return new_state, metrics
+
+    return chunk
+
+
+# ---------------------------------------------------------------------------
+# Seed-packed mega-kernel (ensemble.py): S independently-initialized DESMO
+# models in ONE kernel. Inside the kernel nearly every cost center is
+# lane-width-fixed — the trig transcendentals, the factor gathers, the hi/lo
+# contractions and the optimizer all operate on full (., 128) vregs whether
+# the lanes carry 1 seed's K terms + padding or S seeds' S*K terms — so S
+# models train for close to the cost of one (measured in docs/RESULTS.md).
+# Per-seed independence: gb/ga are block-diag masked (SEL(5)), per-seed
+# metrics reduce through SEEDSEL/AUGSEL selection matmuls, each seed drives
+# its own plateau-scheduler svec row, and group LRs splat per seed block.
+# ---------------------------------------------------------------------------
+
+
+def _pack_b_seeds(z, z_trig, T, K, m_pad):
+    """Stacked z (S, T, m) + z_trig (S, 3, r, m) -> B rows (128, m_pad) with
+    seed s's [T poly; 3r trig] rows at [s*K, (s+1)*K)."""
+    S, _, m = z.shape
+    out = jnp.zeros((LANES, m_pad), jnp.float32)
+    for s in range(S):
+        out = out.at[s * K : s * K + T, :m].set(z[s].astype(jnp.float32))
+        zt = z_trig[s].reshape(-1, m)
+        out = out.at[s * K + T : (s + 1) * K, :m].set(zt.astype(jnp.float32))
+    return out
+
+
+def _unpack_b_seeds(bfw, S, T, K, r, m):
+    z = jnp.stack([bfw[s * K : s * K + T, :m] for s in range(S)])
+    zt = jnp.stack(
+        [bfw[s * K + T : (s + 1) * K, :m].reshape(3, r, m) for s in range(S)]
+    )
+    return z, zt
+
+
+def _pack_wide_row_seeds(c, c_trig, T, K, r):
+    """Stacked c (S, T) + c_trig (S, 3, r) -> one (128,) WIDE row."""
+    S = c.shape[0]
+    row = jnp.zeros((LANES,), jnp.float32)
+    for s in range(S):
+        row = row.at[s * K : s * K + T].set(c[s].astype(jnp.float32))
+        row = row.at[s * K + T : (s + 1) * K].set(
+            c_trig[s].reshape(-1).astype(jnp.float32)
+        )
+    return row
+
+
+def _unpack_wide_row_seeds(row, S, T, K, r):
+    c = jnp.stack([row[s * K : s * K + T] for s in range(S)])
+    ct = jnp.stack(
+        [row[s * K + T : (s + 1) * K].reshape(3, r) for s in range(S)]
+    )
+    return c, ct
+
+
+def make_fused_ensemble_chunk(
+    spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT,
+    interpret: bool | None = None, streamed: bool | None = None,
+):
+    """Seed-packed ``chunk(state, batch, num_steps) -> (state, metrics)``.
+
+    Drop-in replacement for ``ensemble.make_ensemble_chunk``: ``state`` is the
+    stacked-TrainState of ``ensemble.init_state`` (leading seed axis on every
+    param/moment, per-seed (S, G) scheduler rows); metrics carry per-seed
+    ``rec/ortho/l1/total_s`` (num_steps, S) + summed ``total`` and the global
+    ``max_arg`` telemetry. Semantics per seed match the single-seed
+    mega-kernel step-for-step (same Adamax/plateau quirks), asserted against
+    the packed scan chunk in ``tests/test_ensemble_kernel.py``.
+    """
+    from desmo_tpu import optim, train
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if streamed is None:
+        streamed = not interpret and not resident_fits(spec, cfg, bt)
+    transport = "resident" if not streamed else ("emul" if interpret else "aliased")
+    r, P = spec.r, spec.poly_order
+    T = spec.num_poly_terms
+    K = T + 3 * r
+    n, m = spec.n, spec.m
+    S = int(n_seeds)
+    if not supports_packed(spec, cfg, S):
+        raise ValueError(f"{S} seeds x K={K} do not pack into {LANES} lanes")
+    beta = float(cfg.beta)
+    lam = float(cfg.l1_lambda)
+    augw = aug_width(r, S)
+
+    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    def chunk(state, batch, num_steps: int):
+        if num_steps < 1:
+            raise ValueError(f"mega-kernel chunk needs num_steps >= 1, got {num_steps}")
+        x_hi, x_lo = batch["x_hi"], batch["x_lo"]
+        n_pad, m_pad = x_hi.shape
+        if n_pad % bt:
+            raise ValueError(f"x padding {n_pad} not a multiple of bt={bt}")
+        call, consts = _build_call(
+            r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg,
+            interpret, transport, 0, n_seeds=S,
+        )
+        rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        pod_rep = jnp.tile(batch["pod_modes"].T, (S, 1))  # (S*r, n), shared
+        pod_fw = _pack_aug(
+            pod_rep, n_pad, lane0=rowmask, width=augw if streamed else LANES,
+        )
+        params, opt, sched = state.params, state.opt, state.sched
+
+        def aug_seeds(v):  # (S, r, n) -> (S*r, n)
+            return v.reshape(S * r, n)
+
+        init0 = jnp.concatenate(
+            [
+                _pack_aug(
+                    aug_seeds(params["phi"]), n_pad,
+                    lane0=jnp.ones((n_pad,), jnp.float32), width=augw,
+                ),
+                _pack_aug(aug_seeds(opt.mu["phi"]), n_pad, width=augw),
+                _pack_aug(aug_seeds(opt.nu["phi"]), n_pad, width=augw),
+            ],
+            axis=1,
+        )
+        b0 = _pack_b_seeds(params["z"], params["z_trig"], T, K, m_pad)
+        bmu0 = _pack_b_seeds(opt.mu["z"], opt.mu["z_trig"], T, K, m_pad)
+        bnu0 = _pack_b_seeds(opt.nu["z"], opt.nu["z_trig"], T, K, m_pad)
+        zt = jnp.zeros((S, T))
+        crow0 = jnp.stack(
+            [
+                _pack_wide_row_seeds(params["c"], params["c_trig"], T, K, r),
+                _pack_wide_row_seeds(opt.mu["c"], opt.mu["c_trig"], T, K, r),
+                _pack_wide_row_seeds(opt.nu["c"], opt.nu["c_trig"], T, K, r),
+                _pack_wide_row_seeds(zt, params["omega"], T, K, r),
+                _pack_wide_row_seeds(zt, opt.mu["omega"], T, K, r),
+                _pack_wide_row_seeds(zt, opt.nu["omega"], T, K, r),
+                jnp.zeros((LANES,), jnp.float32),
+                jnp.zeros((LANES,), jnp.float32),
+            ]
+        )
+        count_f = opt.count.astype(jnp.float32)
+        svec0 = jnp.zeros((8, LANES), jnp.float32)
+        nlr = sched.lrs.shape[-1]
+        svec0 = svec0.at[:S, _LR0 : _LR0 + nlr].set(sched.lrs)
+        svec0 = svec0.at[:S, _L_BEST].set(sched.best)
+        svec0 = svec0.at[:S, _L_POW].set(_B1**count_f)
+        svec0 = svec0.at[:S, _L_COUNT].set(count_f)
+        svec0 = svec0.at[:S, _L_NUMBAD].set(sched.num_bad.astype(jnp.float32))
+        svec0 = svec0.at[:S, _L_EPOCH].set(state.epoch.astype(jnp.float32))
+        mrow = jnp.asarray(consts.mrow).at[5, 0].set(batch["x_sq"])
+
+        args = [
+            jnp.asarray(consts.sel), jnp.asarray(consts.gidx), mrow,
+            pod_fw, x_hi, x_lo, init0, b0, bmu0, bnu0, crow0, svec0,
+        ]
+        if streamed:
+            if transport == "aliased":
+                args += [
+                    jnp.zeros((2, n_pad, 3 * augw), jnp.float32),
+                    jnp.zeros((2, n_pad, augw), jnp.float32),
+                ]
+            (met, *small, stio, _dl) = call(*args)
+            parity = int(num_steps) % 2
+            st = stio[parity]
+            phio = st[:, 0 * augw : 1 * augw]
+            muo = st[:, 1 * augw : 2 * augw]
+            nuo = st[:, 2 * augw : 3 * augw]
+        else:
+            (met, phio, muo, nuo, *small) = call(*args)
+        bfw, bmufw, bnufw, crow_o, svec_o = small
+
+        def unaug(fw):  # lanes 1..S*r -> (S, r, n)
+            return _unpack_aug(fw, S * r, n).reshape(S, r, n)
+
+        z, z_trig = _unpack_b_seeds(bfw, S, T, K, r, m)
+        mz, mzt = _unpack_b_seeds(bmufw, S, T, K, r, m)
+        nz, nzt = _unpack_b_seeds(bnufw, S, T, K, r, m)
+        c, c_trig = _unpack_wide_row_seeds(crow_o[0], S, T, K, r)
+        mc, mct = _unpack_wide_row_seeds(crow_o[1], S, T, K, r)
+        nc, nct = _unpack_wide_row_seeds(crow_o[2], S, T, K, r)
+        _, omega = _unpack_wide_row_seeds(crow_o[3], S, T, K, r)
+        _, momega = _unpack_wide_row_seeds(crow_o[4], S, T, K, r)
+        _, nomega = _unpack_wide_row_seeds(crow_o[5], S, T, K, r)
+
+        new_params = {
+            "phi": unaug(phio), "c": c, "z": z, "z_trig": z_trig,
+            "c_trig": c_trig, "omega": omega,
+        }
+        new_mu = {
+            "phi": unaug(muo), "c": mc, "z": mz, "z_trig": mzt,
+            "c_trig": mct, "omega": momega,
+        }
+        new_nu = {
+            "phi": unaug(nuo), "c": nc, "z": nz, "z_trig": nzt,
+            "c_trig": nct, "omega": nomega,
+        }
+        new_state = train.TrainState(
+            params={k: new_params[k] for k in state.params},
+            opt=optim.AdamaxState(
+                count=svec_o[0, _L_COUNT].astype(jnp.int32),
+                mu={k: new_mu[k] for k in state.params},
+                nu={k: new_nu[k] for k in state.params},
+            ),
+            sched=optim.PlateauState(
+                lrs=svec_o[:S, _LR0 : _LR0 + nlr],
+                best=svec_o[:S, _L_BEST],
+                num_bad=svec_o[:S, _L_NUMBAD].astype(jnp.int32),
+            ),
+            epoch=svec_o[0, _L_EPOCH].astype(jnp.int32),
+        )
+        lanes = np.arange(S) * 8
+        mets = met[:num_steps]
+        metrics = {
+            "rec": mets[:, lanes + 0],
+            "ortho": mets[:, lanes + 1],
+            "l1": mets[:, lanes + 2],
+            "total_s": mets[:, lanes + 3],
+            "total": jnp.sum(mets[:, lanes + 3], axis=1),
+            # global max |omega*latent| per step (any seed): the
+            # _fast_sincos domain telemetry (SINCOS_DOMAIN)
+            "max_arg": mets[:, 4],
         }
         return new_state, metrics
 

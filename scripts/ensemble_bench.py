@@ -23,16 +23,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench(preset: str, steps: int = 300, reps: int = 5):
+def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
     import jax
     import jax.numpy as jnp
 
     from desmo_tpu import configs, ensemble, pod, runner, train
     from desmo_tpu.io import synthetic
     from desmo_tpu.models import desmo
+    from desmo_tpu.pallas import train_chunk as tc
 
     cfg = configs.get(preset)
-    # ensemble scope = scanned path; mirror runner.run's method choice
+    # mirror runner.run's method choice for the scan comparison
     method = runner.resolve_loss_method(cfg)
     if method not in ("factored", "fused"):
         method = "fused"
@@ -41,54 +42,71 @@ def bench(preset: str, steps: int = 300, reps: int = 5):
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     modes = pod.pod(x, cfg.r).modes
     batch = runner.prepare_chunk_batch(cfg, x, pod_modes=modes, chunk=None)
+    kbatch = tc.prepare_batch(x, modes)
+
+    timed = {}
+
+    def add(name, chunk, state0):
+        st = jax.tree.map(jnp.array, state0)
+        st, mets = chunk(st, batch if "scan" in name else kbatch, num_steps=steps)
+        tot = float(np.asarray(mets["total"])[-1])
+        assert np.isfinite(tot), name
+        timed[name] = [st, chunk, []]
 
     # --- single-seed scanned chunk (what S sequential restarts would cost)
-    single_chunk = train.make_train_chunk(loss_fn, groups, cfg, unroll=1)
-    sstate = jax.tree.map(jnp.array, train.init_state(params, cfg))
-    sstate, mets = single_chunk(sstate, batch, num_steps=steps)  # compile
-    float(np.asarray(mets["total"])[-1])
-
-    # --- packed ensemble chunk
-    eloss = ensemble.build_loss(spec, cfg, S, method=method)
+    add("scan x1", train.make_train_chunk(loss_fn, groups, cfg, unroll=1),
+        train.init_state(params, cfg))
+    # --- packed ensemble scan chunk
     eparams = ensemble.init_params(spec, S, seed=0, phi_sigma=0.02)
-    echunk = ensemble.make_ensemble_chunk(eloss, groups, cfg, S)
-    estate = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
-    estate, emets = echunk(estate, batch, num_steps=steps)  # compile
-    float(np.asarray(emets["total"])[-1])
-
-    t_single, t_packed = [], []
-    for _ in range(reps):  # interleave so window drift hits both equally
-        t0 = time.perf_counter()
-        sstate, mets = single_chunk(sstate, batch, num_steps=steps)
-        tot = float(np.asarray(mets["total"])[-1])
-        t_single.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        estate, emets = echunk(estate, batch, num_steps=steps)
-        etot = float(np.asarray(emets["total"])[-1])
-        t_packed.append(time.perf_counter() - t0)
-    assert np.isfinite(tot) and np.isfinite(etot)
-
-    sps_single = float(np.median(steps / np.asarray(t_single)))
-    sps_packed = float(np.median(steps / np.asarray(t_packed)))
-    K = spec.num_poly_terms + 3 * spec.r
-    print(
-        f"{preset}: K={K} S={S} method={method}\n"
-        f"  single scanned   {sps_single:10.1f} steps/s "
-        f"({1e6 / sps_single:8.1f} us/step)\n"
-        f"  packed S={S}       {sps_packed:10.1f} steps/s "
-        f"({1e6 / sps_packed:8.1f} us/step) = "
-        f"{S * sps_packed:10.1f} seed-steps/s\n"
-        f"  packed step cost  {sps_single / sps_packed:6.3f}x single "
-        f"-> {S * sps_packed / sps_single:6.3f}x seed throughput vs "
-        f"sequential restarts (same path)",
-        flush=True,
+    add(
+        f"scan S={S}",
+        ensemble.make_ensemble_chunk(
+            ensemble.build_loss(spec, cfg, S, method=method), groups, cfg, S
+        ),
+        ensemble.init_state(eparams, cfg, S),
     )
-    return {
-        "preset": preset, "S": S, "K": K, "method": method,
-        "single_sps": sps_single, "packed_sps": sps_packed,
-        "packed_cost_x": sps_single / sps_packed,
-        "seed_throughput_x": S * sps_packed / sps_single,
-    }
+    if kernel and tc.supports(spec, cfg):
+        # --- single-seed mega-kernel (the preset's production path)
+        add("mk   x1", tc.make_fused_train_chunk(spec, cfg),
+            train.init_state(params, cfg))
+    if kernel and tc.supports_packed(spec, cfg, S):
+        # --- SEED-PACKED mega-kernel
+        add(f"mk   S={S}", tc.make_fused_ensemble_chunk(spec, cfg, S),
+            ensemble.init_state(eparams, cfg, S))
+
+    for _ in range(reps):  # interleave so window drift hits all equally
+        for name, rec in timed.items():
+            st, chunk, ts = rec
+            t0 = time.perf_counter()
+            st, mets = chunk(st, batch if "scan" in name else kbatch, num_steps=steps)
+            tot = float(np.asarray(mets["total"])[-1])
+            ts.append(time.perf_counter() - t0)
+            rec[0] = st
+
+    K = spec.num_poly_terms + 3 * spec.r
+    print(f"{preset}: K={K} S={S} method={method}", flush=True)
+    out = {"preset": preset, "S": S, "K": K}
+    base = {}
+    for name, (st, chunk, ts) in timed.items():
+        sps = float(np.median(steps / np.asarray(ts)))
+        n_seeds = S if f"S={S}" in name else 1
+        base[name] = sps
+        extra = ""
+        if n_seeds > 1:
+            ref = base.get(name.replace(f"S={S}", "x1").replace("   ", "   "))
+            ref = base.get("scan x1") if name.startswith("scan") else base.get("mk   x1")
+            if ref:
+                extra = (
+                    f"  cost {ref / sps:5.2f}x single -> "
+                    f"{n_seeds * sps / ref:5.2f}x seed throughput vs sequential"
+                )
+        print(
+            f"  {name:9s} {sps:10.1f} steps/s ({1e6 / sps:8.1f} us/step)"
+            f" = {n_seeds * sps:10.1f} seed-steps/s{extra}",
+            flush=True,
+        )
+        out[name] = sps
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,238 @@
+"""Seed-packed mega-kernel (interpret mode) vs the packed scan chunk.
+
+The packed kernel must reproduce ``ensemble.make_ensemble_chunk`` (itself
+parity-tested against S independent single-seed trainings) step-for-step:
+same per-seed metrics traces, same final stacked params/moments and per-seed
+scheduler rows — up to the kernel's documented precision contract (3-pass
+bf16 contractions ~5e-6 rel, _fast_sincos ~2e-7 abs). At S=1 the packed
+host path must reduce EXACTLY (bitwise) to the standard mega-kernel.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desmo_tpu import configs, ensemble, optim, train
+from desmo_tpu.io import synthetic
+from desmo_tpu.models import desmo
+from desmo_tpu.pallas import train_chunk
+
+
+def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1):
+    cfg = configs.RunConfig(
+        name="ens-mk",
+        variant="desmo",
+        n=n,
+        m=m,
+        r=r,
+        poly_order=P,
+        omega_init=1.0,
+        lr_omega=lr_omega,
+        num_epochs=40,
+        patience=300,
+        sched_every=1,
+        log_every=100,
+        checkpoint_every=1000,
+    )
+    spec = desmo.DesmoSpec(n, m, r, P, omega_init=1.0)
+    x = synthetic.separable_rank_k(n, m, k=r, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    from desmo_tpu import pod as pod_mod
+
+    p = pod_mod.pod(x, r)
+    params = ensemble.init_params(spec, S, seed=1, phi_sigma=0.1, omega_spread=0.2)
+    batch = train_chunk.prepare_batch(x, p.modes, bt=bt)
+    return cfg, spec, params, batch
+
+
+def test_supports_packed_bounds():
+    cfg = configs.get("aneurysm")
+    spec = desmo.DesmoSpec(100, 50, 4, 2)  # K=27
+    assert train_chunk.supports_packed(spec, cfg, 4)
+    assert not train_chunk.supports_packed(spec, cfg, 5)  # 5*27 > 128
+    spec3 = desmo.DesmoSpec(100, 50, 4, 3)  # K=47
+    assert train_chunk.supports_packed(spec3, cfg, 2)
+    assert not train_chunk.supports_packed(spec3, cfg, 3)
+    fcfg = configs.get("fourier_cylinder")
+    assert not train_chunk.supports_packed(spec, fcfg, 2)  # desmo only
+
+
+def test_aug_width():
+    assert train_chunk.aug_width(2, 1) == 16
+    assert train_chunk.aug_width(4, 1) == 16
+    assert train_chunk.aug_width(4, 3) == 16  # 1 + 12
+    assert train_chunk.aug_width(4, 4) == 32  # 1 + 16
+    assert train_chunk.aug_width(8, 2) == 32
+
+
+def run_both(cfg, spec, params, batch, S, steps, streamed=False):
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = desmo.param_groups(desmo.init_params(spec))
+    ref_chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    s_ref = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=steps)
+
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=streamed
+    )
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_k, m_k = fused(s_k, batch, num_steps=steps)
+    return (s_ref, {k: np.asarray(v) for k, v in m_ref.items()}), (
+        s_k,
+        {k: np.asarray(v) for k, v in m_k.items()},
+    )
+
+
+def test_packed_kernel_matches_packed_scan():
+    S = 3
+    cfg, spec, params, batch = problem(S)
+    (s_ref, m_ref), (s_k, m_k) = run_both(cfg, spec, params, batch, S, steps=30)
+    for key in ("rec", "ortho", "l1", "total_s"):
+        np.testing.assert_allclose(
+            m_k[key], m_ref[key], rtol=3e-4, atol=1e-6, err_msg=key
+        )
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]), np.asarray(s_ref.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    # per-seed scheduler rows carried through
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.best), np.asarray(s_ref.sched.best), rtol=3e-4
+    )
+    assert int(s_k.epoch) == int(s_ref.epoch) == 30
+    assert m_k["max_arg"].shape == (30,)
+    assert np.all(m_k["max_arg"] > 0)
+
+
+def test_packed_seeds_match_independent_single_kernels():
+    """Each packed seed's trajectory == that seed alone through the
+    SINGLE-seed mega-kernel (same transport, same in-kernel numerics) —
+    the packing itself must not couple seeds at all."""
+    S = 3
+    cfg, spec, params, batch = problem(S)
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_k, m_k = fused(s_k, batch, num_steps=25)
+    single = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    for s in range(S):
+        st = jax.tree.map(
+            jnp.array,
+            train.init_state(ensemble.extract_seed(params, s), cfg),
+        )
+        st, ms = single(st, batch, num_steps=25)
+        np.testing.assert_allclose(
+            np.asarray(m_k["total_s"])[:, s], np.asarray(ms["total"]),
+            rtol=2e-5, atol=1e-7, err_msg=f"seed{s} trace",
+        )
+        for key in st.params:
+            np.testing.assert_allclose(
+                np.asarray(s_k.params[key][s]), np.asarray(st.params[key]),
+                rtol=1e-4, atol=1e-6, err_msg=f"seed{s}:{key}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(s_k.sched.lrs[s]), np.asarray(st.sched.lrs), rtol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_streamed_emul_matches_resident_packed():
+    """The packed kernel through the streamed (emul) transport is bit-exact
+    vs the packed resident mode — including the widened augw=16 S*r+1 slots."""
+    S = 3
+    cfg, spec, params, batch = problem(S)
+    res = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=False
+    )
+    stm = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=True
+    )
+    s0 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s1 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    a, ma = res(s0, batch, num_steps=9)  # odd: exercises the parity select
+    b, mb = stm(s1, batch, num_steps=9)
+    for key in a.params:
+        np.testing.assert_array_equal(
+            np.asarray(a.params[key]), np.asarray(b.params[key]), err_msg=key
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ma["total_s"]), np.asarray(mb["total_s"])
+    )
+
+
+@pytest.mark.slow
+def test_streamed_wide_augw():
+    """S*r + 1 > 16 forces the widened augw=32 streamed transport."""
+    S, r = 4, 4  # 1 + 16 = 17 -> augw 32
+    cfg, spec, params, batch = problem(S, r=r, P=2)
+    assert train_chunk.aug_width(r, S) == 32
+    res = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=False
+    )
+    stm = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=True
+    )
+    s0 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s1 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    a, _ = res(s0, batch, num_steps=6)
+    b, _ = stm(s1, batch, num_steps=6)
+    for key in a.params:
+        np.testing.assert_array_equal(
+            np.asarray(a.params[key]), np.asarray(b.params[key]), err_msg=key
+        )
+
+
+def test_single_seed_wrapper_bitwise_equals_standard_kernel():
+    """n_seeds=1 through the packed host path must be EXACTLY the standard
+    mega-kernel (same kernel, same packing) — guards the S=1 fast path."""
+    cfg, spec, params, batch = problem(1)
+    fused1 = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, 1, bt=32, interpret=True
+    )
+    s1 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, 1))
+    s1, m1 = fused1(s1, batch, num_steps=20)
+    std = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    st = jax.tree.map(
+        jnp.array, train.init_state(ensemble.extract_seed(params, 0), cfg)
+    )
+    st, ms = std(st, batch, num_steps=20)
+    for key in st.params:
+        np.testing.assert_array_equal(
+            np.asarray(s1.params[key][0]), np.asarray(st.params[key]),
+            err_msg=key,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(m1["total_s"])[:, 0], np.asarray(ms["total"])
+    )
+
+
+def test_resume_mid_run():
+    """Two packed chunks == one double-length packed chunk (state
+    round-trips losslessly through the host repack)."""
+    S = 2
+    cfg, spec, params, batch = problem(S)
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    sa = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    sa, _ = fused(sa, batch, num_steps=8)
+    sa, ma = fused(sa, batch, num_steps=8)
+    sb = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    sb, mb = fused(sb, batch, num_steps=16)
+    for key in sa.params:
+        np.testing.assert_allclose(
+            np.asarray(sa.params[key]), np.asarray(sb.params[key]),
+            rtol=1e-6, atol=1e-8, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ma["total_s"]), np.asarray(mb["total_s"])[8:], rtol=1e-6
+    )
