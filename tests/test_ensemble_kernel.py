@@ -22,7 +22,7 @@ from desmo_tpu.models import desmo
 from desmo_tpu.pallas import train_chunk
 
 
-def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1):
+def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1, omega_init=1.0):
     cfg = configs.RunConfig(
         name="ens-mk",
         variant="desmo",
@@ -30,7 +30,7 @@ def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1):
         m=m,
         r=r,
         poly_order=P,
-        omega_init=1.0,
+        omega_init=omega_init,
         lr_omega=lr_omega,
         num_epochs=40,
         patience=300,
@@ -38,7 +38,7 @@ def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1):
         log_every=100,
         checkpoint_every=1000,
     )
-    spec = desmo.DesmoSpec(n, m, r, P, omega_init=1.0)
+    spec = desmo.DesmoSpec(n, m, r, P, omega_init=omega_init)
     x = synthetic.separable_rank_k(n, m, k=r, seed=0)
     x -= x.mean(axis=1, keepdims=True)
     from desmo_tpu import pod as pod_mod
@@ -213,6 +213,69 @@ def test_single_seed_wrapper_bitwise_equals_standard_kernel():
     np.testing.assert_array_equal(
         np.asarray(m1["total_s"])[:, 0], np.asarray(ms["total"])
     )
+
+
+def _patch_kernel_select(monkeypatch):
+    """Make ensemble.fit's auto-selection return the interpret-mode packed
+    kernel on CPU (on hardware select_ensemble_chunk requires the TPU
+    backend), so the fit() integration runs the kernel path in CI."""
+    real = train_chunk.make_fused_ensemble_chunk
+
+    def fake_select(spec, cfg, n_seeds, bt=32):
+        if not train_chunk.supports_packed(spec, cfg, n_seeds):
+            return None
+        return real(spec, cfg, n_seeds, bt=32, interpret=True)
+
+    monkeypatch.setattr(train_chunk, "select_ensemble_chunk", fake_select)
+
+
+def test_fit_runs_kernel_path_end_to_end(monkeypatch):
+    """ensemble.fit with the packed kernel auto-selected: multi-chunk run,
+    per-seed logging, best-seed extraction, seed-steps accounting."""
+    _patch_kernel_select(monkeypatch)
+    cfg, spec, params, batch = problem(3)
+    cfg = dataclasses.replace(cfg, checkpoint_every=8)
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=16,
+        phi_sigma=0.1, omega_spread=0.2, log=logs.append,
+    )
+    assert finals.shape == (3,)
+    assert np.isfinite(finals).all()
+    assert int(best) == int(np.argmin(finals))
+    assert int(result.state.epoch) == 16
+    assert result.history["total"].shape == (16,)
+    assert np.isfinite(result.history["total"]).all()
+    assert not any("fast-sincos" in line for line in logs)
+    # the winner resumes on the standard single-seed scanned chunk
+    loss = desmo.build_loss(spec, cfg.beta, cfg.l1_lambda, method="factored")
+    cont = train.fit(
+        loss, desmo.param_groups(result.state.params), cfg,
+        result.state.params, batch, num_epochs=4, chunk_size=4, log=None,
+        state=result.state,
+    )
+    assert int(cont.state.epoch) == 20
+    assert np.isfinite(cont.history["total"]).all()
+
+
+def test_fit_sincos_fallback_to_packed_scan(monkeypatch):
+    """|omega*latent| beyond SINCOS_DOMAIN inside ensemble.fit: the kernel's
+    max_arg telemetry trips the guard, fit warns and finishes the group on
+    the packed scan chunk (builtin trig) — epochs, history concatenation and
+    best-seed selection all intact across the mid-run chunk swap."""
+    _patch_kernel_select(monkeypatch)
+    cfg, spec, params, batch = problem(3, omega_init=1e6)
+    cfg = dataclasses.replace(cfg, checkpoint_every=6)
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=18,
+        phi_sigma=0.1, log=logs.append,
+    )
+    assert any("fast-sincos domain" in line for line in logs)
+    assert np.isfinite(finals).all()
+    assert int(result.state.epoch) == 18
+    assert result.history["total"].shape == (18,)
+    assert np.isfinite(result.history["total"]).all()
 
 
 def test_resume_mid_run():
