@@ -110,6 +110,14 @@ def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
 
 
 if __name__ == "__main__":
-    presets = sys.argv[1:] or ["aneurysm", "cylinder"]
-    for p in presets:
-        bench(p)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("presets", nargs="*", default=["aneurysm", "cylinder"])
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--no-kernel", action="store_true",
+                    help="skip the mega-kernel paths (scan comparison only)")
+    a = ap.parse_args()
+    for p in a.presets or ["aneurysm", "cylinder"]:
+        bench(p, steps=a.steps, reps=a.reps, kernel=not a.no_kernel)
