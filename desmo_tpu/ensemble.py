@@ -32,9 +32,15 @@ Capacity: S*K <= 128 lanes — 4 seeds for the r=4/P=2 presets (K=27),
 2 seeds for cylinder r=4/P=3 (K=47). Larger S falls back to multiple packed
 groups run sequentially (``max_seeds_packed``).
 
-Scope: the desmo variant (POD-masked modes). The Fourier variant already has
-its own first-chunk period multi-start (``runner.fourier_period_multistart``);
-the AE variant's cost is MLP-dominated (no lane padding to recycle).
+Scope: the desmo variant (POD-masked modes) and the Fourier variant — the
+spatial dictionary packs identically; the per-seed temporal series evaluate
+batched over the seed axis, and per-seed PERIODS turn the FFT-informed period
+multi-start (``fourier.period_candidates``) into S simultaneous candidates
+trained to completion instead of sequential short probes
+(``runner.fourier_period_multistart``). The desmo variant additionally runs a
+seed-packed mega-kernel (``train_chunk.make_fused_ensemble_chunk``) at ~1.0x
+single-seed cost; fourier seeds run the packed scan chunk. The AE variant's
+cost is MLP-dominated (no lane padding to recycle).
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ import numpy as np
 from desmo_tpu import library, losses, optim, train
 from desmo_tpu.configs import GROUP_ORDER, RunConfig
 from desmo_tpu.models import desmo as desmo_model
+from desmo_tpu.models import fourier as fourier_model
 
 LANES = 128
 
@@ -76,15 +83,21 @@ def init_params(
     seed: int = 0,
     phi_sigma: float = 0.02,
     omega_spread: float = 0.0,
+    periods=None,
 ) -> dict:
-    """Per-seed DESMO params with a leading seed axis on every key.
+    """Per-seed DESMO/DESMOFourier params with a leading seed axis on every key.
 
     Seed 0 is EXACTLY the reference init (all ones, omega = omega_init) so
     the ensemble always contains the reference trajectory; seeds 1.. jitter
     phi multiplicatively (1 + sigma*N(0,1)) and omega log-uniformly within
-    ``10**[-omega_spread, +omega_spread]``.
+    ``10**[-omega_spread, +omega_spread]``. A ``FourierSpec`` gets the
+    Fourier init (series coefficients + periods); ``periods`` (optional,
+    fourier only) assigns seed s the candidate ``periods[s % len(periods)]``
+    as its period/trig_period init — pass the preset's ``period_init`` first
+    so seed 0 stays the reference trajectory.
     """
-    base = desmo_model.init_params(spec)
+    is_fourier = hasattr(spec, "n_fourier")
+    base = (fourier_model if is_fourier else desmo_model).init_params(spec)
     keys = jax.random.split(jax.random.PRNGKey(seed), 2)
     stacked = {k: jnp.broadcast_to(v, (n_seeds, *v.shape)) for k, v in base.items()}
     if n_seeds > 1 and phi_sigma > 0.0:
@@ -100,6 +113,19 @@ def init_params(
         )
         om = jnp.concatenate([stacked["omega"][:1], stacked["omega"][1:] * fac])
         stacked = dict(stacked, omega=om)
+    if periods is not None and len(periods) > 0:
+        if not is_fourier:
+            raise ValueError("periods only applies to the fourier variant")
+        pv = jnp.asarray(
+            [float(periods[s % len(periods)]) for s in range(n_seeds)], jnp.float32
+        )
+        stacked = dict(
+            stacked,
+            period=jnp.broadcast_to(pv[:, None], stacked["period"].shape),
+            trig_period=jnp.broadcast_to(
+                pv[:, None, None], stacked["trig_period"].shape
+            ),
+        )
     return stacked
 
 
@@ -147,6 +173,19 @@ def packed_temporal(params: dict) -> jnp.ndarray:
     return jnp.concatenate([params["z"], z_trig], axis=1).reshape(-1, m)
 
 
+def packed_temporal_fourier(params: dict, t: jnp.ndarray) -> jnp.ndarray:
+    """Fourier ``B (S*K, m)``: every seed's series (own coefficients AND own
+    periods) evaluates in one batched pass — ``fourier_series_batch`` flattens
+    all leading axes, so the seed axis rides along for free."""
+    S = params["z"].shape[0]
+    z = fourier_model.fourier_series_batch(params["z"], params["period"], t)
+    zt = fourier_model.fourier_series_batch(
+        params["z_trig"], params["trig_period"], t
+    )
+    m = z.shape[-1]
+    return jnp.concatenate([z, zt.reshape(S, -1, m)], axis=1).reshape(-1, m)
+
+
 def factored_mse_blocks(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -189,10 +228,12 @@ def build_loss(spec, cfg: RunConfig, n_seeds: int, method: str = "factored") -> 
     factors_packed = packed_factor_table(spec, n_seeds)
     interpret = jax.default_backend() != "tpu"
     K = spec.num_poly_terms + 3 * spec.r
+    is_fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    t = jnp.asarray(fourier_model.t_points(spec.m)) if is_fourier else None
 
     def loss_fn(params: dict, batch: dict):
         A, latents = packed_dictionary(params, batch["pod_modes"], spec, factors_packed)
-        B = packed_temporal(params)
+        B = packed_temporal_fourier(params, t) if is_fourier else packed_temporal(params)
         if method == "fused":
             from desmo_tpu.pallas import dual_gemm
 
@@ -395,7 +436,25 @@ def fit(
         method = "fused" if jax.default_backend() == "tpu" else "factored"
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
     cap = max_seeds_packed(spec)
-    groups = desmo_model.param_groups(desmo_model.init_params(spec))
+    is_fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    mod = fourier_model if is_fourier else desmo_model
+    groups = mod.param_groups(mod.init_params(spec))
+    periods = None
+    if is_fourier and getattr(cfg, "period_multistart", 1) > 1:
+        # packed period multi-start: the FFT-informed candidates become
+        # per-seed period inits trained to completion simultaneously —
+        # subsumes the sequential short-probe runner.fourier_period_multistart
+        periods = fourier_model.period_candidates(
+            np.asarray(batch["x"]),
+            cfg.period_init,
+            n_candidates=max(n_seeds, cfg.period_multistart),
+            pod_modes=np.asarray(batch["pod_modes"]),
+        )
+        if log is not None:
+            log(
+                "[ensemble] fourier period candidates (seed s gets s mod "
+                f"{len(periods)}): {np.round(periods, 4).tolist()}"
+            )
 
     import time as _time
 
@@ -408,8 +467,14 @@ def fit(
 
     while start < n_seeds:
         S = min(cap, n_seeds - start)
+        group_periods = (
+            [periods[(start + s) % len(periods)] for s in range(S)]
+            if periods is not None
+            else None
+        )
         params = init_params(
-            spec, S, seed=seed + gi, phi_sigma=phi_sigma, omega_spread=omega_spread
+            spec, S, seed=seed + gi, phi_sigma=phi_sigma,
+            omega_spread=omega_spread, periods=group_periods,
         )
         if start > 0:
             # only the global seed 0 keeps the exact reference init; later

@@ -348,7 +348,12 @@ def run(
             cfg, lr_omega=0.01 * float(jnp.mean(jnp.abs(om[0])))
         )
 
-    if cfg.variant == "fourier" and cfg.period_multistart > 1 and state is None:
+    # n_seeds > 1 subsumes the sequential period probe: ensemble.fit assigns
+    # the FFT-informed candidates as per-seed period inits instead
+    if (
+        cfg.variant == "fourier" and cfg.period_multistart > 1
+        and state is None and cfg.n_seeds <= 1
+    ):
         with mesh_ctx:
             state = fourier_period_multistart(
                 cfg, params, batch, loss_fn, groups, chunk=chunk,
@@ -359,10 +364,14 @@ def run(
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
     if cfg.n_seeds > 1:
-        if cfg.variant != "desmo" or state is not None or device_mesh is not None:
+        if (
+            cfg.variant not in ("desmo", "fourier")
+            or state is not None
+            or device_mesh is not None
+        ):
             raise ValueError(
-                "n_seeds > 1 requires the desmo variant, no --resume and no "
-                "device mesh (ensemble.py scope)"
+                "n_seeds > 1 requires the desmo or fourier variant, no "
+                "--resume and no device mesh (ensemble.py scope)"
             )
         # Lane-packed multi-seed training (ensemble.py, beyond reference):
         # S models trained simultaneously in the 128-lane pad, best kept.

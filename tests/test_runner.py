@@ -260,6 +260,22 @@ def test_run_multiseed_ensemble(tmp_path):
     # rejected combinations fail loudly, not silently single-seed
     with pytest.raises(ValueError, match="n_seeds"):
         runner.run(
-            dataclasses.replace(tiny_cfg("fourier"), n_seeds=2),
+            dataclasses.replace(tiny_cfg("ae"), n_seeds=2),
             x, out_dir=str(tmp_path), make_figures=False, echo=False,
         )
+
+
+def test_run_multiseed_fourier(tmp_path):
+    """--seeds on the fourier variant: packed scan ensemble with per-seed
+    period candidates (period_multistart), winner through the post-pipeline."""
+    cfg = dataclasses.replace(
+        tiny_cfg("fourier"), n_seeds=2, seed_phi_sigma=0.1,
+        period_multistart=2, num_epochs=200,
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    assert np.isfinite(art.relative_error)
+    assert art.relative_error < 1.0
+    files = os.listdir(art.out_dir)
+    assert any(f.endswith("_final.pt") for f in files)
