@@ -233,9 +233,11 @@ def main(argv=None) -> int:
     )
     p_run.add_argument(
         "--seeds", type=int, default=None, metavar="S",
-        help="desmo variant: train S independently-initialized models "
-        "SIMULTANEOUSLY (lane-packed in the MXU's 128-lane pad, ~the cost of "
-        "one for K<=32-term presets) and keep the best — see ensemble.py",
+        help="desmo/fourier variants: train S independently-initialized "
+        "models SIMULTANEOUSLY (lane-packed in the MXU's 128-lane pad; the "
+        "desmo seed-packed mega-kernel runs S models at ~the cost of one) "
+        "and keep the best; with --period-multistart on a fourier preset the "
+        "seeds train the FFT period candidates — see ensemble.py",
     )
     p_run.add_argument(
         "--seed-phi-sigma", type=float, default=None, metavar="SIGMA",
