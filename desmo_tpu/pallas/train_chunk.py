@@ -721,6 +721,8 @@ def _make_kernel(
                     lr_phi = _lane(sv, _LR0 + 1)
                     lr_z = _lane(sv, _LR0 + 2)
                     lr_om = _lane(sv, _LR0 + 3)
+                    lr_per = _lane(sv, _LR0 + 4) if fourier else None
+                    lr_z_rows = lr_z
                     ga_use = ga_s[:]
                 else:
                     # per-seed group LRs splat onto each seed's lanes/rows
@@ -729,6 +731,7 @@ def _make_kernel(
                     lr_coef = jnp.zeros((1, LANES), jnp.float32)
                     lr_om = jnp.zeros((1, LANES), jnp.float32)
                     lr_z = jnp.zeros((LANES, 1), jnp.float32)
+                    lr_per = jnp.zeros((LANES, 1), jnp.float32) if fourier else None
                     lr_phi_seed = []
                     for si in range(SEEDS):
                         svs = svec_ref[si : si + 1, :]
@@ -741,7 +744,16 @@ def _make_kernel(
                         lr_coef = jnp.where(inw, _lane(svs, _LR0 + 0), lr_coef)
                         lr_om = jnp.where(inw, _lane(svs, _LR0 + 3), lr_om)
                         lr_z = jnp.where(inr, _lane(svs, _LR0 + 2), lr_z)
+                        if fourier:
+                            lr_per = jnp.where(
+                                inr, _lane(svs, _LR0 + 4), lr_per
+                            )
                         lr_phi_seed.append(_lane(svs, _LR0 + 1))
+                    # the fourier series/period state is (kp, .)-shaped;
+                    # match the row-splat LR columns to it
+                    lr_z_rows = lr_z[0:kp]
+                    if fourier:
+                        lr_per = lr_per[0:kp]
                     ga_use = ga_s[:] * SEL(5).astype(jnp.float32)
 
                 # ---- B (temporal z / z_trig rows), group 'z'
@@ -783,10 +795,9 @@ def _make_kernel(
                     gzc = gzc_s[:]
                     zmu = _B1 * zcmu_ref[:] + (1.0 - _B1) * gzc
                     znu = jnp.maximum(_B2 * zcnu_ref[:], jnp.abs(gzc) + _EPS)
-                    zc_ref[:] = zc_ref[:] - (lr_z / bias) * zmu / znu
+                    zc_ref[:] = zc_ref[:] - (lr_z_rows / bias) * zmu / znu
                     zcmu_ref[:] = zmu
                     zcnu_ref[:] = znu
-                    lr_per = _lane(sv, _LR0 + 4)
                     pmu = _B1 * per_ref[:, 1:2] + (1.0 - _B1) * gper
                     pnu = jnp.maximum(_B2 * per_ref[:, 2:3], jnp.abs(gper) + _EPS)
                     per_ref[:, 0:1] = per_ref[:, 0:1] - (lr_per / bias) * pmu / pnu
@@ -877,10 +888,11 @@ def _build_call(
 ):
     T = library.num_poly_terms(r, P)
     K = T + 3 * r
-    kp = _round_up(K, 8)
+    # seed-packed fourier stacks S seeds' channels as extra series rows
+    # ([s*K, (s+1)*K) = seed s, matching the B/lane layout); the row-parallel
+    # series recurrence and its backward need no other change
+    kp = _round_up(K * n_seeds, 8)
     fourier = nf > 0
-    if fourier and n_seeds > 1:
-        raise ValueError("seed packing covers the desmo variant only")
     streamed = transport != "resident"
     n_tiles = n_pad // bt
     consts = build_constants(r, P, n_seeds)
@@ -1170,9 +1182,18 @@ def supports(spec, cfg) -> bool:
 
 def supports_packed(spec, cfg, n_seeds: int) -> bool:
     """Whether the SEED-PACKED mega-kernel can run ``n_seeds`` models in one
-    lane register (``ensemble.py``): desmo variant, S*K wide lanes and
-    1 + S*r aug lanes within 128."""
-    if getattr(cfg, "variant", "desmo") != "desmo" or n_seeds < 1:
+    lane register (``ensemble.py``): desmo or fourier variant, S*K wide lanes
+    and 1 + S*r aug lanes within 128. Fourier additionally stacks the seeds'
+    series channels as ROWS of the (kp, 128) coefficient/period blocks
+    (row [s*K, (s+1)*K) = seed s, matching the lane layout) and needs its
+    2nF+1 coefficients within one lane register like the single-seed kernel."""
+    variant = getattr(cfg, "variant", "desmo")
+    if variant == "fourier":
+        if not 1 <= getattr(spec, "n_fourier", 0) <= 63:
+            return False
+    elif variant != "desmo":
+        return False
+    if n_seeds < 1:
         return False
     r, P = spec.r, spec.poly_order
     K = library.num_poly_terms(r, P) + 3 * r
@@ -1497,7 +1518,10 @@ def make_fused_train_chunk(
 
 # ---------------------------------------------------------------------------
 # Seed-packed mega-kernel (ensemble.py): S independently-initialized DESMO
-# models in ONE kernel. Inside the kernel nearly every cost center is
+# (or DESMOFourier — per-seed series coefficients AND periods stack as extra
+# rows of the (kp, 128) coefficient/period blocks, [s*K, (s+1)*K) = seed s,
+# so the row-parallel series recurrence needs no change) models in ONE
+# kernel. Inside the kernel nearly every cost center is
 # lane-width-fixed — the trig transcendentals, the factor gathers, the hi/lo
 # contractions and the optimizer all operate on full (., 128) vregs whether
 # the lanes carry 1 seed's K terms + padding or S seeds' S*K terms — so S
@@ -1548,6 +1572,63 @@ def _unpack_wide_row_seeds(row, S, T, K, r):
     return c, ct
 
 
+def _pack_series_seeds(z, z_trig, T, K, kp):
+    """Stacked series coefficients z (S, T, ncoef) + z_trig (S, 3, r, ncoef)
+    -> (kp, 128), seed s's channel rows at [s*K, (s+1)*K)."""
+    S, _, ncoef = z.shape
+    out = jnp.zeros((kp, LANES), jnp.float32)
+    for s in range(S):
+        out = out.at[s * K : s * K + T, :ncoef].set(z[s].astype(jnp.float32))
+        out = out.at[s * K + T : (s + 1) * K, :ncoef].set(
+            z_trig[s].reshape(-1, ncoef).astype(jnp.float32)
+        )
+    return out
+
+
+def _unpack_series_seeds(fw, S, T, K, r, ncoef):
+    z = jnp.stack([fw[s * K : s * K + T, :ncoef] for s in range(S)])
+    zt = jnp.stack(
+        [
+            fw[s * K + T : (s + 1) * K, :ncoef].reshape(3, r, ncoef)
+            for s in range(S)
+        ]
+    )
+    return z, zt
+
+
+def _pack_periods_seeds(period, trig_period, mu_p, mu_tp, nu_p, nu_tp, T, K, kp):
+    """Stacked periods (S, T) / (S, 3, r) + moments -> (kp, 128): lane 0 =
+    period (1.0 on padding rows so 1/period stays finite), 1 = mu, 2 = nu;
+    seed s's rows at [s*K, (s+1)*K)."""
+    S = period.shape[0]
+    out = jnp.zeros((kp, LANES), jnp.float32)
+    out = out.at[:, 0].set(1.0)
+    for s in range(S):
+        for lane, (a, b) in enumerate(
+            ((period, trig_period), (mu_p, mu_tp), (nu_p, nu_tp))
+        ):
+            col = jnp.concatenate(
+                [
+                    a[s].astype(jnp.float32).reshape(-1),
+                    b[s].astype(jnp.float32).reshape(-1),
+                ]
+            )
+            out = out.at[s * K : (s + 1) * K, lane].set(col)
+    return out
+
+
+def _unpack_periods_seeds(fw, S, T, K, r):
+    def split(lane):
+        v = fw[:, lane]
+        p = jnp.stack([v[s * K : s * K + T] for s in range(S)])
+        tp = jnp.stack(
+            [v[s * K + T : (s + 1) * K].reshape(3, r) for s in range(S)]
+        )
+        return p, tp
+
+    return split(0), split(1), split(2)
+
+
 def make_fused_ensemble_chunk(
     spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT,
     interpret: bool | None = None, streamed: bool | None = None,
@@ -1579,6 +1660,10 @@ def make_fused_ensemble_chunk(
     beta = float(cfg.beta)
     lam = float(cfg.l1_lambda)
     augw = aug_width(r, S)
+    fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    nf = int(getattr(spec, "n_fourier", 0)) if fourier else 0
+    ncoef = 2 * nf + 1
+    kp = _round_up(S * K, 8)
 
     @functools.partial(jax.jit, static_argnames=("num_steps",))
     def chunk(state, batch, num_steps: int):
@@ -1590,7 +1675,7 @@ def make_fused_ensemble_chunk(
             raise ValueError(f"x padding {n_pad} not a multiple of bt={bt}")
         call, consts = _build_call(
             r, P, n, m, n_pad, m_pad, int(num_steps), bt, beta, lam, cfg,
-            interpret, transport, 0, n_seeds=S,
+            interpret, transport, nf, n_seeds=S,
         )
         rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
         pod_rep = jnp.tile(batch["pod_modes"].T, (S, 1))  # (S*r, n), shared
@@ -1613,9 +1698,25 @@ def make_fused_ensemble_chunk(
             ],
             axis=1,
         )
-        b0 = _pack_b_seeds(params["z"], params["z_trig"], T, K, m_pad)
-        bmu0 = _pack_b_seeds(opt.mu["z"], opt.mu["z_trig"], T, K, m_pad)
-        bnu0 = _pack_b_seeds(opt.nu["z"], opt.nu["z_trig"], T, K, m_pad)
+        if fourier:
+            from desmo_tpu.models import fourier as fourier_model
+
+            zc0 = _pack_series_seeds(params["z"], params["z_trig"], T, K, kp)
+            zcmu0 = _pack_series_seeds(opt.mu["z"], opt.mu["z_trig"], T, K, kp)
+            zcnu0 = _pack_series_seeds(opt.nu["z"], opt.nu["z_trig"], T, K, kp)
+            per0 = _pack_periods_seeds(
+                params["period"], params["trig_period"],
+                opt.mu["period"], opt.mu["trig_period"],
+                opt.nu["period"], opt.nu["trig_period"], T, K, kp,
+            )
+            tp = jnp.asarray(fourier_model.t_points(m))
+            trow = jnp.zeros((8, m_pad), jnp.float32)
+            trow = trow.at[0, :m].set(tp)
+            trow = trow.at[1, :m].set(1.0)
+        else:
+            b0 = _pack_b_seeds(params["z"], params["z_trig"], T, K, m_pad)
+            bmu0 = _pack_b_seeds(opt.mu["z"], opt.mu["z_trig"], T, K, m_pad)
+            bnu0 = _pack_b_seeds(opt.nu["z"], opt.nu["z_trig"], T, K, m_pad)
         zt = jnp.zeros((S, T))
         crow0 = jnp.stack(
             [
@@ -1642,8 +1743,13 @@ def make_fused_ensemble_chunk(
 
         args = [
             jnp.asarray(consts.sel), jnp.asarray(consts.gidx), mrow,
-            pod_fw, x_hi, x_lo, init0, b0, bmu0, bnu0, crow0, svec0,
+            pod_fw, x_hi, x_lo, init0,
         ]
+        if fourier:
+            args += [zc0, zcmu0, zcnu0, per0, trow]
+        else:
+            args += [b0, bmu0, bnu0]
+        args += [crow0, svec0]
         if streamed:
             if transport == "aliased":
                 args += [
@@ -1658,14 +1764,23 @@ def make_fused_ensemble_chunk(
             nuo = st[:, 2 * augw : 3 * augw]
         else:
             (met, phio, muo, nuo, *small) = call(*args)
-        bfw, bmufw, bnufw, crow_o, svec_o = small
 
         def unaug(fw):  # lanes 1..S*r -> (S, r, n)
             return _unpack_aug(fw, S * r, n).reshape(S, r, n)
 
-        z, z_trig = _unpack_b_seeds(bfw, S, T, K, r, m)
-        mz, mzt = _unpack_b_seeds(bmufw, S, T, K, r, m)
-        nz, nzt = _unpack_b_seeds(bnufw, S, T, K, r, m)
+        if fourier:
+            zcfw, zcmufw, zcnufw, perfw, crow_o, svec_o = small
+            z, z_trig = _unpack_series_seeds(zcfw, S, T, K, r, ncoef)
+            mz, mzt = _unpack_series_seeds(zcmufw, S, T, K, r, ncoef)
+            nz, nzt = _unpack_series_seeds(zcnufw, S, T, K, r, ncoef)
+            (per, tper), (mper, mtper), (nper, ntper) = _unpack_periods_seeds(
+                perfw, S, T, K, r
+            )
+        else:
+            bfw, bmufw, bnufw, crow_o, svec_o = small
+            z, z_trig = _unpack_b_seeds(bfw, S, T, K, r, m)
+            mz, mzt = _unpack_b_seeds(bmufw, S, T, K, r, m)
+            nz, nzt = _unpack_b_seeds(bnufw, S, T, K, r, m)
         c, c_trig = _unpack_wide_row_seeds(crow_o[0], S, T, K, r)
         mc, mct = _unpack_wide_row_seeds(crow_o[1], S, T, K, r)
         nc, nct = _unpack_wide_row_seeds(crow_o[2], S, T, K, r)
@@ -1685,6 +1800,10 @@ def make_fused_ensemble_chunk(
             "phi": unaug(nuo), "c": nc, "z": nz, "z_trig": nzt,
             "c_trig": nct, "omega": nomega,
         }
+        if fourier:
+            new_params.update(period=per, trig_period=tper)
+            new_mu.update(period=mper, trig_period=mtper)
+            new_nu.update(period=nper, trig_period=ntper)
         new_state = train.TrainState(
             params={k: new_params[k] for k in state.params},
             opt=optim.AdamaxState(

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from desmo_tpu import configs, ensemble, optim, train
 from desmo_tpu.io import synthetic
 from desmo_tpu.models import desmo
+from desmo_tpu.models import fourier as fourier_model
 from desmo_tpu.pallas import train_chunk
 
 
@@ -58,7 +59,13 @@ def test_supports_packed_bounds():
     assert train_chunk.supports_packed(spec3, cfg, 2)
     assert not train_chunk.supports_packed(spec3, cfg, 3)
     fcfg = configs.get("fourier_cylinder")
-    assert not train_chunk.supports_packed(spec, fcfg, 2)  # desmo only
+    fspec = fourier_model.FourierSpec(100, 50, 2, 2, n_fourier=10)  # K=12
+    assert train_chunk.supports_packed(fspec, fcfg, 10)
+    assert not train_chunk.supports_packed(fspec, fcfg, 11)  # 11*12 > 128
+    big = fourier_model.FourierSpec(100, 50, 2, 2, n_fourier=64)
+    assert not train_chunk.supports_packed(big, fcfg, 2)  # nf > 63
+    acfg = configs.get("ae_cylinder")
+    assert not train_chunk.supports_packed(spec, acfg, 2)  # ae never packs
 
 
 def test_aug_width():
@@ -276,6 +283,128 @@ def test_fit_sincos_fallback_to_packed_scan(monkeypatch):
     assert int(result.state.epoch) == 18
     assert result.history["total"].shape == (18,)
     assert np.isfinite(result.history["total"]).all()
+
+
+def fproblem(S=3, n=96, m=40, r=2, P=2, nf=3, bt=32, lr_omega=0.1,
+             periods=None):
+    """Small Fourier ensemble problem (periodic data, distinct per-seed
+    periods when given — exercises the per-row period series in the kernel)."""
+    period_init = float(m)
+    cfg = configs.RunConfig(
+        name="ens-fmk", variant="fourier", n=n, m=m, r=r, poly_order=P,
+        n_fourier=nf, period_init=period_init, omega_init=1.0,
+        lr_omega=lr_omega, num_epochs=40, patience=300, sched_every=1,
+        log_every=100, checkpoint_every=1000,
+    )
+    spec = fourier_model.FourierSpec(
+        n, m, r, P, omega_init=1.0, n_fourier=nf, period_init=period_init
+    )
+    t = fourier_model.t_points(m)
+    s = np.linspace(0, 2 * np.pi, n)
+    x = np.outer(np.sin(s), np.sin(2 * np.pi * 2 * t / m)) + 0.5 * np.outer(
+        np.cos(s), np.cos(2 * np.pi * 3 * t / m)
+    )
+    x = (x - x.mean(axis=1, keepdims=True)).astype(np.float32)
+    from desmo_tpu import pod as pod_mod
+
+    p = pod_mod.pod(x, r)
+    params = ensemble.init_params(
+        spec, S, seed=1, phi_sigma=0.1, omega_spread=0.2, periods=periods
+    )
+    batch = train_chunk.prepare_batch(jnp.asarray(x), p.modes, bt=bt)
+    return cfg, spec, params, batch
+
+
+def test_packed_fourier_kernel_matches_packed_scan():
+    """The seed-packed FOURIER kernel (per-seed series coefficients AND
+    per-seed periods as extra rows) must reproduce the packed scan chunk —
+    per-seed metric traces, final params incl. period/trig_period, per-seed
+    scheduler rows."""
+    S = 3
+    cfg, spec, params, batch = fproblem(
+        S, periods=[40.0, 19.2, 30.0]  # distinct periods: per-row series
+    )
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = fourier_model.param_groups(fourier_model.init_params(spec))
+    ref_chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    s_ref = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=30)
+
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_k, m_k = fused(s_k, batch, num_steps=30)
+    for key in ("rec", "ortho", "l1", "total_s"):
+        # ortho atol: the off-diagonal Gram of NEAR-ORTHOGONAL latents is
+        # cancellation-dominated (seed 0 starts exactly POD-orthogonal,
+        # ortho ~1e-9), so the 3-pass contraction's ~5e-6-scale absolute
+        # noise is the honest floor there
+        atol = 5e-6 if key == "ortho" else 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m_k[key]), np.asarray(m_ref[key]),
+            rtol=3e-4, atol=atol, err_msg=key,
+        )
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]), np.asarray(s_ref.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+    assert int(s_k.epoch) == 30
+
+
+def test_packed_fourier_seeds_match_independent_single_kernels():
+    """Each packed fourier seed == that seed alone through the single-seed
+    fourier mega-kernel (same series recurrence, same numerics)."""
+    S = 3
+    cfg, spec, params, batch = fproblem(S, periods=[40.0, 19.2, 30.0])
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s_k, m_k = fused(s_k, batch, num_steps=25)
+    single = train_chunk.make_fused_train_chunk(spec, cfg, bt=32, interpret=True)
+    for s in range(S):
+        st = jax.tree.map(
+            jnp.array,
+            train.init_state(ensemble.extract_seed(params, s), cfg),
+        )
+        st, ms = single(st, batch, num_steps=25)
+        np.testing.assert_allclose(
+            np.asarray(m_k["total_s"])[:, s], np.asarray(ms["total"]),
+            rtol=2e-5, atol=1e-7, err_msg=f"seed{s} trace",
+        )
+        for key in st.params:
+            np.testing.assert_allclose(
+                np.asarray(s_k.params[key][s]), np.asarray(st.params[key]),
+                rtol=1e-4, atol=1e-6, err_msg=f"seed{s}:{key}",
+            )
+
+
+@pytest.mark.slow
+def test_packed_fourier_streamed_emul_matches_resident():
+    S = 3
+    cfg, spec, params, batch = fproblem(S, periods=[40.0, 19.2, 30.0])
+    res = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=False
+    )
+    stm = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=True
+    )
+    s0 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s1 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    a, ma = res(s0, batch, num_steps=9)
+    b, mb = stm(s1, batch, num_steps=9)
+    for key in a.params:
+        np.testing.assert_array_equal(
+            np.asarray(a.params[key]), np.asarray(b.params[key]), err_msg=key
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ma["total_s"]), np.asarray(mb["total_s"])
+    )
 
 
 def test_resume_mid_run():
