@@ -37,10 +37,11 @@ spatial dictionary packs identically; the per-seed temporal series evaluate
 batched over the seed axis, and per-seed PERIODS turn the FFT-informed period
 multi-start (``fourier.period_candidates``) into S simultaneous candidates
 trained to completion instead of sequential short probes
-(``runner.fourier_period_multistart``). The desmo variant additionally runs a
-seed-packed mega-kernel (``train_chunk.make_fused_ensemble_chunk``) at ~1.0x
-single-seed cost; fourier seeds run the packed scan chunk. The AE variant's
-cost is MLP-dominated (no lane padding to recycle).
+(``runner.fourier_period_multistart``). Both variants run a seed-packed
+mega-kernel on TPU (``train_chunk.make_fused_ensemble_chunk``, ~1.0x
+single-seed cost; fourier stacks the seeds' series channels as rows), with
+the packed scan chunk as the portable fallback. The AE variant's cost is
+MLP-dominated (no lane padding to recycle).
 """
 
 from __future__ import annotations

@@ -265,6 +265,26 @@ def test_fit_runs_kernel_path_end_to_end(monkeypatch):
     assert np.isfinite(cont.history["total"]).all()
 
 
+def test_fit_runs_fourier_kernel_path(monkeypatch):
+    """ensemble.fit auto-selecting the FOURIER seed-packed kernel: the period
+    candidates land as per-seed inits, the winner's periods survive the
+    packed round-trip, and the best-seed state resumes standalone."""
+    _patch_kernel_select(monkeypatch)
+    cfg, spec, params, batch = fproblem(3)
+    cfg = dataclasses.replace(cfg, checkpoint_every=8, period_multistart=3)
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=16,
+        phi_sigma=0.1, log=logs.append,
+    )
+    assert any("period candidates" in line for line in logs)
+    assert finals.shape == (3,) and np.isfinite(finals).all()
+    assert int(result.state.epoch) == 16
+    assert np.isfinite(result.history["total"]).all()
+    assert result.state.params["period"].shape == (spec.num_poly_terms,)
+    assert result.state.params["trig_period"].shape == (3, spec.r)
+
+
 def test_fit_sincos_fallback_to_packed_scan(monkeypatch):
     """|omega*latent| beyond SINCOS_DOMAIN inside ensemble.fit: the kernel's
     max_arg telemetry trips the guard, fit warns and finishes the group on
