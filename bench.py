@@ -73,6 +73,48 @@ def bench_preset(preset: str, steps: int, reps: int):
     return {"median": round(float(med), 2), "iqr": [round(float(q1), 2), round(float(q3), 2)], "n": reps}
 
 
+def bench_ensemble(preset: str, steps: int, reps: int):
+    """Seed-packed mega-kernel throughput: S models in one pallas_call.
+
+    Returns packed steps/s spread + S, or None when the pack doesn't apply.
+    The headline claim (S seeds at ~1.0x single-seed cost) is judged against
+    the same run's single-seed median for the preset."""
+    import jax
+    import jax.numpy as jnp
+
+    from desmo_tpu import configs, ensemble, pod, runner
+    from desmo_tpu.io import synthetic
+    from desmo_tpu.pallas import train_chunk as tc
+
+    cfg = configs.get(preset)
+    spec, params, loss_fn, groups = runner.build_model(cfg)
+    S = ensemble.max_seeds_packed(spec)
+    if not tc.supports_packed(spec, cfg, S):
+        return None
+    x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
+    batch = tc.prepare_batch(x, pod.pod(x, cfg.r).modes)
+    chunk = tc.make_fused_ensemble_chunk(spec, cfg, S)
+    eparams = ensemble.init_params(spec, S, seed=0, phi_sigma=0.02)
+    state = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    state, mets = chunk(state, batch, num_steps=steps)  # compile
+    tot = float(np.asarray(mets["total_s"])[-1].sum())
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, mets = chunk(state, batch, num_steps=steps)
+        tot = float(np.asarray(mets["total_s"])[-1].sum())
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(tot), f"{preset} ensemble: training diverged"
+    sps = sorted(steps / np.asarray(times))
+    q1, med, q3 = np.percentile(sps, [25, 50, 75])
+    return {
+        "n_seeds": S,
+        "median": round(float(med), 2),
+        "iqr": [round(float(q1), 2), round(float(q3), 2)],
+        "n": reps,
+    }
+
+
 def main() -> None:
     plans = {
         "cylinder": (2000, 7),
@@ -111,6 +153,27 @@ def main() -> None:
         "fourier_aneurysm": entry("fourier_aneurysm", "Fourier aneurysm steps/sec (r=2, P=2, nF=30)"),
         "ae_cylinder": entry("ae_cylinder", "AE cylinder steps/sec (r=2, P=2; no reference log)"),
     }
+    # Beyond-reference capability: S-seed multi-start at ~the cost of one
+    # step (seed-packed mega-kernel, lanes the MXU padded anyway). The cost
+    # ratio uses this run's own single-seed aneurysm median — same-run
+    # comparison, since cross-window timings are not comparable (CLAUDE.md).
+    try:
+        ens = bench_ensemble("aneurysm", steps=500, reps=5)
+    except Exception:
+        ens = None  # never let the ensemble extra block the headline bench
+    if ens is not None:
+        single = results["aneurysm"]["median"]
+        out["ensemble"] = {
+            "metric": f"aneurysm seed-packed mega-kernel, S={ens['n_seeds']} models/kernel",
+            "value": round(ens["n_seeds"] * ens["median"], 2),
+            "unit": "seed-steps/s",
+            "packed_steps_per_sec": ens["median"],
+            "cost_vs_single_x": round(single / ens["median"], 3),
+            "seed_throughput_vs_sequential_x": round(
+                ens["n_seeds"] * ens["median"] / single, 2
+            ),
+            "spread": ens,
+        }
     print(json.dumps(out))
 
 
