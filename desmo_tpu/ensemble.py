@@ -456,6 +456,16 @@ def fit(
                 "[ensemble] fourier period candidates (seed s gets s mod "
                 f"{len(periods)}): {np.round(periods, 4).tolist()}"
             )
+        if len(periods) > n_seeds:
+            # seeds cycle s % len(periods): with fewer seeds than candidates
+            # the tail candidates would silently never train — say so
+            if log is not None:
+                log(
+                    f"WARNING: {len(periods)} period candidates but only "
+                    f"{n_seeds} seeds — candidates beyond the first {n_seeds} "
+                    "will not be trained; raise --seeds to cover all of them"
+                )
+            periods = periods[:n_seeds]
 
     import time as _time
 

@@ -1197,7 +1197,16 @@ def supports_packed(spec, cfg, n_seeds: int) -> bool:
         return False
     r, P = spec.r, spec.poly_order
     K = library.num_poly_terms(r, P) + 3 * r
-    return n_seeds * K <= LANES and 1 + n_seeds * r <= LANES and P <= 8
+    return (
+        n_seeds * K <= LANES
+        and 1 + n_seeds * r <= LANES
+        # one svec scheduler row per seed (the svec block is (8, 128)), and
+        # the per-seed metric lanes live at 8*si + j; larger S falls back to
+        # the packed scan chunk, which has no seed-count ceiling
+        and n_seeds <= 8
+        and P <= 8
+        and r <= 8  # same tested rank ceiling as supports()
+    )
 
 
 def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):

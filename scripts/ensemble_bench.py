@@ -82,6 +82,7 @@ def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
             tot = float(np.asarray(mets["total"])[-1])
             ts.append(time.perf_counter() - t0)
             rec[0] = st
+            assert np.isfinite(tot), f"{name}: diverged during timed reps"
 
     K = spec.num_poly_terms + 3 * spec.r
     print(f"{preset}: K={K} S={S} method={method}", flush=True)
@@ -93,7 +94,6 @@ def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
         base[name] = sps
         extra = ""
         if n_seeds > 1:
-            ref = base.get(name.replace(f"S={S}", "x1").replace("   ", "   "))
             ref = base.get("scan x1") if name.startswith("scan") else base.get("mk   x1")
             if ref:
                 extra = (

@@ -42,6 +42,17 @@ _SLOW = {
     "tests/test_ae.py::test_ae_training_converges",
     "tests/test_ae.py::test_live_init_has_gradient_flow",
     "tests/test_ae_chunk.py::TestAEChunkParity",
+    "tests/test_ensemble_fourier.py::test_fit_packed_period_multistart_rescues_mismatch",
+    "tests/test_ensemble_fourier.py::test_packed_fourier_grad_matches_per_seed",
+    "tests/test_ensemble_fourier.py::test_trajectory_parity_fourier",
+    "tests/test_ensemble_kernel.py::test_packed_fourier_kernel_matches_packed_scan",
+    "tests/test_ensemble_kernel.py::test_packed_fourier_seeds_match_independent_single_kernels",
+    "tests/test_ensemble_kernel.py::test_packed_fourier_streamed_emul_matches_resident",
+    "tests/test_ensemble_kernel.py::test_packed_kernel_matches_packed_scan",
+    "tests/test_ensemble_kernel.py::test_packed_seeds_match_independent_single_kernels",
+    "tests/test_ensemble_kernel.py::test_resume_mid_run",
+    "tests/test_ensemble_kernel.py::test_streamed_emul_matches_resident_packed",
+    "tests/test_ensemble_kernel.py::test_streamed_wide_augw",
     "tests/test_fourier.py::test_period_multistart_rescues_mismatch",
     "tests/test_golden_forward.py::test_fourier_checkpoint_forward_parity",
     "tests/test_graft_entry.py::test_dryrun_multichip_subprocess",

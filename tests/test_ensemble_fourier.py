@@ -130,7 +130,6 @@ def test_trajectory_parity_fourier():
         )
 
 
-@pytest.mark.slow
 def test_fit_packed_period_multistart_rescues_mismatch():
     """ensemble.fit with period_multistart > 1: the FFT candidates train as
     per-seed period inits SIMULTANEOUSLY; the winner must be a near-true-period

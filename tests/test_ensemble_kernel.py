@@ -60,12 +60,28 @@ def test_supports_packed_bounds():
     assert not train_chunk.supports_packed(spec3, cfg, 3)
     fcfg = configs.get("fourier_cylinder")
     fspec = fourier_model.FourierSpec(100, 50, 2, 2, n_fourier=10)  # K=12
-    assert train_chunk.supports_packed(fspec, fcfg, 10)
-    assert not train_chunk.supports_packed(fspec, fcfg, 11)  # 11*12 > 128
+    assert train_chunk.supports_packed(fspec, fcfg, 8)
+    # the svec scheduler block has 8 rows — S > 8 must fall back to the
+    # packed scan chunk even when the lanes would fit (10*12 <= 128)
+    assert not train_chunk.supports_packed(fspec, fcfg, 9)
     big = fourier_model.FourierSpec(100, 50, 2, 2, n_fourier=64)
     assert not train_chunk.supports_packed(big, fcfg, 2)  # nf > 63
     acfg = configs.get("ae_cylinder")
     assert not train_chunk.supports_packed(spec, acfg, 2)  # ae never packs
+    # r > 8 is outside the kernel's tested regime, same as supports()
+    r9 = desmo.DesmoSpec(100, 50, 9, 1)
+    assert not train_chunk.supports_packed(r9, cfg, 2)
+
+
+def test_large_S_rejected_not_crashed():
+    """n_seeds beyond the kernel's 8-row scheduler ceiling must be REFUSED by
+    the capability gate (-> packed scan fallback in fit), not crash inside
+    the kernel builder (regression: S=9/10 at fourier K=12 used to break the
+    (8, 128) svec packing)."""
+    cfg, spec, params, batch = fproblem(1)
+    assert ensemble.max_seeds_packed(spec) > 8  # K=12 -> 10 lanes-wise
+    with pytest.raises(ValueError, match="pack"):
+        train_chunk.make_fused_ensemble_chunk(spec, cfg, 9, bt=32, interpret=True)
 
 
 def test_aug_width():
@@ -151,7 +167,6 @@ def test_packed_seeds_match_independent_single_kernels():
         )
 
 
-@pytest.mark.slow
 def test_streamed_emul_matches_resident_packed():
     """The packed kernel through the streamed (emul) transport is bit-exact
     vs the packed resident mode — including the widened augw=16 S*r+1 slots."""
@@ -176,7 +191,6 @@ def test_streamed_emul_matches_resident_packed():
     )
 
 
-@pytest.mark.slow
 def test_streamed_wide_augw():
     """S*r + 1 > 16 forces the widened augw=32 streamed transport."""
     S, r = 4, 4  # 1 + 16 = 17 -> augw 32
@@ -283,6 +297,20 @@ def test_fit_runs_fourier_kernel_path(monkeypatch):
     assert np.isfinite(result.history["total"]).all()
     assert result.state.params["period"].shape == (spec.num_poly_terms,)
     assert result.state.params["trig_period"].shape == (3, spec.r)
+
+
+def test_fit_warns_when_candidates_exceed_seeds(monkeypatch):
+    """period_multistart > n_seeds: the untrained tail candidates must be
+    called out (and truncated), not silently dropped by the s % len cycling."""
+    _patch_kernel_select(monkeypatch)
+    cfg, spec, params, batch = fproblem(2)
+    cfg = dataclasses.replace(cfg, period_multistart=4)
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=2, num_epochs=6, log=logs.append,
+    )
+    assert any("will not be trained" in line for line in logs), logs
+    assert finals.shape == (2,) and np.isfinite(finals).all()
 
 
 def test_fit_sincos_fallback_to_packed_scan(monkeypatch):
@@ -404,7 +432,6 @@ def test_packed_fourier_seeds_match_independent_single_kernels():
             )
 
 
-@pytest.mark.slow
 def test_packed_fourier_streamed_emul_matches_resident():
     S = 3
     cfg, spec, params, batch = fproblem(S, periods=[40.0, 19.2, 30.0])
