@@ -88,8 +88,16 @@ def bench_ensemble(preset: str, steps: int, reps: int):
 
     cfg = configs.get(preset)
     spec, params, loss_fn, groups = runner.build_model(cfg)
-    S = ensemble.max_seeds_packed(spec)
-    if not tc.supports_packed(spec, cfg, S):
+    # largest seed count the KERNEL packs (<= 8 scheduler rows; lane bound)
+    S = next(
+        (
+            s
+            for s in range(ensemble.max_seeds_packed(spec), 1, -1)
+            if tc.supports_packed(spec, cfg, s)
+        ),
+        0,
+    )
+    if S < 2:
         return None
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     batch = tc.prepare_batch(x, pod.pod(x, cfg.r).modes)

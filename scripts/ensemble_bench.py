@@ -15,6 +15,7 @@ Usage: python scripts/ensemble_bench.py [preset ...]  (default: aneurysm cylinde
 """
 
 import os
+import re
 import sys
 import time
 
@@ -69,10 +70,16 @@ def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
         # --- single-seed mega-kernel (the preset's production path)
         add("mk   x1", tc.make_fused_train_chunk(spec, cfg),
             train.init_state(params, cfg))
-    if kernel and tc.supports_packed(spec, cfg, S):
-        # --- SEED-PACKED mega-kernel
-        add(f"mk   S={S}", tc.make_fused_ensemble_chunk(spec, cfg, S),
-            ensemble.init_state(eparams, cfg, S))
+    # --- SEED-PACKED mega-kernel, at ITS OWN capacity: the kernel caps at 8
+    # seeds (svec scheduler rows) even when more fit lane-wise
+    Sk = next((s for s in range(S, 0, -1) if tc.supports_packed(spec, cfg, s)), 0)
+    if kernel and Sk > 1:
+        kparams = (
+            eparams if Sk == S
+            else ensemble.init_params(spec, Sk, seed=0, phi_sigma=0.02)
+        )
+        add(f"mk   S={Sk}", tc.make_fused_ensemble_chunk(spec, cfg, Sk),
+            ensemble.init_state(kparams, cfg, Sk))
 
     for _ in range(reps):  # interleave so window drift hits all equally
         for name, rec in timed.items():
@@ -90,7 +97,8 @@ def bench(preset: str, steps: int = 300, reps: int = 5, kernel: bool = True):
     base = {}
     for name, (st, chunk, ts) in timed.items():
         sps = float(np.median(steps / np.asarray(ts)))
-        n_seeds = S if f"S={S}" in name else 1
+        m_ = re.search(r"S=(\d+)", name)
+        n_seeds = int(m_.group(1)) if m_ else 1
         base[name] = sps
         extra = ""
         if n_seeds > 1:
