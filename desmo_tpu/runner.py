@@ -6,6 +6,7 @@ report; SURVEY §0), driven by a `configs.RunConfig` preset.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Optional
 
@@ -394,6 +395,25 @@ def run(
             print(
                 f"[ensemble] kept seed {best_seed}/{cfg.n_seeds} "
                 f"(finals: {finals}){rate}"
+            )
+        # persist the multi-start outcome (init-sensitivity record): which
+        # seed won and every member's final total
+        with open(os.path.join(out_dir, "ensemble.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_seeds": int(cfg.n_seeds),
+                    "best_seed": int(best_seed),
+                    "final_totals": [float(v) for v in finals],
+                    "seed_steps_per_sec": (
+                        float(result.steps_per_sec)
+                        if np.isfinite(result.steps_per_sec)
+                        else None
+                    ),
+                    "seed_phi_sigma": float(cfg.seed_phi_sigma),
+                    "seed_omega_spread": float(cfg.seed_omega_spread),
+                },
+                fh,
+                indent=1,
             )
         ckpt(result.state, int(result.state.epoch))
     else:

@@ -257,6 +257,13 @@ def test_run_multiseed_ensemble(tmp_path):
     assert art.relative_error < 1.0
     files = os.listdir(art.out_dir)
     assert any(f.endswith("_final.pt") for f in files)
+    # the multi-start outcome is persisted as a run artifact
+    import json
+
+    with open(os.path.join(art.out_dir, "ensemble.json")) as fh:
+        rec = json.load(fh)
+    assert rec["n_seeds"] == 3 and len(rec["final_totals"]) == 3
+    assert rec["best_seed"] == int(np.argmin(rec["final_totals"]))
     # rejected combinations fail loudly, not silently single-seed
     with pytest.raises(ValueError, match="n_seeds"):
         runner.run(
