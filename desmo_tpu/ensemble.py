@@ -504,7 +504,8 @@ def fit(
         # trig/gather/contraction work is lane-width-fixed). Fallback: the
         # packed scan chunk.
         chunk = _tc.select_ensemble_chunk(spec, cfg, S)
-        if chunk is not None and "x_hi" not in batch:
+        is_kernel = chunk is not None
+        if is_kernel and "x_hi" not in batch:
             batch = {**batch, **_tc.prepare_batch(
                 batch["x"], batch["pod_modes"]
             )}
@@ -517,7 +518,27 @@ def fit(
         histories = []
         while done < num_epochs:
             nsteps = min(chunk_size, num_epochs - done)
-            state, mets = chunk(state, batch, num_steps=nsteps)
+            try:
+                state, mets = chunk(state, batch, num_steps=nsteps)
+            except Exception as exc:
+                if not (is_kernel and done == 0):
+                    raise
+                # the remote Mosaic compiler is known to reject some shapes
+                # opaquely (CLAUDE.md: bt=1024 HTTP 500) — a packed-kernel
+                # compile failure must degrade to the packed scan chunk, not
+                # kill the run. Only the first call can be a compile failure;
+                # the donated state may be gone, so rebuild it from params.
+                if log is not None:
+                    log(
+                        "WARNING: seed-packed mega-kernel failed to "
+                        f"compile/run ({type(exc).__name__}: {exc}); falling "
+                        "back to the packed scan chunk"
+                    )
+                is_kernel = False
+                loss_fn = build_loss(spec, cfg, S, method=method)
+                chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
+                state = jax.tree.map(jnp.array, init_state(params, cfg, S))
+                state, mets = chunk(state, batch, num_steps=nsteps)
             mets = {k: np.asarray(v) for k, v in mets.items()}
             max_arg = mets.pop("max_arg", None)
             if max_arg is not None and float(np.max(max_arg)) > _tc.SINCOS_DOMAIN:

@@ -313,6 +313,28 @@ def test_fit_warns_when_candidates_exceed_seeds(monkeypatch):
     assert finals.shape == (2,) and np.isfinite(finals).all()
 
 
+def test_fit_kernel_compile_failure_falls_back(monkeypatch):
+    """A packed-kernel compile/runtime failure on the FIRST chunk call (the
+    remote Mosaic compiler rejects some shapes opaquely) must degrade to the
+    packed scan chunk with a warning, not kill the run."""
+
+    def broken_select(spec, cfg, n_seeds, bt=32):
+        def boom(state, batch, num_steps):
+            raise RuntimeError("mosaic compile failed (simulated)")
+
+        return boom
+
+    monkeypatch.setattr(train_chunk, "select_ensemble_chunk", broken_select)
+    cfg, spec, params, batch = problem(2)
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=2, num_epochs=8, log=logs.append,
+    )
+    assert any("failed to compile/run" in line for line in logs), logs
+    assert np.isfinite(finals).all()
+    assert int(result.state.epoch) == 8
+
+
 def test_fit_sincos_fallback_to_packed_scan(monkeypatch):
     """|omega*latent| beyond SINCOS_DOMAIN inside ensemble.fit: the kernel's
     max_arg telemetry trips the guard, fit warns and finishes the group on
