@@ -186,13 +186,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    # the tunneled TPU runtime occasionally throws transient
-    # FailedPrecondition errors; retry before giving up
-    for attempt in range(3):
+    # the tunneled TPU runtime throws transient FailedPrecondition errors and
+    # occasionally goes UNAVAILABLE for minutes at a time (observed 2026-08-17:
+    # multi-hour outage); back off meaningfully before giving up
+    _waits = (15, 60, 180, 300)
+    for attempt, wait in enumerate((*_waits, 0)):
         try:
             main()
             break
         except Exception:
-            if attempt == 2:
+            if attempt == len(_waits):
                 raise
-            time.sleep(10)
+            time.sleep(wait)
