@@ -101,7 +101,11 @@ def bench_ensemble(preset: str, steps: int, reps: int):
         return None
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     batch = tc.prepare_batch(x, pod.pod(x, cfg.r).modes)
-    chunk = tc.make_fused_ensemble_chunk(spec, cfg, S)
+    # go through the central selection policy (CLAUDE.md: don't re-roll it);
+    # None = the policy declines (non-TPU backend, chunk_method override)
+    chunk = tc.select_ensemble_chunk(spec, cfg, S)
+    if chunk is None:
+        return None
     eparams = ensemble.init_params(spec, S, seed=0, phi_sigma=0.02)
     state = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
     state, mets = chunk(state, batch, num_steps=steps)  # compile

@@ -46,14 +46,13 @@ MLP-dominated (no lane padding to recycle).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from desmo_tpu import library, losses, optim, train
+from desmo_tpu import library, optim, train
 from desmo_tpu.configs import GROUP_ORDER, RunConfig
 from desmo_tpu.models import desmo as desmo_model
 from desmo_tpu.models import fourier as fourier_model
@@ -136,12 +135,6 @@ def extract_seed(params: dict, s: int) -> dict:
     return {k: v[s] for k, v in params.items()}
 
 
-def _block_mask(n_seeds: int, K: int) -> jnp.ndarray:
-    """(S*K, S*K) block-diagonal 0/1 mask."""
-    eye = jnp.eye(n_seeds, dtype=jnp.float32)
-    return jnp.kron(eye, jnp.ones((K, K), jnp.float32))
-
-
 def packed_dictionary(params: dict, pod_modes: jnp.ndarray, spec, factors_packed):
     """Packed spatial dictionary ``A (n, S*K)`` + per-seed latents ``(S, n, r)``.
 
@@ -200,22 +193,20 @@ def factored_mse_blocks(
     The packed Grams ``A^T A`` / ``B B^T`` cost the same MXU time as a single
     seed's (the lane axis pads to 128 regardless); only their block-diagonal
     enters the per-seed objectives, so gradients stay seed-independent
-    (off-diagonal blocks get zero cotangent).
+    (off-diagonal blocks get zero cotangent). The block math itself lives in
+    ``dual_gemm._mse_blocks_value`` (shared with the fused custom-VJP path);
+    this wrapper only computes ``A^T X`` in plain XLA.
     """
-    S = n_seeds
-    K = a.shape[1] // S
-    n, m = x.shape[0], b.shape[1]
-    ga = jnp.dot(a.T, a, precision=precision)
-    gb = jnp.dot(b, b.T, precision=precision)
+    from desmo_tpu.pallas import dual_gemm
+
     ax = jnp.dot(a.T, x, precision=precision)
     if x_sq is None:
         x_sq = jnp.sum(x * x)
-    idx = jnp.arange(S)
-    ga_d = ga.reshape(S, K, S, K)[idx, :, idx, :]  # (S, K, K)
-    gb_d = gb.reshape(S, K, S, K)[idx, :, idx, :]
-    cross = jnp.sum((ax * b).reshape(S, K, m), axis=(1, 2))
-    sq = jnp.sum(ga_d * gb_d, axis=(1, 2)) - 2.0 * cross + x_sq
-    return sq / (n * m)
+    nm = x.shape[0] * b.shape[1]
+    vals, _, _ = dual_gemm._mse_blocks_value(
+        a, b, ax, x_sq, nm, n_seeds, precision=precision
+    )
+    return vals
 
 
 def build_loss(spec, cfg: RunConfig, n_seeds: int, method: str = "factored") -> Callable:
@@ -415,6 +406,52 @@ def seed_state(state: train.TrainState, cfg: RunConfig, s: int) -> train.TrainSt
     )
 
 
+def _restore_with_frozen(snap_host, frozen: np.ndarray) -> train.TrainState:
+    """Rebuild a device TrainState from a host snapshot, NEUTRALIZING the
+    seeds marked in ``frozen``.
+
+    A frozen seed must not be able to contaminate the pack again, so it is
+    dropped in place, not merely paused: params are zeroed (periods set to
+    1.0 — a zero period would put ``2*pi/period = inf`` right back into the
+    series), moments reset (nu to 1.0, never 0: the Adamax update divides by
+    it), the LR row goes to 0, and the plateau counter to a large negative
+    value so a later plateau trigger cannot clamp the row back up to
+    ``sched_min_lr`` (``optim.plateau_step`` clamps reduced LRs at min_lr,
+    which would silently unfreeze an lr=0 row). Zero params are always
+    finite-loss: the latents vanish, so the dictionary reduces to constants
+    and the seed's rec loss pins at ``mean(X^2)``."""
+
+    def _neutral(k: str, v: np.ndarray) -> jnp.ndarray:
+        arr = np.array(v, copy=True)
+        arr[frozen] = 1.0 if "period" in k else 0.0
+        return jnp.asarray(arr)
+
+    lrs = np.array(snap_host.sched.lrs, np.float32, copy=True)
+    num_bad = np.array(snap_host.sched.num_bad, np.int32, copy=True)
+    lrs[frozen] = 0.0
+    num_bad[frozen] = -(2**30)
+    sched = optim.PlateauState(
+        lrs=jnp.asarray(lrs),
+        best=jnp.asarray(np.asarray(snap_host.sched.best)),
+        num_bad=jnp.asarray(num_bad),
+    )
+    nu = {}
+    for k, v in snap_host.opt.nu.items():
+        arr = np.array(v, copy=True)
+        arr[frozen] = 1.0
+        nu[k] = jnp.asarray(arr)
+    return train.TrainState(
+        params={k: _neutral(k, v) for k, v in snap_host.params.items()},
+        opt=optim.AdamaxState(
+            count=jnp.asarray(snap_host.opt.count),
+            mu={k: _neutral("", v) for k, v in snap_host.opt.mu.items()},
+            nu=nu,
+        ),
+        sched=sched,
+        epoch=jnp.asarray(snap_host.epoch),
+    )
+
+
 def fit(
     cfg: RunConfig,
     spec,
@@ -426,12 +463,30 @@ def fit(
     omega_spread: float = 0.0,
     method: Optional[str] = None,
     log: Optional[Callable[[str], None]] = print,
+    checkpoint_fn: Optional[Callable] = None,
+    max_recoveries: int = 8,
 ) -> tuple[train.TrainResult, int, np.ndarray]:
     """Train an S-seed packed ensemble; returns ``(result, best, final_totals)``
     where ``result.state`` is the BEST member's single-seed TrainState.
 
     Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
-    sequentially (still one compiled chunk each).
+    sequentially; compiled chunks are CACHED per pack width, so groups of the
+    same size share one XLA/Mosaic compile.
+
+    Failure containment (beyond the single-seed abort): a diverged seed does
+    NOT kill the ensemble. Its non-finite params would contaminate every
+    seed's gradients through the packed contractions within one step
+    (``NaN * 0 = NaN`` in the Gram backward), so on a non-finite per-seed
+    total the chunk is rolled back to the last healthy boundary snapshot, the
+    ORIGINATING seeds (non-finite at the first bad step, before contamination
+    spreads) are frozen (LR 0, reported final total = inf, excluded from
+    best-seed selection), and the chunk re-runs. Only when every seed has
+    diverged (or after ``max_recoveries`` rollbacks) does fit raise.
+
+    ``checkpoint_fn(state, epoch)``, when given, is called at every chunk
+    boundary with the current group's best live seed as a single-seed
+    TrainState — a crash mid-run loses at most ``cfg.checkpoint_every``
+    epochs, same contract as ``train.fit``.
     """
     if method is None:
         method = "fused" if jax.default_backend() == "tpu" else "factored"
@@ -466,15 +521,37 @@ def fit(
                     "will not be trained; raise --seeds to cover all of them"
                 )
             periods = periods[:n_seeds]
+        if not periods:
+            # no usable candidate (non-positive period_init and a DC-flat
+            # spectrum): seeds keep the spec's default period init
+            periods = None
 
     import time as _time
 
     results = []  # (final_total, seed_index, single_state, history)
     start = 0
     gi = 0
-    t0 = None
+    wall = 0.0
     steps_timed = 0
     from desmo_tpu.pallas import train_chunk as _tc
+
+    # one compiled chunk per pack width, shared across same-size groups
+    # (rebuilding per group would pay a full XLA/Mosaic recompile each time)
+    chunk_cache: dict = {}
+    warmed: set = set()  # chunk fns that have executed at least once
+
+    def _get_chunk(kind: str, S: int):
+        key = (kind, S)
+        if key not in chunk_cache:
+            if kind == "kernel":
+                # SEED-PACKED MEGA-KERNEL when it applies (TPU, pack fits):
+                # S models inside one pallas_call for ~the cost of one (the
+                # in-kernel trig/gather/contraction work is lane-width-fixed)
+                chunk_cache[key] = _tc.select_ensemble_chunk(spec, cfg, S)
+            else:
+                loss_fn = build_loss(spec, cfg, S, method=method)
+                chunk_cache[key] = make_ensemble_chunk(loss_fn, groups, cfg, S)
+        return chunk_cache[key]
 
     while start < n_seeds:
         S = min(cap, n_seeds - start)
@@ -498,36 +575,37 @@ def fit(
                 params,
                 phi=params["phi"].at[0].multiply(1.0 + noise[0]),
             )
-        state = init_state(params, cfg, S)
-        # SEED-PACKED MEGA-KERNEL when it applies (TPU, desmo, pack fits):
-        # S models inside one pallas_call for ~the cost of one (the in-kernel
-        # trig/gather/contraction work is lane-width-fixed). Fallback: the
-        # packed scan chunk.
-        chunk = _tc.select_ensemble_chunk(spec, cfg, S)
+        chunk = _get_chunk("kernel", S)
         is_kernel = chunk is not None
         if is_kernel and "x_hi" not in batch:
             batch = {**batch, **_tc.prepare_batch(
                 batch["x"], batch["pod_modes"]
             )}
         if chunk is None:
-            loss_fn = build_loss(spec, cfg, S, method=method)
-            chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
-        state = jax.tree.map(jnp.array, state)
+            chunk = _get_chunk("scan", S)
+        state = jax.tree.map(jnp.array, init_state(params, cfg, S))
         chunk_size = min(cfg.checkpoint_every, num_epochs)
         done = 0
         histories = []
+        frozen = np.zeros(S, bool)
+        recoveries = 0
+        # host snapshot of the last healthy chunk boundary: the rollback
+        # target for divergence recovery (and the rebuild source when the
+        # kernel's compile failure has consumed the donated state)
+        snap = jax.device_get(state)
         while done < num_epochs:
             nsteps = min(chunk_size, num_epochs - done)
+            t_chunk = _time.perf_counter()
             try:
                 state, mets = chunk(state, batch, num_steps=nsteps)
+                mets = {k: np.asarray(v) for k, v in mets.items()}
             except Exception as exc:
                 if not (is_kernel and done == 0):
                     raise
                 # the remote Mosaic compiler is known to reject some shapes
                 # opaquely (CLAUDE.md: bt=1024 HTTP 500) — a packed-kernel
                 # compile failure must degrade to the packed scan chunk, not
-                # kill the run. Only the first call can be a compile failure;
-                # the donated state may be gone, so rebuild it from params.
+                # kill the run. Only the first call can be a compile failure.
                 if log is not None:
                     log(
                         "WARNING: seed-packed mega-kernel failed to "
@@ -535,11 +613,18 @@ def fit(
                         "back to the packed scan chunk"
                     )
                 is_kernel = False
-                loss_fn = build_loss(spec, cfg, S, method=method)
-                chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
-                state = jax.tree.map(jnp.array, init_state(params, cfg, S))
-                state, mets = chunk(state, batch, num_steps=nsteps)
-            mets = {k: np.asarray(v) for k, v in mets.items()}
+                # cache the failure (None) so later same-width groups don't
+                # pay the failed compile attempt again
+                chunk_cache[("kernel", S)] = None
+                chunk = _get_chunk("scan", S)
+                state = _restore_with_frozen(snap, frozen)
+                continue
+            dt = _time.perf_counter() - t_chunk
+            if id(chunk) in warmed:
+                wall += dt
+                steps_timed += nsteps * S  # seed-steps
+            else:
+                warmed.add(id(chunk))  # a chunk's first call pays its compile
             max_arg = mets.pop("max_arg", None)
             if max_arg is not None and float(np.max(max_arg)) > _tc.SINCOS_DOMAIN:
                 # same guard as train.fit: beyond the fast-sincos domain the
@@ -551,26 +636,56 @@ def fit(
                         f"exceeds the fast-sincos domain ({_tc.SINCOS_DOMAIN:.3g}); "
                         "falling back to the packed scan chunk"
                     )
-                loss_fn = build_loss(spec, cfg, S, method=method)
-                chunk = make_ensemble_chunk(loss_fn, groups, cfg, S)
-            if t0 is None:
-                t0 = _time.perf_counter()  # exclude the first (compile) chunk
-            else:
-                steps_timed += nsteps * S  # seed-steps
-            if not np.isfinite(mets["total"][-1]):
-                bad = int(np.argmax(~np.isfinite(mets["total"])))
-                raise FloatingPointError(
-                    f"non-finite ensemble loss at epoch {done + bad}"
-                )
+                is_kernel = False
+                chunk = _get_chunk("scan", S)
+            tot_s = mets["total_s"]  # (nsteps, S)
+            if not np.isfinite(tot_s).all():
+                # one diverged seed contaminates EVERY seed's gradients within
+                # a step (NaN * 0 = NaN through the packed Gram backward), so
+                # attribute blame at the FIRST bad step, roll back, freeze the
+                # originators, and re-run the chunk with the survivors
+                finite_step = np.isfinite(tot_s).all(axis=1)
+                first_bad = int(np.argmin(finite_step))
+                originators = ~np.isfinite(tot_s[first_bad])
+                recoveries += 1
+                if not (originators & ~frozen).any():
+                    originators = np.ones(S, bool)  # unattributable — global
+                if (frozen | originators).all() or recoveries > max_recoveries:
+                    raise FloatingPointError(
+                        f"non-finite ensemble loss at epoch {done + first_bad}"
+                        + (
+                            " (recovery limit reached)"
+                            if recoveries > max_recoveries
+                            else " (every seed diverged)"
+                        )
+                    )
+                frozen |= originators
+                if log is not None:
+                    log(
+                        f"WARNING: seed(s) "
+                        f"{(start + np.nonzero(originators)[0]).tolist()} "
+                        f"diverged at epoch {done + first_bad}; rolling back "
+                        f"to epoch {done} and freezing them "
+                        f"({int((~frozen).sum())} live seeds continue)"
+                    )
+                state = _restore_with_frozen(snap, frozen)
+                continue
             histories.append(mets)
             done += nsteps
+            snap = jax.device_get(state)
+            if checkpoint_fn is not None:
+                live_tot = np.where(frozen, np.inf, tot_s[-1])
+                checkpoint_fn(
+                    seed_state(state, cfg, int(np.argmin(live_tot))),
+                    int(np.asarray(snap.epoch)),
+                )
             if log is not None and (done % max(cfg.log_every, nsteps) == 0 or done == num_epochs):
                 tot = mets["total_s"][-1]
                 log(
                     f"[ensemble group {gi}] epoch {done}/{num_epochs} "
                     f"per-seed total: {np.array2string(tot, precision=6)}"
                 )
-        finals = histories[-1]["total_s"][-1]
+        finals = np.where(frozen, np.inf, histories[-1]["total_s"][-1])
         hist = {
             k: np.concatenate([h[k] for h in histories]) for k in histories[0]
         }
@@ -595,7 +710,6 @@ def fit(
         "l1": best_hist["l1"][:, best_local],
         "total": best_hist["total_s"][:, best_local],
     }
-    wall = _time.perf_counter() - t0 if t0 is not None else 0.0
     sps = steps_timed / wall if wall > 0 and steps_timed else float("nan")
     result = train.TrainResult(
         state=single, history=history,

@@ -120,6 +120,8 @@ def period_candidates(
     may be any harmonic of the fundamental the series needs, and probing the
     small multiples covers that ambiguity at negligible cost.
     """
+    if not np.isfinite(period_init):
+        raise ValueError(f"period_init must be finite, got {period_init}")
     xa = np.asarray(x, np.float32)
     if pod_modes is not None:
         sig = np.asarray(pod_modes).T @ xa  # (r, m) temporal coefficients
@@ -131,7 +133,9 @@ def period_candidates(
     spectrum = power.sum(axis=0)
     spectrum[0] = 0.0  # DC
     k_peak = int(np.argmax(spectrum))
-    out = [float(period_init)]
+    # a non-positive period_init is not a usable candidate (the series maps
+    # t -> 2*pi*t/period) — skip it rather than divide by zero below
+    out = [float(period_init)] if period_init > 0.0 else []
     if k_peak > 0:
         m = xa.shape[1]
         base = float(m) / k_peak  # cycles of k_peak over the m-index window

@@ -299,12 +299,15 @@ factored_mse_fused_split.defvjp(_fwd_split, _bwd_split)
 # ---------------------------------------------------------------------------
 
 
-def _mse_blocks_value(a, b, ax, x_sq, nm, n_blocks):
+def _mse_blocks_value(a, b, ax, x_sq, nm, n_blocks, precision=jax.lax.Precision.HIGHEST):
+    """Per-block MSE values from packed Grams — the ONE home of the
+    block-diagonal extraction + cross-term assembly (the XLA path
+    ``ensemble.factored_mse_blocks`` delegates here too)."""
     S = n_blocks
     K = a.shape[1] // S
     m = b.shape[1]
-    ga = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
-    gb = jnp.dot(b, b.T, precision=jax.lax.Precision.HIGHEST)
+    ga = jnp.dot(a.T, a, precision=precision)
+    gb = jnp.dot(b, b.T, precision=precision)
     idx = jnp.arange(S)
     ga_d = ga.reshape(S, K, S, K)[idx, :, idx, :]
     gb_d = gb.reshape(S, K, S, K)[idx, :, idx, :]

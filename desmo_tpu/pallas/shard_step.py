@@ -141,6 +141,12 @@ def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
         acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(dA * D, axis=0, keepdims=True)
         latrep = prod * trigmask
         acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(darg * latrep, axis=0, keepdims=True)
+        # fast-sincos domain telemetry (same contract as the single-chip
+        # mega-kernel's metrics lane 4): running max |omega*latent| over this
+        # device's tiles — row 2 is max-combined, NOT summed, downstream
+        acc_ref[2:3, :] = jnp.maximum(
+            acc_ref[2:3, :], jnp.max(jnp.abs(args), axis=0, keepdims=True)
+        )
 
         dl = _dot2(darg * omrow, SEL(0))
         # poly backward: one EMAT matmul + guarded division (see train_chunk)
@@ -319,6 +325,9 @@ def make_sharded_fused_chunk(
                 dl, ax, ga, auga, acc = call(
                     sel, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb, crow,
                 )
+                # acc row 2 is a per-device MAX (|trig arg| telemetry) — read
+                # it with pmax BEFORE the additive psum renders it meaningless
+                marg = jax.lax.pmax(jnp.max(acc[2:3, :]), "space")
                 ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
 
                 rec = (jnp.sum(ga * gb) - 2.0 * jnp.sum(ax * bser) + x_sq) / (n * m)
@@ -377,7 +386,7 @@ def make_sharded_fused_chunk(
                 phi_n = phi - (lr_phi / bias) * mu_n / nu_n
 
                 sched_n = train._sched_update(sched, total, epoch, cfg)
-                mets = jnp.stack([rec, orthov, l1v, total])
+                mets = jnp.stack([rec, orthov, l1v, total, marg])
                 return (
                     phi_n, mu_n, nu_n, b_n, bmu_n, bnu_n, crow_n, count,
                     sched_n, epoch + 1,
@@ -440,6 +449,9 @@ def make_sharded_fused_chunk(
         metrics = {
             "rec": mets[:, 0], "ortho": mets[:, 1],
             "l1": mets[:, 2], "total": mets[:, 3],
+            # max |omega*latent| per step: train.fit's fast-sincos domain
+            # guard consumes this exactly as it does the single-chip kernel's
+            "max_arg": mets[:, 4],
         }
         return new_state, metrics
 

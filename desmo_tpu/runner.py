@@ -175,6 +175,12 @@ def fourier_period_multistart(
         n_candidates=cfg.period_multistart,
         pod_modes=np.asarray(batch["pod_modes"]),
     )
+    if not cands:
+        # no usable candidate (non-positive period_init AND a DC-flat
+        # spectrum) — nothing to probe; the caller proceeds from params
+        if log is not None:
+            log("period multi-start: no usable period candidates; skipping")
+        return None
     best = None
     for pc in cands:
         p2 = dict(params)
@@ -385,6 +391,7 @@ def run(
             omega_spread=cfg.seed_omega_spread,
             method=method if method in ("factored", "fused") else None,
             log=log_line if echo else None,
+            checkpoint_fn=ckpt,
         )
         if echo:
             rate = (
@@ -403,7 +410,14 @@ def run(
                 {
                     "n_seeds": int(cfg.n_seeds),
                     "best_seed": int(best_seed),
-                    "final_totals": [float(v) for v in finals],
+                    # diverged (frozen) seeds report inf — not valid JSON,
+                    # record them as null plus an explicit index list
+                    "final_totals": [
+                        float(v) if np.isfinite(v) else None for v in finals
+                    ],
+                    "diverged_seeds": [
+                        int(i) for i in np.nonzero(~np.isfinite(finals))[0]
+                    ],
                     "seed_steps_per_sec": (
                         float(result.steps_per_sec)
                         if np.isfinite(result.steps_per_sec)

@@ -199,3 +199,77 @@ def test_fit_selects_best_seed():
     np.testing.assert_allclose(
         float(result.history["total"][-1]), float(finals[best]), rtol=1e-6
     )
+
+
+def test_fit_recovers_from_diverged_seed():
+    """A diverged seed must NOT kill the ensemble: it is rolled back, frozen
+    (final total inf, excluded from best), and the survivors finish. Here the
+    jitter is so large the jittered seeds' poly terms overflow at init while
+    seed 0 (exact reference init) stays healthy."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
+    msgs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=20, seed=0,
+        phi_sigma=1e200, omega_spread=0.0, method="factored", log=msgs.append,
+    )
+    assert best == 0
+    assert np.isfinite(finals[0])
+    assert np.isinf(finals[1]) and np.isinf(finals[2])
+    assert any("diverged" in m for m in msgs)
+    # the survivor's returned state is finite and standard single-seed
+    for v in jax.tree.leaves(result.state.params):
+        assert np.isfinite(np.asarray(v)).all()
+    assert result.history["total"].shape == (20,)
+    assert np.isfinite(result.history["total"]).all()
+
+
+def test_fit_raises_when_all_seeds_diverge():
+    """When every seed is non-finite at the same step there is nothing to
+    rescue — fit must still fail loudly (single-seed abort semantics)."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
+    batch = dict(batch, x=jnp.full_like(batch["x"], jnp.inf), x_sq=jnp.inf)
+    with pytest.raises(FloatingPointError):
+        ensemble.fit(
+            cfg, spec, batch, n_seeds=2, num_epochs=20, seed=0,
+            phi_sigma=0.1, method="factored", log=None,
+        )
+
+
+def test_fit_checkpoint_fn_called_each_chunk():
+    """checkpoint_fn fires at every chunk boundary with a single-seed state
+    (crash mid-run loses at most checkpoint_every epochs, like train.fit)."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
+    saved = []
+    ensemble.fit(
+        cfg, spec, batch, n_seeds=2, num_epochs=40, seed=0,
+        phi_sigma=0.1, method="factored", log=None,
+        checkpoint_fn=lambda st, ep: saved.append((ep, st)),
+    )
+    assert [ep for ep, _ in saved] == [10, 20, 30, 40]
+    for _, st in saved:
+        assert st.params["phi"].shape == (spec.r, spec.n)
+
+
+def test_fit_caches_chunk_across_groups(monkeypatch):
+    """Same-width packed groups share one compiled chunk (no per-group
+    recompile): 8 seeds at cap 4 -> two groups -> ONE chunk build."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=20, log_every=1000)
+    builds = []
+    orig = ensemble.make_ensemble_chunk
+
+    def counting(*a, **k):
+        builds.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ensemble, "make_ensemble_chunk", counting)
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=8, num_epochs=20, seed=0,
+        phi_sigma=0.1, method="factored", log=None,
+    )
+    assert len(builds) == 1
+    assert finals.shape == (8,)
+    assert np.isfinite(finals).all()

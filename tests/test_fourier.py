@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -228,3 +229,18 @@ def test_period_multistart_rescues_mismatch():
                       batch_m, log=None, chunk_size=500)
     assert rec_ms < 2.0 * res_m.history["rec"][-1], (
         rec_ms, res_m.history["rec"][-1])
+
+
+def test_period_candidates_nonpositive_init():
+    """A non-positive period_init (RunConfig's 0.0 default) must not divide
+    by zero or emit an unusable 0.0 candidate — only the FFT-derived periods
+    come back."""
+    spec, cfg, loss_fn, batch = _periodic_problem(48 / 2.5, 48.0)
+    cands = fourier.period_candidates(
+        np.asarray(batch["x"]), 0.0, n_candidates=4,
+        pod_modes=np.asarray(batch["pod_modes"]),
+    )
+    assert cands, "FFT peak should still yield candidates"
+    assert all(c > 0 for c in cands)
+    with pytest.raises(ValueError):
+        fourier.period_candidates(np.asarray(batch["x"]), float("nan"))

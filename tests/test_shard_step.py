@@ -57,6 +57,14 @@ def test_sharded_chunk_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(m_sh["total"]), np.asarray(m_k["total"]), rtol=5e-4, atol=1e-6
     )
+    # fast-sincos telemetry: the pmax-of-device-maxes must agree with the
+    # single-chip kernel's global max |omega*latent| per step, so train.fit's
+    # domain guard protects mesh runs exactly like single-chip runs
+    assert np.isfinite(np.asarray(m_sh["max_arg"])).all()
+    np.testing.assert_allclose(
+        np.asarray(m_sh["max_arg"]), np.asarray(m_k["max_arg"]),
+        rtol=5e-4, atol=1e-6,
+    )
     for key in s_k.params:
         np.testing.assert_allclose(
             np.asarray(s_sh.params[key]),
@@ -173,6 +181,10 @@ def test_sharded_fourier_chunk_matches_single_device():
 
     np.testing.assert_allclose(
         np.asarray(m_sh["total"]), np.asarray(m_k["total"]), rtol=5e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sh["max_arg"]), np.asarray(m_k["max_arg"]),
+        rtol=5e-4, atol=1e-6,
     )
     for key in s_k.params:
         np.testing.assert_allclose(
