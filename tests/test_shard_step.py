@@ -195,3 +195,31 @@ def test_sharded_fourier_chunk_matches_single_device():
             err_msg=key,
         )
     assert int(s_sh.epoch) == 25 and int(s_sh.opt.count) == 25
+
+
+def test_sharded_sincos_guard_engages():
+    """Mesh runs are covered by the fast-sincos domain guard exactly like
+    single-chip runs: the sharded kernel reports max |omega*latent| (pmax
+    over devices), and train.fit falls back to the scanned chunk for the
+    remaining epochs with numerics intact."""
+    from desmo_tpu.models import desmo as desmo_model
+    from desmo_tpu.pallas import train_chunk as tc
+
+    n_space = 4
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    params = dict(params, omega=params["omega"] * 1e6)  # out of domain
+    sharded = shard_step.make_sharded_fused_chunk(spec, cfg, mesh, bt=16)
+    loss_fn = desmo_model.build_loss(
+        spec, cfg.beta, cfg.l1_lambda, method="factored"
+    )
+    logs = []
+    with jax.sharding.set_mesh(mesh):
+        result = train.fit(
+            loss_fn, desmo_model.param_groups(params), cfg, params, batch,
+            num_epochs=12, chunk_size=4, log=logs.append, chunk=sharded,
+        )
+    assert any("fast-sincos domain" in line for line in logs)
+    assert result.max_abs_trig_arg > tc.SINCOS_DOMAIN
+    assert int(result.state.epoch) == 12
+    assert np.isfinite(np.asarray(result.history["total"])).all()
