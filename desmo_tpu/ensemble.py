@@ -406,9 +406,9 @@ def seed_state(state: train.TrainState, cfg: RunConfig, s: int) -> train.TrainSt
     )
 
 
-def _restore_with_frozen(snap_host, frozen: np.ndarray) -> train.TrainState:
-    """Rebuild a device TrainState from a host snapshot, NEUTRALIZING the
-    seeds marked in ``frozen``.
+def _restore_with_frozen(snap, frozen: np.ndarray) -> train.TrainState:
+    """Rebuild a fresh TrainState from the chunk-boundary snapshot,
+    NEUTRALIZING the seeds marked in ``frozen``.
 
     A frozen seed must not be able to contaminate the pack again, so it is
     dropped in place, not merely paused: params are zeroed (periods set to
@@ -419,36 +419,31 @@ def _restore_with_frozen(snap_host, frozen: np.ndarray) -> train.TrainState:
     ``sched_min_lr`` (``optim.plateau_step`` clamps reduced LRs at min_lr,
     which would silently unfreeze an lr=0 row). Zero params are always
     finite-loss: the latents vanish, so the dictionary reduces to constants
-    and the seed's rec loss pins at ``mean(X^2)``."""
+    and the seed's rec loss pins at ``mean(X^2)``. Everything runs as device
+    ops on the (device-resident) snapshot — no host round trip."""
+    fz = jnp.asarray(frozen)
 
-    def _neutral(k: str, v: np.ndarray) -> jnp.ndarray:
-        arr = np.array(v, copy=True)
-        arr[frozen] = 1.0 if "period" in k else 0.0
-        return jnp.asarray(arr)
+    def _mask(v, fill):
+        m = fz.reshape((-1,) + (1,) * (v.ndim - 1))
+        return jnp.where(m, jnp.asarray(fill, v.dtype), v)
 
-    lrs = np.array(snap_host.sched.lrs, np.float32, copy=True)
-    num_bad = np.array(snap_host.sched.num_bad, np.int32, copy=True)
-    lrs[frozen] = 0.0
-    num_bad[frozen] = -(2**30)
     sched = optim.PlateauState(
-        lrs=jnp.asarray(lrs),
-        best=jnp.asarray(np.asarray(snap_host.sched.best)),
-        num_bad=jnp.asarray(num_bad),
+        lrs=_mask(snap.sched.lrs, 0.0),
+        best=jnp.asarray(snap.sched.best),
+        num_bad=_mask(snap.sched.num_bad, -(2**30)),
     )
-    nu = {}
-    for k, v in snap_host.opt.nu.items():
-        arr = np.array(v, copy=True)
-        arr[frozen] = 1.0
-        nu[k] = jnp.asarray(arr)
     return train.TrainState(
-        params={k: _neutral(k, v) for k, v in snap_host.params.items()},
+        params={
+            k: _mask(v, 1.0 if "period" in k else 0.0)
+            for k, v in snap.params.items()
+        },
         opt=optim.AdamaxState(
-            count=jnp.asarray(snap_host.opt.count),
-            mu={k: _neutral("", v) for k, v in snap_host.opt.mu.items()},
-            nu=nu,
+            count=jnp.asarray(snap.opt.count),
+            mu={k: _mask(v, 0.0) for k, v in snap.opt.mu.items()},
+            nu={k: _mask(v, 1.0) for k, v in snap.opt.nu.items()},
         ),
         sched=sched,
-        epoch=jnp.asarray(snap_host.epoch),
+        epoch=jnp.asarray(snap.epoch),
     )
 
 
@@ -589,10 +584,11 @@ def fit(
         histories = []
         frozen = np.zeros(S, bool)
         recoveries = 0
-        # host snapshot of the last healthy chunk boundary: the rollback
+        # DEVICE-side copy of the last healthy chunk boundary: the rollback
         # target for divergence recovery (and the rebuild source when the
-        # kernel's compile failure has consumed the donated state)
-        snap = jax.device_get(state)
+        # kernel's compile failure has consumed the donated state). A copy,
+        # not a reference — the chunk donates its input buffers.
+        snap = jax.tree.map(jnp.copy, state)
         while done < num_epochs:
             nsteps = min(chunk_size, num_epochs - done)
             t_chunk = _time.perf_counter()
@@ -672,12 +668,12 @@ def fit(
                 continue
             histories.append(mets)
             done += nsteps
-            snap = jax.device_get(state)
+            snap = jax.tree.map(jnp.copy, state)
             if checkpoint_fn is not None:
                 live_tot = np.where(frozen, np.inf, tot_s[-1])
                 checkpoint_fn(
                     seed_state(state, cfg, int(np.argmin(live_tot))),
-                    int(np.asarray(snap.epoch)),
+                    int(snap.epoch),
                 )
             if log is not None and (done % max(cfg.log_every, nsteps) == 0 or done == num_epochs):
                 tot = mets["total_s"][-1]
