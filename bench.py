@@ -167,16 +167,18 @@ def main() -> None:
     }
     # Beyond-reference capability: S-seed multi-start at ~the cost of one
     # step (seed-packed mega-kernel, lanes the MXU padded anyway). The cost
-    # ratio uses this run's own single-seed aneurysm median — same-run
+    # ratio uses this run's own single-seed median per preset — same-run
     # comparison, since cross-window timings are not comparable (CLAUDE.md).
-    try:
-        ens = bench_ensemble("aneurysm", steps=500, reps=5)
-    except Exception:
-        ens = None  # never let the ensemble extra block the headline bench
-    if ens is not None:
-        single = results["aneurysm"]["median"]
-        out["ensemble"] = {
-            "metric": f"aneurysm seed-packed mega-kernel, S={ens['n_seeds']} models/kernel",
+    def ensemble_entry(preset, steps):
+        try:
+            ens = bench_ensemble(preset, steps=steps, reps=5)
+        except Exception:
+            return None  # never let the ensemble extra block the headline
+        if ens is None:
+            return None
+        single = results[preset]["median"]
+        return {
+            "metric": f"{preset} seed-packed mega-kernel, S={ens['n_seeds']} models/kernel",
             "value": round(ens["n_seeds"] * ens["median"], 2),
             "unit": "seed-steps/s",
             "packed_steps_per_sec": ens["median"],
@@ -186,6 +188,14 @@ def main() -> None:
             ),
             "spread": ens,
         }
+
+    ens = ensemble_entry("aneurysm", steps=500)
+    if ens is not None:
+        out["ensemble"] = ens
+    # fourier variant: seeds' series channels stack as kernel rows (S<=8)
+    fens = ensemble_entry("fourier_cylinder", steps=800)
+    if fens is not None:
+        out["ensemble_fourier"] = fens
     print(json.dumps(out))
 
 
