@@ -323,12 +323,26 @@ def init_state(params: dict, cfg: RunConfig, n_seeds: int) -> train.TrainState:
     )
 
 
-def make_ensemble_chunk(loss_fn, group_of: dict[str, str], cfg: RunConfig, n_seeds: int):
+def make_ensemble_chunk(
+    loss_fn, group_of: dict[str, str], cfg: RunConfig, n_seeds: int,
+    param_shardings: Optional[dict] = None,
+):
     """Jitted scan of packed multi-seed epochs — ``train.make_train_chunk``'s
     packed fast path with (a) seed-major per-element LRs and (b) a vmapped
-    per-seed ReduceLROnPlateau driven by each seed's own total loss."""
+    per-seed ReduceLROnPlateau driven by each seed's own total loss.
+
+    ``param_shardings`` (key -> ``NamedSharding``, from
+    ``parallel.ensemble_param_shardings``) makes the loop sharding-aware the
+    same way ``train.make_train_chunk`` is: leaves whose spec splits a mesh
+    axis (phi rows over 'space') are carried per-leaf through the scan and
+    pinned each iteration so their params AND Adamax moments stay distributed
+    — lane-packed multi-start composes with the device mesh (seeds in lanes,
+    space over devices). Replicated leaves keep the packed fast path."""
     G = len(GROUP_ORDER)
     b1, b2, eps = 0.9, 0.999, 1e-8
+    sharded_sh = {
+        k: s for k, s in (param_shardings or {}).items() if train._is_sharded(s)
+    }
 
     vplateau = jax.vmap(
         lambda st, m: optim.plateau_step(
@@ -338,23 +352,58 @@ def make_ensemble_chunk(loss_fn, group_of: dict[str, str], cfg: RunConfig, n_see
     )
 
     def chunk_impl(state: train.TrainState, batch: dict, num_steps: int):
-        layout = _SeedFlatLayout(state.params, group_of, n_seeds)
+        packed_keys = [k for k in state.params if k not in sharded_sh]
+        layout = _SeedFlatLayout(
+            {k: state.params[k] for k in packed_keys}, group_of, n_seeds
+        )
         gidx = jnp.asarray(layout.group_index)
+        # sharded leaves: one per-SEED LR column each (lrs is (S, G))
+        sh_g = {k: GROUP_ORDER.index(group_of[k]) for k in sharded_sh}
 
-        def full_loss(vec, batch):
-            return loss_fn(layout.unflatten(vec), batch)
+        def pin(tree: dict) -> dict:
+            return {
+                k: jax.lax.with_sharding_constraint(v, sharded_sh[k])
+                for k, v in tree.items()
+            }
+
+        def full_loss(vec, sh_params, batch):
+            params = layout.unflatten(vec)
+            params.update(sh_params)
+            return loss_fn(params, batch)
 
         def body(carry, _):
-            vec, mu, nu, count, sched, epoch = carry
-            (total, metrics), g = jax.value_and_grad(full_loss, has_aux=True)(
-                vec, batch
-            )
+            vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch = carry
+            sh_p = pin(sh_p)
+            (total, metrics), (g, g_sh) = jax.value_and_grad(
+                full_loss, argnums=(0, 1), has_aux=True
+            )(vec, sh_p, batch)
+            g_sh = pin(g_sh)
             count = count + 1
             bias = 1.0 - b1 ** count.astype(jnp.float32)
             mu = b1 * mu + (1.0 - b1) * g
             nu = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
             lr_elem = sched.lrs.ravel()[gidx]
             vec = vec - (lr_elem / bias) * mu / nu
+            sh_mu = pin({k: b1 * sh_mu[k] + (1.0 - b1) * g_sh[k] for k in sh_mu})
+            sh_nu = pin(
+                {
+                    k: jnp.maximum(b2 * sh_nu[k], jnp.abs(g_sh[k]) + eps)
+                    for k in sh_nu
+                }
+            )
+            sh_p = pin(
+                {
+                    k: sh_p[k]
+                    - (
+                        sched.lrs[:, sh_g[k]].reshape(
+                            (-1,) + (1,) * (sh_p[k].ndim - 1)
+                        )
+                        / bias
+                    )
+                    * sh_mu[k] / sh_nu[k]
+                    for k in sh_p
+                }
+            )
             stepped = vplateau(sched, metrics["total_s"])
             do_sched = epoch % cfg.sched_every == 0
             sched = jax.tree.map(
@@ -362,23 +411,32 @@ def make_ensemble_chunk(loss_fn, group_of: dict[str, str], cfg: RunConfig, n_see
             )
             metrics = dict(metrics)
             metrics["total"] = total
-            return (vec, mu, nu, count, sched, epoch + 1), metrics
+            return (vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch + 1), metrics
 
         carry = (
-            layout.flatten(state.params),
-            layout.flatten(state.opt.mu),
-            layout.flatten(state.opt.nu),
+            layout.flatten({k: state.params[k] for k in packed_keys}),
+            layout.flatten({k: state.opt.mu[k] for k in packed_keys}),
+            layout.flatten({k: state.opt.nu[k] for k in packed_keys}),
+            {k: state.params[k] for k in sharded_sh},
+            {k: state.opt.mu[k] for k in sharded_sh},
+            {k: state.opt.nu[k] for k in sharded_sh},
             state.opt.count,
             state.sched,
             state.epoch,
         )
-        (vec, mu, nu, count, sched, epoch), metrics = jax.lax.scan(
+        (vec, mu, nu, sh_p, sh_mu, sh_nu, count, sched, epoch), metrics = jax.lax.scan(
             body, carry, None, length=num_steps,
             unroll=min(getattr(cfg, "scan_unroll", 1), num_steps),
         )
+
+        def rebuild(vec, sh_tree):
+            out = layout.unflatten(vec)
+            out.update(sh_tree)
+            return {k: out[k] for k in state.params}  # original key order
+
         out_state = train.TrainState(
-            params=layout.unflatten(vec),
-            opt=optim.AdamaxState(count, layout.unflatten(mu), layout.unflatten(nu)),
+            params=rebuild(vec, sh_p),
+            opt=optim.AdamaxState(count, rebuild(mu, sh_mu), rebuild(nu, sh_nu)),
             sched=sched,
             epoch=epoch,
         )
@@ -460,6 +518,7 @@ def fit(
     log: Optional[Callable[[str], None]] = print,
     checkpoint_fn: Optional[Callable] = None,
     max_recoveries: int = 8,
+    device_mesh=None,
 ) -> tuple[train.TrainResult, int, np.ndarray]:
     """Train an S-seed packed ensemble; returns ``(result, best, final_totals)``
     where ``result.state`` is the BEST member's single-seed TrainState.
@@ -482,6 +541,12 @@ def fit(
     boundary with the current group's best live seed as a single-seed
     TrainState — a crash mid-run loses at most ``cfg.checkpoint_every``
     epochs, same contract as ``train.fit``.
+
+    ``device_mesh`` (a ('space','time') ``jax.sharding.Mesh``) composes
+    multi-start with multi-chip: seeds stay packed in MXU lanes while each
+    seed's phi rows (and Adamax moments) shard over 'space' through the
+    sharding-aware scanned chunk (``parallel.ensemble_param_shardings``).
+    The single-chip seed-packed mega-kernel is skipped under a mesh.
     """
     if method is None:
         method = "fused" if jax.default_backend() == "tpu" else "factored"
@@ -535,17 +600,31 @@ def fit(
     chunk_cache: dict = {}
     warmed: set = set()  # chunk fns that have executed at least once
 
-    def _get_chunk(kind: str, S: int):
+    def _get_chunk(kind: str, S: int, template_params=None):
         key = (kind, S)
         if key not in chunk_cache:
             if kind == "kernel":
-                # SEED-PACKED MEGA-KERNEL when it applies (TPU, pack fits):
-                # S models inside one pallas_call for ~the cost of one (the
-                # in-kernel trig/gather/contraction work is lane-width-fixed)
-                chunk_cache[key] = _tc.select_ensemble_chunk(spec, cfg, S)
+                # SEED-PACKED MEGA-KERNEL when it applies (TPU, pack fits,
+                # no mesh — the kernel is single-chip): S models inside one
+                # pallas_call for ~the cost of one (the in-kernel trig/
+                # gather/contraction work is lane-width-fixed)
+                chunk_cache[key] = (
+                    None
+                    if device_mesh is not None
+                    else _tc.select_ensemble_chunk(spec, cfg, S)
+                )
             else:
+                shardings = None
+                if device_mesh is not None:
+                    from desmo_tpu import parallel
+
+                    shardings = parallel.ensemble_param_shardings(
+                        template_params, device_mesh, cfg.m
+                    )
                 loss_fn = build_loss(spec, cfg, S, method=method)
-                chunk_cache[key] = make_ensemble_chunk(loss_fn, groups, cfg, S)
+                chunk_cache[key] = make_ensemble_chunk(
+                    loss_fn, groups, cfg, S, param_shardings=shardings
+                )
         return chunk_cache[key]
 
     while start < n_seeds:
@@ -577,7 +656,7 @@ def fit(
                 batch["x"], batch["pod_modes"]
             )}
         if chunk is None:
-            chunk = _get_chunk("scan", S)
+            chunk = _get_chunk("scan", S, params)
         state = jax.tree.map(jnp.array, init_state(params, cfg, S))
         chunk_size = min(cfg.checkpoint_every, num_epochs)
         done = 0
@@ -612,7 +691,7 @@ def fit(
                 # cache the failure (None) so later same-width groups don't
                 # pay the failed compile attempt again
                 chunk_cache[("kernel", S)] = None
-                chunk = _get_chunk("scan", S)
+                chunk = _get_chunk("scan", S, params)
                 state = _restore_with_frozen(snap, frozen)
                 continue
             dt = _time.perf_counter() - t_chunk
@@ -633,7 +712,7 @@ def fit(
                         "falling back to the packed scan chunk"
                     )
                 is_kernel = False
-                chunk = _get_chunk("scan", S)
+                chunk = _get_chunk("scan", S, params)
             tot_s = mets["total_s"]  # (nsteps, S)
             if not np.isfinite(tot_s).all():
                 # one diverged seed contaminates EVERY seed's gradients within

@@ -3,6 +3,7 @@
 from desmo_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     batch_shardings,
+    ensemble_param_shardings,
     param_shardings,
     state_shardings,
     shard_batch,

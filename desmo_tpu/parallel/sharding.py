@@ -90,6 +90,20 @@ def param_shardings(params: dict, mesh: Mesh, m: Optional[int]) -> dict:
     }
 
 
+def ensemble_param_shardings(params: dict, mesh: Mesh, m: Optional[int]) -> dict:
+    """Shardings for the seed-stacked ensemble params (``ensemble.init_params``:
+    every leaf carries a leading seed axis). The seed axis is replicated —
+    seeds live in MXU lanes, not on devices — and each leaf's remaining axes
+    follow the single-seed placement rules (phi rows over 'space', temporal
+    coefficients over 'time')."""
+    out = {}
+    for k, v in params.items():
+        shape = np.shape(v)
+        base = _param_spec(k, shape[1:], m)
+        out[k] = NamedSharding(mesh, _drop_unfit(P(None, *base), shape, mesh))
+    return out
+
+
 def batch_shardings(batch: dict, mesh: Mesh) -> dict:
     specs = {}
     for k, v in batch.items():

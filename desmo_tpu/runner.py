@@ -247,7 +247,12 @@ def run(
     param_shardings = None
     sharded_kernel = False
     kernel_bt = tc._BT_DEFAULT  # ONE tile-size constant feeds the sharded chunk AND its padding
-    if device_mesh is not None:
+    if device_mesh is not None and cfg.n_seeds > 1:
+        # multi-start composes with the mesh through ensemble.fit's own
+        # sharding-aware scanned chunk (seeds in lanes, 'space' over devices);
+        # batch sharding below still applies
+        pass
+    elif device_mesh is not None:
         from desmo_tpu.pallas import shard_step
 
         method = getattr(cfg, "chunk_method", "auto")
@@ -371,28 +376,26 @@ def run(
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
     if cfg.n_seeds > 1:
-        if (
-            cfg.variant not in ("desmo", "fourier")
-            or state is not None
-            or device_mesh is not None
-        ):
+        if cfg.variant not in ("desmo", "fourier") or state is not None:
             raise ValueError(
-                "n_seeds > 1 requires the desmo or fourier variant, no "
-                "--resume and no device mesh (ensemble.py scope)"
+                "n_seeds > 1 requires the desmo or fourier variant and no "
+                "--resume (ensemble.py scope)"
             )
         # Lane-packed multi-seed training (ensemble.py, beyond reference):
         # S models trained simultaneously in the 128-lane pad, best kept.
         from desmo_tpu import ensemble
 
         method = resolve_loss_method(cfg)
-        result, best_seed, finals = ensemble.fit(
-            cfg, spec, batch, n_seeds=cfg.n_seeds, num_epochs=n_epochs,
-            seed=cfg.seed, phi_sigma=cfg.seed_phi_sigma,
-            omega_spread=cfg.seed_omega_spread,
-            method=method if method in ("factored", "fused") else None,
-            log=log_line if echo else None,
-            checkpoint_fn=ckpt,
-        )
+        with mesh_ctx:
+            result, best_seed, finals = ensemble.fit(
+                cfg, spec, batch, n_seeds=cfg.n_seeds, num_epochs=n_epochs,
+                seed=cfg.seed, phi_sigma=cfg.seed_phi_sigma,
+                omega_spread=cfg.seed_omega_spread,
+                method=method if method in ("factored", "fused") else None,
+                log=log_line if echo else None,
+                checkpoint_fn=ckpt,
+                device_mesh=device_mesh,
+            )
         if echo:
             rate = (
                 f"; {result.steps_per_sec:.1f} seed-steps/s"

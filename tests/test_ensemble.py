@@ -273,3 +273,45 @@ def test_fit_caches_chunk_across_groups(monkeypatch):
     assert len(builds) == 1
     assert finals.shape == (8,)
     assert np.isfinite(finals).all()
+
+
+def test_mesh_ensemble_matches_single_device():
+    """Multi-start composes with the device mesh: the sharding-aware packed
+    scan chunk (seeds in lanes, phi rows over 'space') must reproduce the
+    unsharded packed chunk step-for-step, with phi and its moments actually
+    left distributed on the output state."""
+    from desmo_tpu import parallel
+    from desmo_tpu.parallel import make_mesh
+
+    S = 3
+    spec, cfg, params, batch = _problem(S, lr_omega=0.1)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = desmo.param_groups(desmo.init_params(spec))
+    mesh = make_mesh(n_space=4, n_time=2)
+    shardings = parallel.ensemble_param_shardings(params, mesh, cfg.m)
+    chunk_sh = ensemble.make_ensemble_chunk(
+        loss, groups, cfg, S, param_shardings=shardings
+    )
+    with jax.sharding.set_mesh(mesh):
+        batch_sh = parallel.shard_batch(batch, mesh)
+        st_sh = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+        st_sh, m_sh = chunk_sh(st_sh, batch_sh, num_steps=20)
+
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    st, m = chunk(st, batch, num_steps=20)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total_s"]), np.asarray(m["total_s"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    for k in st.params:
+        np.testing.assert_allclose(
+            np.asarray(st_sh.params[k]), np.asarray(st.params[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+    # phi (and its Adamax moments) must come out sharded over 'space'
+    for tree in (st_sh.params, st_sh.opt.mu, st_sh.opt.nu):
+        shard = next(iter(tree["phi"].addressable_shards))
+        assert shard.data.shape == (S, spec.r, spec.n // 4), tree["phi"].sharding
+        assert "space" in str(tree["phi"].sharding.spec)

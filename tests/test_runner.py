@@ -286,3 +286,30 @@ def test_run_multiseed_fourier(tmp_path):
     assert art.relative_error < 1.0
     files = os.listdir(art.out_dir)
     assert any(f.endswith("_final.pt") for f in files)
+
+
+def test_run_mesh_with_seeds(tmp_path):
+    """Multi-start composes with the device mesh end-to-end: runner.run with
+    n_seeds > 1 AND a device_mesh trains the packed ensemble through the
+    sharding-aware scanned chunk, keeps best-seed selection, and writes
+    ensemble.json."""
+    import json
+
+    from desmo_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), n=2048, m=24, num_epochs=24, checkpoint_every=24,
+        n_seeds=3, seed_phi_sigma=0.1,
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        device_mesh=make_mesh(n_space=4, n_time=2),
+    )
+    assert np.isfinite(art.relative_error)
+    with open(os.path.join(art.out_dir, "ensemble.json")) as fh:
+        ens = json.load(fh)
+    assert ens["n_seeds"] == 3
+    assert len(ens["final_totals"]) == 3
+    assert ens["diverged_seeds"] == []
