@@ -69,7 +69,11 @@ _SLOW = {
     "tests/test_runner.py::test_run_with_device_mesh_fourier_sharded",
     "tests/test_runner.py::test_run_with_device_mesh_scan_fallback",
     "tests/test_runner.py::test_run_with_device_mesh_sharded_kernel",
+    "tests/test_runner.py::test_run_mesh_with_seeds",
+    "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",
+    "tests/test_ensemble_fourier.py::test_mesh_fourier_ensemble_matches_single_device",
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",
+    "tests/test_shard_step.py::test_sharded_sincos_guard_engages",
     "tests/test_shard_step.py::test_sharded_fourier_chunk_matches_single_device",
     "tests/test_shard_step.py::test_sharded_resume_roundtrip",
     "tests/test_sr.py::test_full_sr_pipeline_on_trained_model",

@@ -163,3 +163,42 @@ def test_fit_packed_period_multistart_rescues_mismatch():
     )
     assert result.history["rec"][-1] < 2.0 * res_m.history["rec"][-1], (
         result.history["rec"][-1], res_m.history["rec"][-1])
+
+
+def test_mesh_fourier_ensemble_matches_single_device():
+    """Fourier multi-start under a device mesh: phi shards over 'space' (the
+    small series coefficients stay replicated), per-seed trajectories match
+    the unsharded packed chunk."""
+    from desmo_tpu import parallel
+    from desmo_tpu.parallel import make_mesh
+
+    S = 3
+    spec, cfg, params, batch = _problem(S, lr_omega=0.1)
+    loss = ensemble.build_loss(spec, cfg, S, method="factored")
+    groups = fourier.param_groups(fourier.init_params(spec))
+    mesh = make_mesh(n_space=4, n_time=2)
+    shardings = parallel.ensemble_param_shardings(params, mesh, cfg.m)
+    assert "space" in str(shardings["phi"].spec)
+    chunk_sh = ensemble.make_ensemble_chunk(
+        loss, groups, cfg, S, param_shardings=shardings
+    )
+    with jax.sharding.set_mesh(mesh):
+        batch_sh = parallel.shard_batch(batch, mesh)
+        st_sh = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+        st_sh, m_sh = chunk_sh(st_sh, batch_sh, num_steps=15)
+
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    st, m = chunk(st, batch, num_steps=15)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total_s"]), np.asarray(m["total_s"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    for k in st.params:
+        np.testing.assert_allclose(
+            np.asarray(st_sh.params[k]), np.asarray(st.params[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+    shard = next(iter(st_sh.params["phi"].addressable_shards))
+    assert shard.data.shape == (S, spec.r, spec.n // 4)
