@@ -32,16 +32,6 @@ def cmd_presets(_args) -> int:
 
 
 def cmd_run(args) -> int:
-    if args.platform or args.cpu_devices:
-        # must land before the first backend touch (the axon TPU plugin
-        # ignores JAX_PLATFORMS/XLA_FLAGS env vars — see CLAUDE.md)
-        import jax
-
-        if args.platform:
-            jax.config.update("jax_platforms", args.platform)
-        if args.cpu_devices:
-            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
-
     from desmo_tpu import configs, runner
 
     cfg = configs.get(args.preset)
@@ -189,11 +179,22 @@ def cmd_import_pt(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="desmo_tpu", description=__doc__)
+    # backend flags shared by every subcommand that touches JAX (each would
+    # otherwise hang trying to initialize an unavailable TPU backend — the
+    # axon plugin ignores the JAX_PLATFORMS env var, CLAUDE.md)
+    backend = argparse.ArgumentParser(add_help=False)
+    backend.add_argument(
+        "--platform", default=None, help="force a JAX platform (e.g. cpu)"
+    )
+    backend.add_argument(
+        "--cpu-devices", type=int, default=None,
+        help="number of virtual CPU devices (for mesh runs without TPUs)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("presets", help="list named experiment presets")
 
-    p_run = sub.add_parser("run", help="train a preset end to end")
+    p_run = sub.add_parser("run", help="train a preset end to end", parents=[backend])
     p_run.add_argument("--preset", required=True)
     p_run.add_argument("--data-dir", default=None, help="directory of VTK snapshots")
     p_run.add_argument("--filename", default="velocity_", help="snapshot basename")
@@ -248,25 +249,26 @@ def main(argv=None) -> int:
         help="multi-seed: omega init log-spread in decades for seeds > 0 "
         "(default 0 = keep the preset omega_init)",
     )
-    p_run.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
-    p_run.add_argument(
-        "--cpu-devices", type=int, default=None,
-        help="number of virtual CPU devices (for mesh runs without TPUs)",
-    )
-
-    sub.add_parser("bench", help="run the throughput benchmark")
+    sub.add_parser("bench", help="run the throughput benchmark", parents=[backend])
 
     p_pt = sub.add_parser("inspect-pt", help="list arrays in a .pt checkpoint")
     p_pt.add_argument("path")
 
-    p_ev = sub.add_parser("evaluate", help="inference + error report from a .pt checkpoint")
+    p_ev = sub.add_parser(
+        "evaluate",
+        help="inference + error report from a .pt checkpoint",
+        parents=[backend],
+    )
     p_ev.add_argument("--preset", required=True)
     p_ev.add_argument("--checkpoint", required=True)
     p_ev.add_argument("--data-dir", default=None)
     p_ev.add_argument("--npz", default=None)
     p_ev.add_argument("--synthetic", action="store_true")
 
-    p_sr = sub.add_parser("sr", help="DESMO-SR: identify dz/dt=f(z) from a checkpoint")
+    p_sr = sub.add_parser(
+        "sr", help="DESMO-SR: identify dz/dt=f(z) from a checkpoint",
+        parents=[backend],
+    )
     p_sr.add_argument("--preset", required=True)
     p_sr.add_argument("--checkpoint", required=True, help=".pt state_dict to analyze")
     p_sr.add_argument("--data-dir", default=None)
@@ -280,6 +282,15 @@ def main(argv=None) -> int:
     )
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None) or getattr(args, "cpu_devices", None):
+        # must land before the first backend touch (the axon TPU plugin
+        # ignores JAX_PLATFORMS/XLA_FLAGS env vars — see CLAUDE.md)
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     return {
         "presets": cmd_presets,
         "run": cmd_run,
