@@ -550,6 +550,17 @@ def fit(
     """
     if method is None:
         method = "fused" if jax.default_backend() == "tpu" else "factored"
+    if device_mesh is not None and method != "factored":
+        # the fused dual-GEMM is a single-chip Pallas path with no GSPMD
+        # partitioning rule — under a mesh the packed scan chunk must use the
+        # pure-XLA factored loss so the 'space' sharding actually propagates
+        # (anything else would force-replicate X/A onto every device)
+        if log is not None:
+            log(
+                "[ensemble] mesh run: using the factored (pure-XLA) loss — "
+                f"the {method!r} path is single-chip"
+            )
+        method = "factored"
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
     cap = max_seeds_packed(spec)
     is_fourier = getattr(cfg, "variant", "desmo") == "fourier"
@@ -604,14 +615,12 @@ def fit(
         key = (kind, S)
         if key not in chunk_cache:
             if kind == "kernel":
-                # SEED-PACKED MEGA-KERNEL when it applies (TPU, pack fits,
-                # no mesh — the kernel is single-chip): S models inside one
-                # pallas_call for ~the cost of one (the in-kernel trig/
-                # gather/contraction work is lane-width-fixed)
-                chunk_cache[key] = (
-                    None
-                    if device_mesh is not None
-                    else _tc.select_ensemble_chunk(spec, cfg, S)
+                # SEED-PACKED MEGA-KERNEL when the central policy selects it
+                # (TPU, pack fits, no mesh — the kernel is single-chip):
+                # S models inside one pallas_call for ~the cost of one (the
+                # in-kernel trig/gather/contraction work is lane-width-fixed)
+                chunk_cache[key] = _tc.select_ensemble_chunk(
+                    spec, cfg, S, device_mesh=device_mesh
                 )
             else:
                 shardings = None
@@ -667,7 +676,7 @@ def fit(
         # target for divergence recovery (and the rebuild source when the
         # kernel's compile failure has consumed the donated state). A copy,
         # not a reference — the chunk donates its input buffers.
-        snap = jax.tree.map(jnp.copy, state)
+        snap = train._snapshot_tree(state)
         while done < num_epochs:
             nsteps = min(chunk_size, num_epochs - done)
             t_chunk = _time.perf_counter()
@@ -747,7 +756,7 @@ def fit(
                 continue
             histories.append(mets)
             done += nsteps
-            snap = jax.tree.map(jnp.copy, state)
+            snap = train._snapshot_tree(state)
             if checkpoint_fn is not None:
                 live_tot = np.where(frozen, np.inf, tot_s[-1])
                 checkpoint_fn(

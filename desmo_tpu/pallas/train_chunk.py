@@ -1251,12 +1251,25 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     return make_fused_train_chunk(spec, cfg, bt)
 
 
-def select_ensemble_chunk(spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT):
+def select_ensemble_chunk(
+    spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT, device_mesh=None,
+):
     """Chunk-selection policy for the lane-packed multi-seed trainer
     (``ensemble.fit``), mirroring ``select_chunk``: the seed-packed
-    mega-kernel on TPU when the pack fits, else None (packed scan)."""
+    mega-kernel on TPU when the pack fits, else None (packed scan).
+    Under a ``device_mesh`` the kernel never applies (it is single-chip;
+    the mesh path is the sharding-aware packed scan chunk) — an explicit
+    ``chunk_method='megakernel'`` request errors rather than degrading."""
     method = getattr(cfg, "chunk_method", "auto")
     if method == "scan":
+        return None
+    if device_mesh is not None:
+        if method == "megakernel":
+            raise ValueError(
+                "chunk_method='megakernel' with a device mesh: the "
+                "seed-packed mega-kernel is single-chip — use 'auto'/'scan' "
+                "for multi-start under a mesh (sharded packed scan chunk)"
+            )
         return None
     if method == "megakernel":
         if not supports_packed(spec, cfg, n_seeds):

@@ -315,3 +315,22 @@ def test_mesh_ensemble_matches_single_device():
         shard = next(iter(tree["phi"].addressable_shards))
         assert shard.data.shape == (S, spec.r, spec.n // 4), tree["phi"].sharding
         assert "space" in str(tree["phi"].sharding.spec)
+
+
+def test_select_ensemble_chunk_mesh_policy():
+    """Under a device mesh the seed-packed kernel never applies (it is
+    single-chip); an explicit chunk_method='megakernel' request must error,
+    not silently degrade."""
+    import dataclasses as dc
+
+    from desmo_tpu.pallas import train_chunk as tc
+    from desmo_tpu.parallel import make_mesh
+
+    spec, cfg, params, batch = _problem(2)
+    mesh = make_mesh(n_space=4, n_time=2)
+    assert tc.select_ensemble_chunk(spec, cfg, 2, device_mesh=mesh) is None
+    with pytest.raises(ValueError, match="single-chip"):
+        tc.select_ensemble_chunk(
+            spec, dc.replace(cfg, chunk_method="megakernel"), 2,
+            device_mesh=mesh,
+        )

@@ -242,7 +242,9 @@ def _patch_kernel_select(monkeypatch):
     backend), so the fit() integration runs the kernel path in CI."""
     real = train_chunk.make_fused_ensemble_chunk
 
-    def fake_select(spec, cfg, n_seeds, bt=32):
+    def fake_select(spec, cfg, n_seeds, bt=32, device_mesh=None):
+        if device_mesh is not None:
+            return None
         if not train_chunk.supports_packed(spec, cfg, n_seeds):
             return None
         return real(spec, cfg, n_seeds, bt=32, interpret=True)
@@ -318,7 +320,7 @@ def test_fit_kernel_compile_failure_falls_back(monkeypatch):
     remote Mosaic compiler rejects some shapes opaquely) must degrade to the
     packed scan chunk with a warning, not kill the run."""
 
-    def broken_select(spec, cfg, n_seeds, bt=32):
+    def broken_select(spec, cfg, n_seeds, bt=32, device_mesh=None):
         def boom(state, batch, num_steps):
             raise RuntimeError("mosaic compile failed (simulated)")
 
