@@ -199,16 +199,70 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _tpu_alive(timeout_s: float = 240.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS with a hard timeout: during the
+    observed 2026-08-17/18 outage (>14 h) backend init HANGS rather than
+    erroring, so an in-process check would hang bench.py forever."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x=(jnp.ones((128,128))@jnp.ones((128,128))).sum();"
+        "assert float(x)==128*128*128"
+    )
+    try:
+        return (
+            subprocess.run(
+                [_sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _degraded_line(reason: str) -> None:
+    """The one-JSON-line contract, honored even when the chip is unreachable:
+    value null + an explicit reason beats a hang or a bare traceback."""
+    print(
+        json.dumps(
+            {
+                "metric": "cylinder_flow full-batch optimizer steps/sec",
+                "value": None,
+                "unit": "steps/s",
+                "vs_baseline": None,
+                "error": reason,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     # the tunneled TPU runtime throws transient FailedPrecondition errors and
-    # occasionally goes UNAVAILABLE for minutes at a time (observed 2026-08-17:
-    # multi-hour outage); back off meaningfully before giving up
+    # occasionally goes UNAVAILABLE for hours at a time (observed 2026-08-17:
+    # 10+ h outage where even backend init hangs); back off meaningfully, and
+    # degrade to an explicit null JSON line rather than hanging or crashing
     _waits = (15, 60, 180, 300)
+    alive = False
+    for wait in (*_waits, 0):
+        alive = _tpu_alive()
+        if alive:
+            break
+        time.sleep(wait)
+    if not alive:
+        _degraded_line(
+            "TPU unreachable: backend init hung/failed through ~10 min of "
+            "probes (tunneled chip outage; see docs/RESULTS.md)"
+        )
+        raise SystemExit(0)
     for attempt, wait in enumerate((*_waits, 0)):
         try:
             main()
             break
-        except Exception:
+        except Exception as exc:
             if attempt == len(_waits):
+                _degraded_line(f"bench failed after retries: {type(exc).__name__}: {exc}")
                 raise
             time.sleep(wait)
