@@ -334,3 +334,41 @@ def test_select_ensemble_chunk_mesh_policy():
             spec, dc.replace(cfg, chunk_method="megakernel"), 2,
             device_mesh=mesh,
         )
+
+
+def test_fit_recovers_mid_run_divergence(monkeypatch):
+    """Divergence in a LATER chunk: fit must roll back to the previous
+    (trained) chunk boundary, freeze the originator, re-run the chunk, and
+    keep epoch accounting/history exact. Injected by wrapping the compiled
+    chunk: call #2 reports seed 1 non-finite."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
+    real_make = ensemble.make_ensemble_chunk
+    calls = {"n": 0}
+
+    def wrapped_make(*a, **k):
+        chunk = real_make(*a, **k)
+
+        def injected(state, batch, num_steps):
+            out_state, mets = chunk(state, batch, num_steps=num_steps)
+            calls["n"] += 1
+            if calls["n"] == 2:  # second chunk: seed 1 "diverges" mid-chunk
+                bad = np.asarray(mets["total_s"]).copy()
+                bad[num_steps // 2 :, 1] = np.inf
+                mets = dict(mets, total_s=jnp.asarray(bad))
+            return out_state, mets
+
+        return injected
+
+    monkeypatch.setattr(ensemble, "make_ensemble_chunk", wrapped_make)
+    msgs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=40, seed=0,
+        phi_sigma=0.1, method="factored", log=msgs.append,
+    )
+    assert any("diverged at epoch 15" in m for m in msgs), msgs
+    assert np.isinf(finals[1]) and np.isfinite(finals[0]) and np.isfinite(finals[2])
+    assert best in (0, 2)
+    assert int(result.state.epoch) == 40
+    assert result.history["total"].shape == (40,)
+    assert np.isfinite(result.history["total"]).all()
