@@ -279,7 +279,8 @@ def _watchdog() -> None:
             # child stdout passes straight through: the JSON line is printed
             # by the child itself
             rc = subprocess.run(
-                [_sys.executable, __file__], env=env, timeout=3600
+                [_sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=3600,
             ).returncode
         except subprocess.TimeoutExpired:
             _degraded_line(
