@@ -1,0 +1,86 @@
+"""bench.py's outage contract: the round-end bench must never hang or emit a
+bare traceback — a dead chip yields ONE null-value JSON line keyed on the
+same headline metric string as a healthy run (driver/judge consumers key on
+it). The TPU paths themselves run on hardware; these tests pin the
+watchdog's host-side logic with the probe and child stubbed."""
+
+import json
+import subprocess
+import sys
+import types
+from unittest import mock
+
+import pytest
+
+
+@pytest.fixture()
+def bench_mod(monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # never sleep in tests
+    monkeypatch.setattr(
+        bench, "time", types.SimpleNamespace(sleep=lambda s: None)
+    )
+    return bench
+
+
+def test_dead_chip_emits_null_headline_line(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "_tpu_alive", lambda timeout_s=240.0: False)
+    with pytest.raises(SystemExit) as exc:
+        bench_mod._watchdog()
+    assert exc.value.code == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    line = json.loads(out[0])
+    assert line["metric"] == bench_mod.METRIC_HEADLINE
+    assert line["value"] is None and line["vs_baseline"] is None
+    assert "error" in line
+
+
+def test_healthy_chip_runs_child_under_cap(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "_tpu_alive", lambda timeout_s=240.0: True)
+    calls = []
+
+    def fake_run(cmd, env=None, timeout=None):
+        calls.append((cmd, env.get("DESMO_BENCH_CHILD"), timeout))
+        return types.SimpleNamespace(returncode=0)
+
+    with mock.patch("subprocess.run", fake_run):
+        with pytest.raises(SystemExit) as exc:
+            bench_mod._watchdog()
+    assert exc.value.code == 0
+    (cmd, child_flag, cap), = calls
+    assert child_flag == "1" and cap == 3600
+    assert cmd[1].endswith("bench.py")
+    assert capsys.readouterr().out == ""  # the child prints the JSON line
+
+
+def test_mid_run_hang_degrades(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "_tpu_alive", lambda timeout_s=240.0: True)
+
+    def hang_run(cmd, env=None, timeout=None):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    with mock.patch("subprocess.run", hang_run):
+        with pytest.raises(SystemExit) as exc:
+            bench_mod._watchdog()
+    assert exc.value.code == 1
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["metric"] == bench_mod.METRIC_HEADLINE
+    assert line["value"] is None
+    assert "timed out" in line["error"]
+
+
+def test_transient_child_failure_retries_once(bench_mod, monkeypatch, capsys):
+    monkeypatch.setattr(bench_mod, "_tpu_alive", lambda timeout_s=240.0: True)
+    rcs = iter([7, 0])
+
+    def flaky_run(cmd, env=None, timeout=None):
+        return types.SimpleNamespace(returncode=next(rcs))
+
+    with mock.patch("subprocess.run", flaky_run):
+        with pytest.raises(SystemExit) as exc:
+            bench_mod._watchdog()
+    assert exc.value.code == 0
+    assert capsys.readouterr().out == ""
