@@ -31,8 +31,8 @@ import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Two test tiers: the default run (`pytest tests/ -q`) excludes tests marked
-# slow (via addopts in pyproject.toml) and finishes in ~5 min; the full suite
-# (`pytest tests/ -m '' -q`, ~15 min) adds the trajectory-parity /
+# slow (via addopts in pyproject.toml) and finishes in ~7 min; the full suite
+# (`pytest tests/ -m '' -q`, ~20 min) adds the trajectory-parity /
 # kernel-interpret / end-to-end heavyweights listed here. Measured cutoff:
 # anything >= ~6.5 s per --durations on the 8-device CPU mesh. Kept as one
 # central list (not scattered decorators) so re-tiering after a profiling run
