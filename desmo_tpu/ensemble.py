@@ -660,10 +660,17 @@ def fit(
             )
         chunk = _get_chunk("kernel", S)
         is_kernel = chunk is not None
-        if is_kernel and "x_hi" not in batch:
-            batch = {**batch, **_tc.prepare_batch(
-                batch["x"], batch["pod_modes"]
-            )}
+        if is_kernel:
+            # the sharded megastep needs every device to own whole row tiles
+            n_mult = (
+                _tc._BT_DEFAULT * device_mesh.shape["space"]
+                if device_mesh is not None
+                else _tc._BT_DEFAULT
+            )
+            if "x_hi" not in batch or batch["x_hi"].shape[0] % n_mult:
+                batch = {**batch, **_tc.prepare_batch(
+                    batch["x"], batch["pod_modes"], n_mult=n_mult
+                )}
         if chunk is None:
             chunk = _get_chunk("scan", S, params)
         state = jax.tree.map(jnp.array, init_state(params, cfg, S))

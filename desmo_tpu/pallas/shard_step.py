@@ -54,14 +54,19 @@ from desmo_tpu.pallas.train_chunk import (
     _fast_sincos,
     _pack_aug,
     _pack_b,
+    _pack_b_seeds,
     _pack_wide_row,
+    _pack_wide_row_seeds,
     _round_up,
     _split,
     _unpack_aug,
     _unpack_b,
+    _unpack_b_seeds,
     _unpack_wide_row,
+    _unpack_wide_row_seeds,
     build_constants,
     supports,
+    supports_packed,
 )
 
 
@@ -159,10 +164,14 @@ def _make_step_kernel(r, P_, T, n, m, n_tiles, bt):
 
 
 @functools.lru_cache(maxsize=8)
-def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret):
+def _build_step_call(r, P_, n, m, n_loc, m_pad, bt, interpret, n_seeds=1):
+    """The per-device megastep pallas_call. The kernel body is LANE-BLIND:
+    with ``n_seeds > 1`` the seed-blocked constants (``build_constants``)
+    make the same gathers/masks/contractions process S packed models —
+    exactly the single-chip ensemble kernel's packing (ensemble.py)."""
     T = library.num_poly_terms(r, P_)
     n_tiles = n_loc // bt
-    consts = build_constants(r, P_)
+    consts = build_constants(r, P_, n_seeds=n_seeds)
     kernel = _make_step_kernel(r, P_, T, n, m, n_tiles, bt)
 
     def tmap(t):
@@ -452,6 +461,325 @@ def make_sharded_fused_chunk(
             # max |omega*latent| per step: train.fit's fast-sincos domain
             # guard consumes this exactly as it does the single-chip kernel's
             "max_arg": mets[:, 4],
+        }
+        return new_state, metrics
+
+    return chunk
+
+
+def supports_sharded_packed(spec, cfg, n_seeds: int) -> bool:
+    """Sharded seed-packed coverage = the sharded single-seed kernel's
+    variants x the single-chip packed kernel's lane/seed bounds (one shared
+    predicate each — no re-rolled policy)."""
+    return supports_sharded(spec, cfg) and supports_packed(spec, cfg, n_seeds)
+
+
+def make_sharded_fused_ensemble_chunk(
+    spec, cfg, mesh, n_seeds: int, bt: int = _BT_DEFAULT,
+    interpret: Optional[bool] = None,
+):
+    """SEED-PACKED x SPACE-SHARDED: S lane-packed models per device megastep.
+
+    The two padding dimensions multiply — seeds occupy the MXU lanes the
+    hardware pads anyway (``ensemble.py``), while each seed's spatial rows
+    shard over the 'space' mesh axis (``make_sharded_fused_chunk``). The
+    per-device Pallas kernel is IDENTICAL to the single-seed megastep: the
+    seed-blocked constants (``train_chunk.build_constants(n_seeds=S)``) make
+    the same lane-blind gathers/masks/contractions process S packed models;
+    only the jax-side reductions/updates become per-seed (block-diagonal
+    Gram sums via the SEEDSEL/AUGSEL tables, per-seed LR rows, a vmapped
+    per-seed ReduceLROnPlateau).
+
+    Drop-in replacement for ``ensemble.make_ensemble_chunk``: ``state`` is
+    the stacked TrainState of ``ensemble.init_state`` ((S, ...) leaves,
+    (S, G) scheduler rows); metrics carry per-seed ``rec/ortho/l1/total_s``
+    (num_steps, S), summed ``total`` and the global ``max_arg`` telemetry.
+    Per-seed trajectories match the packed scan chunk (and therefore S
+    independent single-seed runs) — asserted in
+    ``tests/test_shard_step.py::test_sharded_ensemble_*``.
+    """
+    from desmo_tpu import optim, train
+    from desmo_tpu.configs import GROUP_ORDER
+
+    S = int(n_seeds)
+    if not supports_sharded_packed(spec, cfg, S):
+        raise ValueError(
+            f"sharded seed-packed kernel does not support preset "
+            f"{cfg.name!r} at S={S} (see supports_sharded_packed)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape["space"]
+    r, P_ = spec.r, spec.poly_order
+    T = spec.num_poly_terms
+    K = T + 3 * r
+    n, m = spec.n, spec.m
+    beta = float(cfg.beta)
+    lam = float(cfg.l1_lambda)
+    b1, b2, eps = _B1, _B2, _EPS
+    fourier = getattr(cfg, "variant", "desmo") == "fourier"
+    if fourier:
+        from desmo_tpu.models import fourier as fourier_model
+
+        tgrid = jnp.asarray(fourier_model.t_points(m))
+        _SKEYS = ("z", "z_trig", "period", "trig_period")
+
+    # static lane geometry: wide lane -> seed block; aug lane -> seed block
+    lane = np.arange(LANES)
+    wide_seed = np.minimum(lane // K, S - 1).astype(np.int32)
+    inblk = (lane < S * K).astype(np.float32)
+    aug_seed = np.clip((lane - 1) // r, 0, S - 1).astype(np.int32)
+    augmask = ((lane >= 1) & (lane < 1 + S * r)).astype(np.float32)
+    seedsel = np.zeros((LANES, S), np.float32)
+    seedsel[np.arange(S * K), np.repeat(np.arange(S), K)] = 1.0
+    augsel = np.zeros((LANES, S), np.float32)
+    for s in range(S):
+        augsel[1 + s * r : 1 + (s + 1) * r, s] = 1.0
+    wmask = np.zeros((LANES, LANES), np.float32)
+    wmask[: S * K, : S * K] = np.kron(np.eye(S), np.ones((K, K)))
+
+    vplateau = jax.vmap(
+        lambda st, t: optim.plateau_step(
+            st, t, patience=cfg.patience, factor=cfg.sched_factor,
+            min_lr=cfg.sched_min_lr,
+        )
+    )
+
+    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    def chunk(state, batch, num_steps: int):
+        x_hi, x_lo = batch["x_hi"], batch["x_lo"]
+        n_pad, m_pad = x_hi.shape
+        if n_pad % (bt * d):
+            raise ValueError(
+                f"x padding {n_pad} not a multiple of bt*d={bt * d}; build "
+                "the batch with prepare_batch(..., n_mult=bt*n_space)"
+            )
+        call, consts = _build_step_call(
+            r, P_, n, m, n_pad // d, m_pad, bt, interpret, S
+        )
+        x_sq = batch["x_sq"]
+        rowmask = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        pod_rep = jnp.tile(batch["pod_modes"].T, (S, 1))  # (S*r, n), shared
+        pod_fw = _pack_aug(pod_rep, n_pad, lane0=rowmask)
+        params, opt, sched0 = state.params, state.opt, state.sched
+        phi0 = _pack_aug(
+            params["phi"].reshape(S * r, n), n_pad,
+            lane0=jnp.ones((n_pad,), jnp.float32),
+        )
+        mu0 = _pack_aug(opt.mu["phi"].reshape(S * r, n), n_pad)
+        nu0 = _pack_aug(opt.nu["phi"].reshape(S * r, n), n_pad)
+        if fourier:
+            b0 = {k: params[k] for k in _SKEYS}
+            bmu0 = {k: opt.mu[k] for k in _SKEYS}
+            bnu0 = {k: opt.nu[k] for k in _SKEYS}
+        else:
+            b0 = _pack_b_seeds(params["z"], params["z_trig"], T, K, m_pad)
+            bmu0 = _pack_b_seeds(opt.mu["z"], opt.mu["z_trig"], T, K, m_pad)
+            bnu0 = _pack_b_seeds(opt.nu["z"], opt.nu["z_trig"], T, K, m_pad)
+        zt = jnp.zeros((S, T))
+        crow0 = jnp.stack(
+            [
+                _pack_wide_row_seeds(params["c"], params["c_trig"], T, K, r),
+                _pack_wide_row_seeds(opt.mu["c"], opt.mu["c_trig"], T, K, r),
+                _pack_wide_row_seeds(opt.nu["c"], opt.nu["c_trig"], T, K, r),
+                _pack_wide_row_seeds(zt, params["omega"], T, K, r),
+                _pack_wide_row_seeds(zt, opt.mu["omega"], T, K, r),
+                _pack_wide_row_seeds(zt, opt.nu["omega"], T, K, r),
+            ]
+        )
+        sel = jnp.asarray(consts.sel)
+        gidx = jnp.asarray(consts.gidx)
+        mrow = jnp.asarray(consts.mrow)
+        offdiag = sel[LANES : 2 * LANES, :].astype(jnp.float32)
+        seedsel_j = jnp.asarray(seedsel)
+        augsel_j = jnp.asarray(augsel)
+        wmask_j = jnp.asarray(wmask)
+        inblk_j = jnp.asarray(inblk)
+        wide_seed_j = jnp.asarray(wide_seed)
+        aug_seed_j = jnp.asarray(aug_seed)
+        augmask_j = jnp.asarray(augmask)
+
+        def body(
+            xhi, xlo, pod, phi, mu, nu, b, bmu, bnu, crow,
+            lrs0, best0, num_bad0, count0, epoch0, x_sq,
+        ):
+            sched = optim.PlateauState(lrs=lrs0, best=best0, num_bad=num_bad0)
+
+            def step(carry, _):
+                phi, mu, nu, b, bmu, bnu, crow, count, sched, epoch = carry
+                if fourier:
+                    def build_b(sp):
+                        zv = fourier_model.fourier_series_batch(
+                            sp["z"], sp["period"], tgrid
+                        )
+                        ztv = fourier_model.fourier_series_batch(
+                            sp["z_trig"], sp["trig_period"], tgrid
+                        )
+                        return _pack_b_seeds(zv, ztv, T, K, m_pad)
+
+                    bser, build_vjp = jax.vjp(build_b, b)
+                else:
+                    bser = b
+                bh, bl = _split(bser)
+                gb_full = _d(bh, bh, _XBD) + _d(bh, bl, _XBD) + _d(bl, bh, _XBD)
+                # block-diagonal Gram: cross-seed B correlations must not
+                # leak into gradients (per-seed objectives stay independent)
+                gb = gb_full * wmask_j
+                dl, ax, ga, auga, acc = call(
+                    sel, gidx, mrow, pod, xhi, xlo, phi, bh, bl, gb, crow,
+                )
+                marg = jax.lax.pmax(jnp.max(acc[2:3, :]), "space")
+                ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
+
+                # per-seed losses: gb is block-masked, so ga*gb is already
+                # block-diagonal — row-sums bucket by seed via SEEDSEL
+                gg_rows = jnp.sum(ga * gb, axis=1)
+                cross_rows = jnp.sum(ax * bser, axis=1)
+                rec_s = (
+                    gg_rows @ seedsel_j - 2.0 * (cross_rows @ seedsel_j) + x_sq
+                ) / (n * m)
+                od_rows = jnp.sum(jnp.abs(auga * offdiag), axis=1)
+                ortho_s = 0.5 * (od_rows @ augsel_j)
+                l1_s = (jnp.abs(crow[0, :]) * inblk_j) @ seedsel_j
+                total_s = rec_s + beta * ortho_s + lam * l1_s
+                total = jnp.sum(total_s)
+                sign = jnp.sign(auga) * offdiag
+
+                count = count + 1
+                bias = 1.0 - b1 ** count.astype(jnp.float32)
+                # per-seed LR rows splat onto their lanes (GROUP_ORDER:
+                # 0=coef, 1=phi, 2=z, 3=omega, 4=period)
+                lr_coef_l = sched.lrs[:, 0][wide_seed_j] * inblk_j
+                lr_phi_l = sched.lrs[:, 1][aug_seed_j] * augmask_j
+                lr_z_l = sched.lrs[:, 2][wide_seed_j] * inblk_j
+                lr_om_l = sched.lrs[:, 3][wide_seed_j] * inblk_j
+
+                gB = (2.0 / (n * m)) * (_dot3(ga * wmask_j, bser, _STD) - ax)
+                if fourier:
+                    (gsp,) = build_vjp(gB)
+                    lr_col = {
+                        "z": sched.lrs[:, 2], "z_trig": sched.lrs[:, 2],
+                        "period": sched.lrs[:, 4],
+                        "trig_period": sched.lrs[:, 4],
+                    }
+                    bmu_n = {k: b1 * bmu[k] + (1.0 - b1) * gsp[k] for k in b}
+                    bnu_n = {
+                        k: jnp.maximum(b2 * bnu[k], jnp.abs(gsp[k]) + eps)
+                        for k in b
+                    }
+                    b_n = {
+                        k: b[k]
+                        - (
+                            lr_col[k].reshape((-1,) + (1,) * (b[k].ndim - 1))
+                            / bias
+                        )
+                        * bmu_n[k] / bnu_n[k]
+                        for k in b
+                    }
+                else:
+                    bmu_n = b1 * bmu + (1.0 - b1) * gB
+                    bnu_n = jnp.maximum(b2 * bnu, jnp.abs(gB) + eps)
+                    b_n = b - (lr_z_l[:, None] / bias) * bmu_n / bnu_n
+
+                gC = acc[0:1, :] + lam * jnp.sign(crow[0:1, :]) * inblk_j[None, :]
+                cmu = b1 * crow[1:2, :] + (1.0 - b1) * gC
+                cnu = jnp.maximum(b2 * crow[2:3, :], jnp.abs(gC) + eps)
+                c_n = crow[0:1, :] - (lr_coef_l[None, :] / bias) * cmu / cnu
+                gO = acc[1:2, :]
+                omu = b1 * crow[4:5, :] + (1.0 - b1) * gO
+                onu = jnp.maximum(b2 * crow[5:6, :], jnp.abs(gO) + eps)
+                om_n = crow[3:4, :] - (lr_om_l[None, :] / bias) * omu / onu
+                crow_n = jnp.concatenate([c_n, cmu, cnu, om_n, omu, onu], axis=0)
+
+                aug_old = pod * phi
+                dlo = _dot2(aug_old, sign.astype(jnp.bfloat16))
+                g = (dl + beta * dlo) * pod
+                mu_n = b1 * mu + (1.0 - b1) * g
+                nu_n = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
+                phi_n = phi - (lr_phi_l[None, :] / bias) * mu_n / nu_n
+
+                stepped = vplateau(sched, total_s)
+                do_sched = epoch % cfg.sched_every == 0
+                sched_n = jax.tree.map(
+                    lambda a, bb: jnp.where(do_sched, a, bb), stepped, sched
+                )
+                mets4 = jnp.stack([rec_s, ortho_s, l1_s, total_s])
+                return (
+                    phi_n, mu_n, nu_n, b_n, bmu_n, bnu_n, crow_n, count,
+                    sched_n, epoch + 1,
+                ), (mets4, marg)
+
+            carry = (phi, mu, nu, b, bmu, bnu, crow, count0, sched, epoch0)
+            (phi, mu, nu, b, bmu, bnu, crow, count, sched, epoch), (mets4, marg) = (
+                jax.lax.scan(step, carry, None, length=num_steps)
+            )
+            return (
+                phi, mu, nu, b, bmu, bnu, crow,
+                sched.lrs, sched.best, sched.num_bad, count, epoch,
+                mets4, marg,
+            )
+
+        b_spec = jax.tree.map(lambda _: P(), b0)
+        shmap = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("space", None), P("space", None), P("space", None),
+                P("space", None), P("space", None), P("space", None),
+                b_spec, b_spec, b_spec,
+                P(), P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(
+                P("space", None), P("space", None), P("space", None),
+                b_spec, b_spec, b_spec, P(),
+                P(), P(), P(), P(), P(), P(), P(),
+            ),
+            check_vma=False,
+        )
+        (phio, muo, nuo, bfw, bmufw, bnufw, crow_o, lrs, best, num_bad,
+         count, epoch, mets4, marg) = shmap(
+            x_hi, x_lo, pod_fw, phi0, mu0, nu0, b0, bmu0, bnu0, crow0,
+            sched0.lrs, sched0.best, sched0.num_bad, opt.count, state.epoch,
+            x_sq,
+        )
+
+        def unaug(fw):
+            return _unpack_aug(fw, S * r, n).reshape(S, r, n)
+
+        c, c_trig = _unpack_wide_row_seeds(crow_o[0], S, T, K, r)
+        mc, mct = _unpack_wide_row_seeds(crow_o[1], S, T, K, r)
+        nc, nct = _unpack_wide_row_seeds(crow_o[2], S, T, K, r)
+        _, omega = _unpack_wide_row_seeds(crow_o[3], S, T, K, r)
+        _, momega = _unpack_wide_row_seeds(crow_o[4], S, T, K, r)
+        _, nomega = _unpack_wide_row_seeds(crow_o[5], S, T, K, r)
+        new_params = {"phi": unaug(phio), "c": c, "c_trig": c_trig, "omega": omega}
+        new_mu = {"phi": unaug(muo), "c": mc, "c_trig": mct, "omega": momega}
+        new_nu = {"phi": unaug(nuo), "c": nc, "c_trig": nct, "omega": nomega}
+        if fourier:
+            new_params.update(bfw)
+            new_mu.update(bmufw)
+            new_nu.update(bnufw)
+        else:
+            for tree, packed in (
+                (new_params, bfw), (new_mu, bmufw), (new_nu, bnufw),
+            ):
+                zv, ztv = _unpack_b_seeds(packed, S, T, K, r, m)
+                tree["z"], tree["z_trig"] = zv, ztv
+        new_state = train.TrainState(
+            params={k: new_params[k] for k in state.params},
+            opt=optim.AdamaxState(
+                count=count,
+                mu={k: new_mu[k] for k in state.params},
+                nu={k: new_nu[k] for k in state.params},
+            ),
+            sched=optim.PlateauState(lrs=lrs, best=best, num_bad=num_bad),
+            epoch=epoch,
+        )
+        metrics = {
+            "rec": mets4[:, 0], "ortho": mets4[:, 1], "l1": mets4[:, 2],
+            "total_s": mets4[:, 3],
+            "total": jnp.sum(mets4[:, 3], axis=1),
+            "max_arg": marg,
         }
         return new_state, metrics
 

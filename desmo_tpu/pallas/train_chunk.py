@@ -1257,20 +1257,30 @@ def select_ensemble_chunk(
     """Chunk-selection policy for the lane-packed multi-seed trainer
     (``ensemble.fit``), mirroring ``select_chunk``: the seed-packed
     mega-kernel on TPU when the pack fits, else None (packed scan).
-    Under a ``device_mesh`` the kernel never applies (it is single-chip;
-    the mesh path is the sharding-aware packed scan chunk) — an explicit
-    ``chunk_method='megakernel'`` request errors rather than degrading."""
+    Under a ``device_mesh`` the kernel form is the SHARDED seed-packed
+    megastep (``shard_step.make_sharded_fused_ensemble_chunk`` — seeds in
+    lanes x rows over 'space'); an explicit ``chunk_method='megakernel'``
+    request errors rather than degrading when that kernel can't apply."""
     method = getattr(cfg, "chunk_method", "auto")
     if method == "scan":
         return None
     if device_mesh is not None:
-        if method == "megakernel":
-            raise ValueError(
-                "chunk_method='megakernel' with a device mesh: the "
-                "seed-packed mega-kernel is single-chip — use 'auto'/'scan' "
-                "for multi-start under a mesh (sharded packed scan chunk)"
-            )
-        return None
+        from desmo_tpu.pallas import shard_step
+
+        if not shard_step.supports_sharded_packed(spec, cfg, n_seeds):
+            if method == "megakernel":
+                raise ValueError(
+                    f"chunk_method='megakernel' with a device mesh but "
+                    f"preset {cfg.name!r} at S={n_seeds} has no sharded "
+                    "seed-packed kernel — see "
+                    "shard_step.supports_sharded_packed"
+                )
+            return None
+        if method != "megakernel" and jax.default_backend() != "tpu":
+            return None
+        return shard_step.make_sharded_fused_ensemble_chunk(
+            spec, cfg, device_mesh, n_seeds, bt
+        )
     if method == "megakernel":
         if not supports_packed(spec, cfg, n_seeds):
             raise ValueError(

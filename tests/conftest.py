@@ -75,6 +75,9 @@ _SLOW = {
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",
     "tests/test_shard_step.py::test_sharded_sincos_guard_engages",
     "tests/test_shard_step.py::test_sharded_fourier_chunk_matches_single_device",
+    "tests/test_shard_step.py::test_sharded_ensemble_matches_single_chip_packed_kernel",
+    "tests/test_shard_step.py::test_sharded_fourier_ensemble_matches_single_chip_packed_kernel",
+    "tests/test_ensemble.py::test_fit_mesh_kernel_path",
     "tests/test_shard_step.py::test_sharded_resume_roundtrip",
     "tests/test_sr.py::test_full_sr_pipeline_on_trained_model",
     "tests/test_train.py::test_flat_chunk_matches_pytree_step",

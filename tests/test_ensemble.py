@@ -318,9 +318,10 @@ def test_mesh_ensemble_matches_single_device():
 
 
 def test_select_ensemble_chunk_mesh_policy():
-    """Under a device mesh the seed-packed kernel never applies (it is
-    single-chip); an explicit chunk_method='megakernel' request must error,
-    not silently degrade."""
+    """Under a device mesh the kernel form is the SHARDED seed-packed
+    megastep: auto-select declines off-TPU (tests construct it directly),
+    an explicit chunk_method='megakernel' request constructs it when
+    supported and errors (never silently degrades) when not."""
     import dataclasses as dc
 
     from desmo_tpu.pallas import train_chunk as tc
@@ -328,11 +329,18 @@ def test_select_ensemble_chunk_mesh_policy():
 
     spec, cfg, params, batch = _problem(2)
     mesh = make_mesh(n_space=4, n_time=2)
+    # auto on a CPU backend: decline (CI constructs the kernel directly)
     assert tc.select_ensemble_chunk(spec, cfg, 2, device_mesh=mesh) is None
-    with pytest.raises(ValueError, match="single-chip"):
+    # explicit megakernel + supported pack: the sharded seed-packed chunk
+    chunk = tc.select_ensemble_chunk(
+        spec, dc.replace(cfg, chunk_method="megakernel"), 2, device_mesh=mesh
+    )
+    assert chunk is not None
+    # explicit megakernel + unsupported (AE variant): error, don't degrade
+    with pytest.raises(ValueError, match="seed-packed"):
         tc.select_ensemble_chunk(
-            spec, dc.replace(cfg, chunk_method="megakernel"), 2,
-            device_mesh=mesh,
+            spec, dc.replace(cfg, chunk_method="megakernel", variant="ae"),
+            2, device_mesh=mesh,
         )
 
 
@@ -371,4 +379,28 @@ def test_fit_recovers_mid_run_divergence(monkeypatch):
     assert best in (0, 2)
     assert int(result.state.epoch) == 40
     assert result.history["total"].shape == (40,)
+    assert np.isfinite(result.history["total"]).all()
+
+
+def test_fit_mesh_kernel_path():
+    """ensemble.fit under a device mesh with chunk_method='megakernel' runs
+    the SHARDED seed-packed megastep end to end (multi-chunk, best-seed
+    selection, single-seed result state)."""
+    import dataclasses as dc
+
+    from desmo_tpu.parallel import make_mesh
+
+    spec, cfg, params, batch = _problem(2, lr_omega=0.1)
+    cfg = dc.replace(
+        cfg, chunk_method="megakernel", checkpoint_every=6, log_every=1000
+    )
+    mesh = make_mesh(n_space=4, n_time=2)
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=2, num_epochs=12, seed=0,
+        phi_sigma=0.1, log=None, device_mesh=mesh,
+    )
+    assert finals.shape == (2,)
+    assert np.isfinite(finals).all()
+    assert int(result.state.epoch) == 12
+    assert result.state.params["phi"].shape == (spec.r, spec.n)
     assert np.isfinite(result.history["total"]).all()

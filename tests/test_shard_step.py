@@ -223,3 +223,101 @@ def test_sharded_sincos_guard_engages():
     assert result.max_abs_trig_arg > tc.SINCOS_DOMAIN
     assert int(result.state.epoch) == 12
     assert np.isfinite(np.asarray(result.history["total"])).all()
+
+
+def test_sharded_ensemble_matches_single_chip_packed_kernel():
+    """SEED-PACKED x SPACE-SHARDED: S lane-packed models per device megastep
+    must reproduce the single-chip seed-packed mega-kernel per seed (same
+    numerics class: 3-pass hi/lo contractions + fast sincos), with phi (and
+    moments) left (S, r, n/d)-sharded over 'space'."""
+    from desmo_tpu import ensemble
+
+    n_space = 4
+    S = 3
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    eparams = ensemble.init_params(spec, S, seed=1, phi_sigma=0.1)
+    sharded = shard_step.make_sharded_fused_ensemble_chunk(
+        spec, cfg, mesh, S, bt=16
+    )
+    s_sh = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = sharded(s_sh, batch, num_steps=25)
+
+    single = train_chunk.make_fused_ensemble_chunk(spec, cfg, S, bt=16, interpret=True)
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    s_k, m_k = single(s_k, batch, num_steps=25)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total_s"]), np.asarray(m_k["total_s"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sh["max_arg"]), np.asarray(m_k["max_arg"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]), np.asarray(s_k.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_sh.sched.lrs), np.asarray(s_k.sched.lrs), rtol=1e-6
+    )
+    assert int(s_sh.epoch) == 25 and int(s_sh.opt.count) == 25
+    for tree in (s_sh.params, s_sh.opt.mu, s_sh.opt.nu):
+        shard = next(iter(tree["phi"].addressable_shards))
+        assert shard.data.shape == (S, spec.r, cfg.n // n_space), (
+            tree["phi"].sharding
+        )
+
+
+def test_sharded_fourier_ensemble_matches_single_chip_packed_kernel():
+    """Fourier variant of the sharded seed-packed chunk (per-seed series +
+    learnable periods built per step under jax.vjp) vs the single-chip
+    packed fourier kernel, at DISTINCT per-seed periods."""
+    from desmo_tpu import ensemble
+
+    n_space = 4
+    S = 3
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = fourier_problem(n_space)
+    eparams = ensemble.init_params(
+        spec, S, seed=1, phi_sigma=0.1,
+        periods=[float(cfg.m), cfg.m / 2.0, cfg.m / 3.0],
+    )
+    sharded = shard_step.make_sharded_fused_ensemble_chunk(
+        spec, cfg, mesh, S, bt=16
+    )
+    s_sh = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = sharded(s_sh, batch, num_steps=20)
+
+    single = train_chunk.make_fused_ensemble_chunk(spec, cfg, S, bt=16, interpret=True)
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    s_k, m_k = single(s_k, batch, num_steps=20)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total_s"]), np.asarray(m_k["total_s"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]), np.asarray(s_k.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    assert not s_sh.params["phi"].sharding.is_fully_replicated
+
+
+def test_supports_sharded_packed():
+    cfg, spec, params, batch = problem(4)
+    assert shard_step.supports_sharded_packed(spec, cfg, 3)
+    assert not shard_step.supports_sharded_packed(spec, cfg, 99)  # lanes
+    import dataclasses
+
+    acfg = dataclasses.replace(cfg, variant="ae")
+    assert not shard_step.supports_sharded_packed(spec, acfg, 2)
+    with pytest.raises(ValueError, match="seed-packed"):
+        shard_step.make_sharded_fused_ensemble_chunk(
+            spec, acfg, make_mesh(n_space=4, n_time=2), 2
+        )
