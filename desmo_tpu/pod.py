@@ -13,6 +13,7 @@ to per-mode sign, which is absorbed by the learnable phi masks.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +55,17 @@ def pod(
     singular vectors, ``CYL:205``); ``reconstruction`` is ``U_r S_r Vt_r``
     (``CYL:208``).
 
-    method: 'auto' (snapshots when n > m), 'snapshots', or 'svd' (full
-    ``jnp.linalg.svd``, bit-matching the reference up to sign).
+    method: 'auto' (snapshots when n > m), 'snapshots', 'svd' (full
+    ``jnp.linalg.svd``, bit-matching the reference up to sign), or
+    'randomized' (range-finder sketch, :func:`randomized_pod` — for shapes
+    where even the m x m Gram is too expensive).
     """
     x = jnp.asarray(x, jnp.float32)
     n, m = x.shape
     if method == "auto":
         method = "snapshots" if n > m else "svd"
+    if method == "randomized":
+        return randomized_pod(x, r, precision=precision)
     if method == "snapshots":
         u, s, vt = _method_of_snapshots(x, precision)
     elif method == "svd":
@@ -113,6 +118,100 @@ def rank_sweep(x, max_r: int, method: str = "auto") -> list[tuple[int, float]]:
     for r in range(1, max_r + 1):
         out.append((r, pod_relative_error(x, truncate(x, full, r))))
     return out
+
+
+def _cholesky_qr2(y: jnp.ndarray, precision) -> jnp.ndarray:
+    """Orthonormalize the tall sketch Y (n, k) via two rounds of CholeskyQR.
+
+    TPU-native replacement for a tall-skinny QR: each round is one row-parallel
+    Gram GEMM ``Y^T Y`` (a psum under a 'space'-sharded n axis), one k x k
+    Cholesky, and one row-parallel triangular back-substitution applied as a
+    GEMM with the k x k inverse — the spatial axis never gathers. One round is
+    CholeskyQR (loses orthogonality at cond(Y)^2 * eps); repeating it
+    (CholeskyQR2) restores orthogonality to working precision for any sketch
+    the power iteration produces."""
+    k = y.shape[1]
+    eye = jnp.eye(k, dtype=y.dtype)
+    for _ in range(2):
+        g = jnp.dot(y.T, y, precision=precision)
+        # jitter at float32 scale: a rank-deficient sketch (k > numerical
+        # rank, common when the data is exactly low-rank) must not make the
+        # Cholesky NaN out. Null-space columns come out near-zero rather
+        # than orthonormal; their B rows then carry ~0 singular values and
+        # sort to the tail, leaving the leading r modes untouched.
+        g = g + (1e-6 * jnp.trace(g) / k) * eye
+        l = jnp.linalg.cholesky(g)
+        y = jnp.dot(y, jnp.linalg.inv(l).T, precision=precision)
+    return y
+
+
+def randomized_pod(
+    x,
+    r: int,
+    oversample: int = 8,
+    n_iter: int = 2,
+    seed: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
+    mesh=None,
+) -> PODResult:
+    """Rank-r POD by a randomized range finder (Halko-Martinsson-Tropp), for
+    spatial meshes where the m x m Gram of the method of snapshots — or the
+    O(n m^2) it costs to form — is too expensive (n >> 10^6 or m in the
+    thousands; the reference tops out at m=2000, ``CHAN:79``).
+
+    Cost is O(n m k) with k = r + oversample << m, all of it MXU GEMMs:
+    sketch ``Y = X @ Omega``, ``n_iter`` power iterations ``Y <- X (X^T Y)``
+    (each stabilized by :func:`_cholesky_qr2`), then the small k x m
+    ``B = Q^T X`` SVD lifts back through Q. Every tall operation is
+    row-parallel over the spatial axis, so passing ``mesh`` (a
+    ``('space', 'time')`` mesh from ``parallel.make_mesh``) runs the whole
+    factorization with X, Q and the returned modes/reconstruction sharded
+    ``P('space', ...)``; the only collectives are the psums XLA inserts for
+    the k-width Gram/projection reductions.
+
+    ``energy`` is normalized by ``||X||_F^2`` (exact), so the k computed
+    entries are true energy fractions, but the spectrum has length k, not m.
+    Within the captured subspace the factorization is an exact truncated SVD
+    of ``Q Q^T X``, so ``reconstruction == U_r (U_r^T X)`` and the relative
+    error can also be computed without materializing it:
+    ``sqrt(1 - sum(energy[:r]))`` to sketch accuracy.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n, m = x.shape
+    k = min(m, n, r + oversample)
+    if r > k:
+        raise ValueError(f"rank r={r} exceeds sketch width k={k}")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.device_put(x, NamedSharding(mesh, P("space", None)))
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def factor(x, omega, n_iter):
+        y = jnp.dot(x, omega, precision=precision)  # (n, k) sketch
+        q = _cholesky_qr2(y, precision)
+        for _ in range(n_iter):
+            z = jnp.dot(x.T, q, precision=precision)  # (m, k), psum'd
+            q = _cholesky_qr2(jnp.dot(x, z, precision=precision), precision)
+        b = jnp.dot(q.T, x, precision=precision)  # (k, m), small
+        ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+        u = jnp.dot(q, ub, precision=precision)  # (n, k), row-parallel
+        fro2 = jnp.sum(jnp.square(x))
+        energy = (s * s) / fro2
+        recon = jnp.dot(
+            u[:, :r] * s[None, :r], vt[:r, :], precision=precision
+        )
+        return u[:, :r], s[:r], vt[:r, :], energy, recon
+
+    omega = jax.random.normal(jax.random.PRNGKey(seed), (m, k), jnp.float32)
+    u_r, s_r, vt_r, energy, recon = factor(x, omega, n_iter)
+    return PODResult(
+        modes=u_r,
+        temporal=vt_r,
+        singular_values=s_r,
+        energy=energy,
+        reconstruction=recon,
+    )
 
 
 def pod_numpy(x: np.ndarray, r: int):

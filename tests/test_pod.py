@@ -111,3 +111,70 @@ def test_sign_flip_changes_frozen_mask_reconstruction():
     flipped_modes = ref.modes * jnp.asarray([-1.0, 1.0])[None, :]
     recon_flip, _, _ = desmo.apply(params, flipped_modes, spec)
     assert float(np.max(np.abs(np.asarray(recon_ref) - np.asarray(recon_flip)))) > 1e-3
+
+
+def test_randomized_pod_matches_exact_on_decaying_spectrum():
+    """Range-finder POD (sketch + 2 power iterations) must reproduce the
+    exact truncated SVD on data with a decaying spectrum: singular values,
+    mode subspace (up to sign), reconstruction, and the factored error
+    identity sqrt(1 - sum(energy[:r]))."""
+    x = synthetic.separable_rank_k(300, 80, k=10, seed=3).astype(np.float64)
+    x += 1e-4 * np.random.default_rng(0).standard_normal(x.shape)
+    r = 4
+    exact = pod.pod_numpy(x, r)
+    res = pod.randomized_pod(x, r, oversample=8, n_iter=2, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(res.singular_values), exact[3], rtol=1e-3
+    )
+    got = np.asarray(res.modes)
+    for i in range(r):
+        dot = abs(float(got[:, i] @ exact[1][:, i]))
+        assert dot > 1 - 1e-3, f"mode {i} misaligned: |dot|={dot}"
+    np.testing.assert_allclose(
+        np.asarray(res.reconstruction), exact[0], rtol=5e-3, atol=5e-4
+    )
+    # factored error == materialized error (both ~ the exact optimum)
+    err_mat = pod.pod_relative_error(x, res)
+    err_fac = float(np.sqrt(max(0.0, 1.0 - np.sum(np.asarray(res.energy)[:r]))))
+    assert abs(err_mat - err_fac) < 1e-3
+    # orthonormal modes out of CholeskyQR2
+    gram = got.T @ got
+    np.testing.assert_allclose(gram, np.eye(r), atol=1e-5)
+
+
+def test_randomized_pod_method_dispatch():
+    x = synthetic.separable_rank_k(120, 40, k=5, seed=4)
+    res = pod.pod(x, 3, method="randomized")
+    ref = pod.pod(x, 3, method="svd")
+    np.testing.assert_allclose(
+        np.asarray(res.singular_values), np.asarray(ref.singular_values),
+        rtol=1e-3,
+    )
+
+
+def test_randomized_pod_sharded_over_space():
+    """With a ('space', 'time') mesh the whole factorization runs with the
+    spatial axis sharded: same numbers as single-device (same sketch seed),
+    modes and reconstruction come back 'space'-sharded, never gathered."""
+    from desmo_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_space=4, n_time=2)
+    x = synthetic.separable_rank_k(320, 60, k=8, seed=5)
+    r = 3
+    single = pod.randomized_pod(x, r, seed=1)
+    sharded = pod.randomized_pod(x, r, seed=1, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.singular_values),
+        np.asarray(single.singular_values), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.modes), np.asarray(single.modes),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.reconstruction), np.asarray(single.reconstruction),
+        rtol=1e-4, atol=1e-6,
+    )
+    for arr in (sharded.modes, sharded.reconstruction):
+        shard = next(iter(arr.addressable_shards))
+        assert shard.data.shape[0] == 320 // 4, arr.sharding
