@@ -38,6 +38,7 @@ __all__ = [
     "read_legacy_vtk",
     "read_mesh",
     "read_snapshot_series",
+    "iter_snapshot_column_blocks",
     "write_vtu",
 ]
 
@@ -578,6 +579,33 @@ def read_mesh(path: str) -> Mesh:
     if path.endswith((".vtu", ".vtr", ".vti", ".pvtu", ".xml")):
         return read_vtu(path)
     return read_legacy_vtk(path)
+
+
+def iter_snapshot_column_blocks(
+    input_dir: str,
+    filename: str,
+    t_start: int,
+    t_end: int,
+    extension: str = ".vtu",
+    array: str = "velocity",
+    location: str = "point",
+    block: int = 64,
+):
+    """Stream the :func:`read_snapshot_series` matrix as (n, <=block) column
+    blocks without ever materializing all of X — the feed for
+    ``pod.streaming_randomized_pod`` (out-of-core POD over snapshot sets
+    larger than host RAM). Same file naming/flattening contract as
+    ``read_snapshot_series`` (``CYL:39-85``)."""
+    sep = "" if input_dir.endswith("/") or not input_dir else "/"
+    cols = []
+    for i in range(t_start, t_end):
+        mesh = read_mesh(f"{input_dir}{sep}{filename}{i}{extension}")
+        cols.append(np.asarray(mesh.array(array, location)).reshape(-1))
+        if len(cols) == block:
+            yield np.stack(cols, axis=1)
+            cols = []
+    if cols:
+        yield np.stack(cols, axis=1)
 
 
 def read_snapshot_series(

@@ -214,6 +214,90 @@ def randomized_pod(
     )
 
 
+def streaming_randomized_pod(
+    column_blocks,
+    m: int,
+    r: int,
+    oversample: int = 8,
+    n_iter: int = 2,
+    seed: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
+) -> PODResult:
+    """Out-of-core :func:`randomized_pod`: the snapshot matrix X (n, m) is
+    never materialized — neither in host RAM nor HBM. Only the (n, k) sketch
+    is resident (k = r + oversample); snapshots stream through in column
+    blocks, each contributing three MXU GEMM shapes:
+
+    * sketch pass:      ``Y += X_b @ Omega_b``         (+ running ||X||_F^2)
+    * power pass (x ``n_iter``): ``Y += X_b @ (X_b^T Q)`` — the two GEMMs of
+      ``X X^T Q`` fuse into ONE pass because row t of ``X^T Q`` depends only
+      on column t
+    * projection pass:  ``B_b = Q^T X_b``
+
+    = ``n_iter + 2`` passes over the snapshot files total (the reference
+    loads all of X up front and runs LAPACK on it, ``CYL:39-85,197-205`` —
+    impossible beyond host RAM).
+
+    ``column_blocks``: zero-argument callable returning a fresh iterator of
+    ``(n, b)`` float blocks whose widths sum to ``m`` in snapshot order on
+    every call (it is called ``n_iter + 2`` times); wire snapshot files via
+    ``io.vtk.iter_snapshot_column_blocks``. ``reconstruction`` is ``None``
+    (materializing it would defeat the purpose); the rank-r relative error
+    is ``sqrt(1 - sum(energy[:r]))`` as in :func:`randomized_pod`.
+    """
+    k = min(m, r + oversample)
+    if r > k:
+        raise ValueError(f"rank r={r} exceeds sketch width k={k}")
+    omega = jax.random.normal(jax.random.PRNGKey(seed), (m, k), jnp.float32)
+
+    @jax.jit
+    def _sketch(y, fro2, xb, om_b):
+        y = y + jnp.dot(xb, om_b, precision=precision)
+        return y, fro2 + jnp.sum(jnp.square(xb))
+
+    @jax.jit
+    def _power(y, xb, q):
+        z = jnp.dot(xb.T, q, precision=precision)  # (b, k)
+        return y + jnp.dot(xb, z, precision=precision)
+
+    @jax.jit
+    def _project(q, xb):
+        return jnp.dot(q.T, xb, precision=precision)  # (k, b)
+
+    y = None
+    fro2 = jnp.zeros((), jnp.float32)
+    t = 0
+    for xb in column_blocks():
+        xb = jnp.asarray(xb, jnp.float32)
+        if y is None:
+            y = jnp.zeros((xb.shape[0], k), jnp.float32)
+        y, fro2 = _sketch(y, fro2, xb, omega[t : t + xb.shape[1]])
+        t += xb.shape[1]
+    if y is None or t != m:
+        raise ValueError(f"column blocks covered {t} of m={m} snapshots")
+    qr2 = jax.jit(functools.partial(_cholesky_qr2, precision=precision))
+    q = qr2(y)
+    for _ in range(n_iter):
+        y = jnp.zeros_like(q)
+        for xb in column_blocks():
+            y = _power(y, jnp.asarray(xb, jnp.float32), q)
+        q = qr2(y)
+    b = jnp.concatenate(
+        [_project(q, jnp.asarray(xb, jnp.float32)) for xb in column_blocks()],
+        axis=1,
+    )
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.dot(q, ub, precision=precision)
+    energy = (s * s) / fro2
+    return PODResult(
+        modes=u[:, :r],
+        temporal=vt[:r, :],
+        singular_values=s[:r],
+        energy=energy,
+        reconstruction=None,
+    )
+
+
 def pod_numpy(x: np.ndarray, r: int):
     """Host-side full-SVD oracle, exactly the reference's path (``CYL:199-208``).
 

@@ -178,3 +178,78 @@ def test_randomized_pod_sharded_over_space():
     for arr in (sharded.modes, sharded.reconstruction):
         shard = next(iter(arr.addressable_shards))
         assert shard.data.shape[0] == 320 // 4, arr.sharding
+
+
+def test_streaming_randomized_pod_matches_in_memory():
+    """The out-of-core sketch (blocks streamed, X never materialized inside)
+    must reproduce randomized_pod with the same sketch seed: identical math,
+    only fp accumulation order differs. Also checks the factored-error
+    contract (reconstruction is None by design)."""
+    x = synthetic.separable_rank_k(250, 70, k=9, seed=6).astype(np.float32)
+    x += 1e-4 * np.random.default_rng(1).standard_normal(x.shape).astype(
+        np.float32
+    )
+    r = 4
+
+    def blocks(width):
+        def gen():
+            for t in range(0, x.shape[1], width):
+                yield x[:, t : t + width]
+        return gen
+
+    mem = pod.randomized_pod(x, r, seed=2)
+    for width in (16, 70, 7):  # uneven tail, single block, tiny blocks
+        stream = pod.streaming_randomized_pod(blocks(width), 70, r, seed=2)
+        np.testing.assert_allclose(
+            np.asarray(stream.singular_values),
+            np.asarray(mem.singular_values), rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stream.modes), np.asarray(mem.modes),
+            rtol=1e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stream.energy), np.asarray(mem.energy),
+            rtol=1e-4, atol=1e-12,  # tail entries are numerical zeros
+        )
+        assert stream.reconstruction is None
+    # wrong m must be caught, not silently truncated
+    with pytest.raises(ValueError, match="covered"):
+        pod.streaming_randomized_pod(blocks(16), 99, r, seed=2)
+
+
+def test_streaming_pod_from_vtu_files(tmp_path):
+    """End-to-end out-of-core POD over on-disk .vtu snapshots via
+    io.vtk.iter_snapshot_column_blocks: never assembles X, matches the POD
+    of the read_snapshot_series matrix."""
+    from desmo_tpu.io import vtk as vio
+
+    n_pts, m = 80, 30
+    x = synthetic.separable_rank_k(n_pts, m, k=5, seed=7).astype(np.float32)
+    pts = np.random.default_rng(2).standard_normal((n_pts, 3)).astype(
+        np.float32
+    )
+    mesh = vio.Mesh(
+        points=pts, point_data={}, cell_data={},
+        cells=np.arange(3, dtype=np.int64),
+        cell_offsets=np.array([3], np.int64),
+        cell_types=np.array([5], np.uint8),
+    )
+    for t in range(m):
+        vio.write_vtu(
+            str(tmp_path / f"snap{t}.vtu"), mesh,
+            point_data={"velocity": x[:, t]},
+        )
+    blocks = lambda: vio.iter_snapshot_column_blocks(
+        str(tmp_path), "snap", 0, m, block=8
+    )
+    stream = pod.streaming_randomized_pod(blocks, m, 3, seed=0)
+    x_mat, _ = vio.read_snapshot_series(str(tmp_path), "snap", 0, m)
+    mem = pod.randomized_pod(x_mat, 3, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(stream.singular_values), np.asarray(mem.singular_values),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stream.modes), np.asarray(mem.modes), rtol=1e-3, atol=1e-5
+    )
