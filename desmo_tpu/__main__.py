@@ -50,6 +50,8 @@ def cmd_run(args) -> int:
         overrides["seed_phi_sigma"] = args.seed_phi_sigma
     if getattr(args, "seed_omega_spread", None) is not None:
         overrides["seed_omega_spread"] = args.seed_omega_spread
+    if getattr(args, "pod_method", None):
+        overrides["pod_method"] = args.pod_method
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = None
@@ -118,6 +120,8 @@ def cmd_evaluate(args) -> int:
     from desmo_tpu import configs, runner
 
     cfg = configs.get(args.preset)
+    if getattr(args, "pod_method", None):
+        cfg = dataclasses.replace(cfg, pod_method=args.pod_method)
     x, _mesh = runner.load_data(
         cfg,
         data_dir=args.data_dir,
@@ -164,6 +168,91 @@ def cmd_sr(args) -> int:
         log=print,
     )
     print(f"channels: {result.channels}")
+    return 0
+
+
+def cmd_pod(args) -> int:
+    """Standalone POD analysis — the reference's ``POD_analysis`` stage
+    (``CYL:197-299``) as its own command, including the out-of-core streaming
+    path for snapshot series larger than host RAM (pod.streaming_randomized_pod)."""
+    import numpy as np
+
+    from desmo_tpu import configs, pod, runner
+
+    cfg = configs.get(args.preset)
+    r = args.rank if args.rank is not None else cfg.r
+    if args.method == "streaming":
+        if not args.data_dir:
+            raise SystemExit("--method streaming requires --data-dir (on-disk series)")
+        from desmo_tpu import data as data_mod
+        from desmo_tpu.io import vtk as vio
+
+        stop = (
+            args.t_end
+            if args.t_end is not None
+            else args.t_start + cfg.m * cfg.time_stride
+        )
+
+        def raw_blocks():
+            return vio.iter_snapshot_column_blocks(
+                args.data_dir, args.filename, args.t_start, stop,
+                extension=args.extension, array=args.array,
+                location=args.location, block=args.block,
+            )
+
+        blocks, m, _mean = data_mod.streaming_preprocess_blocks(
+            raw_blocks,
+            dim=args.dim if args.dim is not None else cfg.dim,
+            time_stride=cfg.time_stride,
+            inv_sqrt_m=cfg.scale_inv_sqrt_m,
+        )
+        res = pod.canonical_signs(
+            pod.streaming_randomized_pod(
+                blocks, m, r, oversample=args.oversample, n_iter=args.iters
+            )
+        )
+        # exact within the captured subspace: ||X - QQ^T X|| via the energy tail
+        err = float(np.sqrt(max(0.0, 1.0 - float(np.sum(np.asarray(res.energy)[:r])))))
+    else:
+        x, _mesh = runner.load_data(
+            cfg,
+            data_dir=args.data_dir,
+            filename=args.filename,
+            extension=args.extension,
+            array=args.array,
+            location=args.location,
+            t_start=args.t_start,
+            t_end=args.t_end,
+            npz_path=args.npz,
+            synthetic=args.synthetic,
+            dim=args.dim,
+        )
+        if args.method == "host":
+            res = pod.pod_host(x, r)
+        else:
+            res = pod.canonical_signs(pod.pod(x, r, method=args.method))
+        err = pod.pod_relative_error(x, res)
+    if args.save:
+        np.savez(
+            args.save,
+            modes=np.asarray(res.modes),
+            temporal=np.asarray(res.temporal),
+            singular_values=np.asarray(res.singular_values),
+            energy=np.asarray(res.energy),
+        )
+    print(
+        json.dumps(
+            {
+                "preset": cfg.name,
+                "method": args.method,
+                "rank": r,
+                "relative_error": err,
+                "singular_values": np.asarray(res.singular_values).tolist(),
+                "energy_captured": float(np.sum(np.asarray(res.energy)[:r])),
+                "saved": args.save,
+            }
+        )
+    )
     return 0
 
 
@@ -249,10 +338,47 @@ def main(argv=None) -> int:
         help="multi-seed: omega init log-spread in decades for seeds > 0 "
         "(default 0 = keep the preset omega_init)",
     )
+    p_run.add_argument(
+        "--pod-method", default=None,
+        choices=["host", "snapshots", "svd", "randomized"],
+        help="POD initialization path (default 'host' = reference-exact "
+        "np.linalg.svd signs; others run on device under a canonical sign "
+        "convention — evaluate a resulting checkpoint with the SAME flag)",
+    )
     sub.add_parser("bench", help="run the throughput benchmark", parents=[backend])
 
     p_pt = sub.add_parser("inspect-pt", help="list arrays in a .pt checkpoint")
     p_pt.add_argument("path")
+
+    p_pod = sub.add_parser(
+        "pod",
+        help="standalone POD analysis (incl. out-of-core streaming over "
+        "on-disk series)",
+        parents=[backend],
+    )
+    p_pod.add_argument("--preset", required=True, help="preset supplying the preprocessing flags")
+    p_pod.add_argument("--rank", "-r", type=int, default=None, help="POD rank (default: preset r)")
+    p_pod.add_argument(
+        "--method", default="auto",
+        choices=["auto", "host", "snapshots", "svd", "randomized", "streaming"],
+        help="'streaming' never materializes X (n_iter+3 passes over the "
+        "files); others load X then factorize on device ('host' = reference "
+        "np.linalg.svd)",
+    )
+    p_pod.add_argument("--data-dir", default=None, help="directory of VTK snapshots")
+    p_pod.add_argument("--filename", default="velocity_")
+    p_pod.add_argument("--extension", default=".vtu")
+    p_pod.add_argument("--array", default="velocity")
+    p_pod.add_argument("--location", default="point", choices=["point", "cell"])
+    p_pod.add_argument("--t-start", type=int, default=0)
+    p_pod.add_argument("--t-end", type=int, default=None)
+    p_pod.add_argument("--npz", default=None)
+    p_pod.add_argument("--synthetic", action="store_true")
+    p_pod.add_argument("--dim", type=int, default=None, choices=[2, 3])
+    p_pod.add_argument("--block", type=int, default=64, help="streaming column-block width")
+    p_pod.add_argument("--oversample", type=int, default=8, help="randomized/streaming sketch oversampling")
+    p_pod.add_argument("--iters", type=int, default=2, help="randomized/streaming power iterations")
+    p_pod.add_argument("--save", default=None, metavar="NPZ", help="write modes/temporal/spectrum to an npz")
 
     p_ev = sub.add_parser(
         "evaluate",
@@ -264,6 +390,12 @@ def main(argv=None) -> int:
     p_ev.add_argument("--data-dir", default=None)
     p_ev.add_argument("--npz", default=None)
     p_ev.add_argument("--synthetic", action="store_true")
+    p_ev.add_argument(
+        "--pod-method", default=None,
+        choices=["host", "snapshots", "svd", "randomized"],
+        help="rebuild POD with this method — MUST match the method the "
+        "checkpoint was trained under (default 'host' = reference signs)",
+    )
 
     p_sr = sub.add_parser(
         "sr", help="DESMO-SR: identify dz/dt=f(z) from a checkpoint",
@@ -296,6 +428,7 @@ def main(argv=None) -> int:
         "run": cmd_run,
         "bench": cmd_bench,
         "inspect-pt": cmd_import_pt,
+        "pod": cmd_pod,
         "evaluate": cmd_evaluate,
         "sr": cmd_sr,
     }[args.command](args)

@@ -68,6 +68,13 @@ class RunConfig:
     # --- loss evaluation path: 'auto' = Pallas-fused on TPU, factored Gram
     # products elsewhere; 'direct' materializes the (n, m) reconstruction ---
     loss_method: str = "auto"
+    # POD initialization path: 'host' = np.linalg.svd with the reference's
+    # exact mode signs (CYL:199-205; required when pairing with imported
+    # reference checkpoints); 'snapshots' / 'svd' / 'randomized' run on
+    # device (pod.pod) under pod.canonical_signs so train -> evaluate round
+    # trips rebuild identical signs. 'randomized' (Halko range finder,
+    # O(n*m*k)) is for meshes where even the m x m Gram is too expensive.
+    pod_method: str = "host"
     # scan-unroll factor of the compiled training loop: amortizes the TPU
     # runtime's per-iteration while-loop overhead (~20 us on v5e); purely a
     # compile-time schedule choice, numerics are unchanged

@@ -19,6 +19,7 @@ __all__ = [
     "subsample_time",
     "scale_inv_sqrt_m",
     "preprocess",
+    "streaming_preprocess_blocks",
 ]
 
 
@@ -117,3 +118,77 @@ def preprocess(
     if time_stride > 1:
         x = subsample_time(x, time_stride)
     return np.ascontiguousarray(x, dtype=np.float32), mean
+
+
+def streaming_preprocess_blocks(
+    blocks_fn,
+    dim: int = 2,
+    magnitude: bool = True,
+    mean_subtract: bool = True,
+    time_stride: int = 1,
+    inv_sqrt_m: bool = False,
+    components_in: int = 3,
+):
+    """Lift :func:`preprocess` onto a column-block stream (out-of-core L2).
+
+    ``blocks_fn`` is a zero-argument callable returning a fresh iterator of
+    raw ``(n_raw, b)`` column blocks in snapshot order each call — e.g.
+    ``io.vtk.iter_snapshot_column_blocks`` — exactly the contract
+    ``pod.streaming_randomized_pod`` consumes. Returns
+    ``(out_blocks_fn, m_out, mean)`` where ``out_blocks_fn`` streams the
+    PREPROCESSED blocks under the same contract and column-concatenates to
+    exactly ``preprocess(X, ...)`` (asserted in ``tests/test_data.py``).
+
+    The per-column transforms (3D->2D strip, magnitude / rearrange,
+    1/sqrt(m), stride) apply blockwise; the temporal mean — a reduction over
+    ALL columns — is computed in ONE dedicated up-front pass over the stream
+    (so a full preprocessing+POD pipeline over on-disk snapshots costs
+    ``n_iter + 3`` file passes total and never materializes X). As in
+    ``preprocess``, the mean is taken before striding and returned unscaled
+    (``DESMO_ICA_norm.py:143-147``, ``...TurbulentChannel.py:182-189``).
+    """
+
+    def base_blocks():
+        for xb in blocks_fn():
+            xb = np.asarray(xb, np.float32)
+            ci = components_in
+            if dim == 2 and ci == 3:
+                xb = drop_third_component(xb)
+                ci = 2
+            if magnitude:
+                xb = to_magnitude(xb, ci)
+            elif ci > 1:
+                # per-column-group transform: block outputs concatenate to the
+                # full-matrix rearrange because columns stay t-major
+                xb = rearrange_for_transpose(xb, ci)
+            yield xb
+
+    # one counting/reduction pass: m_raw (post-rearrange column count) always,
+    # the temporal row-mean when requested
+    total = None
+    m_raw = 0
+    for xb in base_blocks():
+        s = xb.sum(axis=1)
+        total = s if total is None else total + s
+        m_raw += xb.shape[1]
+    if total is None:
+        raise ValueError("blocks_fn yielded no blocks")
+    mean = (total / m_raw).astype(np.float32) if mean_subtract else None
+    scale = np.float32(1.0 / np.sqrt(m_raw)) if inv_sqrt_m else None
+
+    def out_blocks():
+        t0 = 0
+        for xb in base_blocks():
+            b = xb.shape[1]
+            if mean is not None:
+                xb = xb - mean[:, None]
+            if scale is not None:
+                xb = xb * scale
+            if time_stride > 1:
+                xb = xb[:, (-t0) % time_stride :: time_stride]
+            t0 += b
+            if xb.shape[1]:
+                yield np.ascontiguousarray(xb, np.float32)
+
+    m_out = (m_raw + time_stride - 1) // time_stride
+    return out_blocks, m_out, mean

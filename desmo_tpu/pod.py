@@ -134,13 +134,24 @@ def _cholesky_qr2(y: jnp.ndarray, precision) -> jnp.ndarray:
     eye = jnp.eye(k, dtype=y.dtype)
     for _ in range(2):
         g = jnp.dot(y.T, y, precision=precision)
-        # jitter at float32 scale: a rank-deficient sketch (k > numerical
-        # rank, common when the data is exactly low-rank) must not make the
-        # Cholesky NaN out. Null-space columns come out near-zero rather
-        # than orthonormal; their B rows then carry ~0 singular values and
-        # sort to the tail, leaving the leading r modes untouched.
-        g = g + (1e-6 * jnp.trace(g) / k) * eye
-        l = jnp.linalg.cholesky(g)
+        # Shifted CholeskyQR (Fukaya et al. sCQR3): a rank-deficient sketch
+        # (k > numerical rank, common when the data is exactly low-rank)
+        # makes the plain Cholesky NaN out — fp32 rounding in the Gram is
+        # O(eps * tr), so a fixed 1e-6 jitter is NOT enough at k ~ 10.
+        # Escalate the diagonal shift and keep the smallest that factors
+        # finitely (the k x k factorizations are trace-level cheap); the
+        # second round restores orthogonality lost to the shift. Null-space
+        # columns come out near-zero rather than orthonormal; their B rows
+        # then carry ~0 singular values and sort to the tail, leaving the
+        # leading r modes untouched.
+        tr = jnp.trace(g) / k
+        cands = [
+            jnp.linalg.cholesky(g + (s * tr) * eye)
+            for s in (1e-6, 1e-3, 1e-1)
+        ]
+        l = cands[-1]
+        for li in cands[-2::-1]:
+            l = jnp.where(jnp.isfinite(li).all(), li, l)
         y = jnp.dot(y, jnp.linalg.inv(l).T, precision=precision)
     return y
 
@@ -340,6 +351,29 @@ def sign_align(result: PODResult, reference_modes) -> PODResult:
     r = result.modes.shape[1]
     dots = jnp.sum(result.modes * ref[:, :r], axis=0)  # (r,)
     flip = jnp.where(dots < 0, -1.0, 1.0)
+    return PODResult(
+        modes=result.modes * flip[None, :],
+        temporal=result.temporal * flip[:, None],
+        singular_values=result.singular_values,
+        energy=result.energy,
+        reconstruction=result.reconstruction,
+    )
+
+
+def canonical_signs(result: PODResult) -> PODResult:
+    """Deterministic, data-only sign convention: flip each mode so its
+    largest-|value| entry is positive (ties resolve to the lowest index via
+    argmax). Applied to every non-host POD path the runner wires up
+    (``RunConfig.pod_method != 'host'``) so a train -> evaluate round trip
+    rebuilds bit-identical mode signs without re-running host LAPACK — the
+    eigh/randomized factorizations are deterministic per backend but their
+    raw signs are an implementation accident, and frozen phi masks pair with
+    the exact signs they trained against (see :func:`pod_host`). The flip is
+    absorbed by the matching temporal row, so the reconstruction is reused
+    unchanged."""
+    idx = jnp.argmax(jnp.abs(result.modes), axis=0)  # (r,)
+    picked = jnp.take_along_axis(result.modes, idx[None, :], axis=0)[0]
+    flip = jnp.where(picked < 0, -1.0, 1.0)
     return PODResult(
         modes=result.modes * flip[None, :],
         temporal=result.temporal * flip[:, None],

@@ -201,6 +201,23 @@ def fourier_period_multistart(
     return best[2]
 
 
+def compute_pod(cfg: configs.RunConfig, x: np.ndarray):
+    """Rank-r and rank-2r POD of X under ONE sign convention shared by
+    run/evaluate/sr. 'host' (default) = np.linalg.svd on host, exactly the
+    reference (CYL:199-205) — required whenever frozen phi masks were trained
+    against reference signs (all imported .pt checkpoints). Any other
+    ``cfg.pod_method`` runs on device (``pod.pod``: 'snapshots' / 'svd' /
+    'randomized') wrapped in ``pod.canonical_signs``, so a checkpoint trained
+    here re-derives bit-identical mode signs at evaluate time as long as the
+    same method is passed — raw eigh/randomized signs are an implementation
+    accident that would otherwise silently corrupt frozen-mask inference."""
+    if cfg.pod_method == "host":
+        p2 = pod.pod_host(x, 2 * cfg.r)
+    else:
+        p2 = pod.canonical_signs(pod.pod(x, 2 * cfg.r, method=cfg.pod_method))
+    return pod.truncate(x, p2, cfg.r), p2
+
+
 def run(
     cfg: configs.RunConfig,
     x: np.ndarray,
@@ -230,14 +247,7 @@ def run(
         params = dict(params)
         params["omega"] = ae_model.data_scaled_omega(params, jnp.asarray(x))
 
-    # One POD sign convention everywhere (run/evaluate/sr): host LAPACK signs,
-    # exactly the reference's np.linalg.svd (CYL:199-205). Training absorbs any
-    # convention into the learnable phi masks, but evaluate()/cmd_sr rebuild
-    # POD for *frozen* masks — training against device POD (eigh-based, sign-
-    # arbitrary) would let a checkpoint saved here silently pair flipped modes
-    # there. The device path (pod.pod) stays available as the TPU-native API.
-    p2 = pod.pod_host(x, 2 * cfg.r)
-    p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
+    p, p2 = compute_pod(cfg, x)
 
     # the resident/streamed mega-kernel (whole chunk in one pallas_call) is
     # the fastest desmo path on TPU; select_chunk applies cfg.chunk_method
@@ -601,11 +611,10 @@ def evaluate(
     else:
         params = checkpoint.params_from_state_dict(sd, cfg.variant)
     # Imported checkpoints pair frozen phi masks with the SIGNS of the POD
-    # modes they were trained against — np.linalg.svd on host (CYL:199-205).
-    # Device POD (eigh-based snapshots method) can flip individual mode signs,
-    # which would silently corrupt inference; rebuild POD the reference's way.
-    p2 = pod.pod_host(x, 2 * cfg.r)
-    p = pod.truncate(x, p2, cfg.r)  # rank-r views of the same factorization
+    # modes they were trained against; compute_pod rebuilds the convention the
+    # checkpoint was trained under (reference .pt = 'host'; our non-default
+    # pod_method runs must evaluate with the SAME method — see compute_pod).
+    p, p2 = compute_pod(cfg, x)
     xd = jnp.asarray(x)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if cfg.variant != "ae":

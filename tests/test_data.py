@@ -78,3 +78,39 @@ def test_preprocess_inv_sqrt_m_leaves_mean_unscaled():
     np.testing.assert_allclose(mean, mags.mean(axis=1), rtol=1e-6)
     expect = (mags - mags.mean(axis=1, keepdims=True)) / np.sqrt(8)
     np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_streaming_preprocess_blocks_matches_preprocess():
+    """Out-of-core L2: column-block streaming must concatenate to exactly the
+    in-memory pipeline for every flag combination the presets use (magnitude /
+    rearrange, mean, 1/sqrt(m), stride), at block widths that do and do not
+    divide m — including re-iterability (the streaming POD pulls n_iter+2
+    passes from the same callable)."""
+    rng = np.random.default_rng(7)
+    pts, m = 10, 17
+    raw = rng.standard_normal((pts * 3, m)).astype(np.float32)
+    cases = [
+        dict(dim=2, magnitude=True, mean_subtract=True),  # cylinder
+        dict(dim=3, magnitude=True, mean_subtract=True, inv_sqrt_m=True),  # aneurysm
+        dict(dim=3, magnitude=True, mean_subtract=True, time_stride=2),  # channel
+        dict(dim=2, magnitude=False, mean_subtract=True, time_stride=3),  # AE layout + stride
+        dict(dim=3, magnitude=True, mean_subtract=False),
+    ]
+    for width in (3, 5, m):
+        for kw in cases:
+            def blocks(w=width):
+                for t in range(0, m, w):
+                    yield raw[:, t : t + w]
+
+            out_fn, m_out, mean = data.streaming_preprocess_blocks(blocks, **kw)
+            expect, mean_e = data.preprocess(raw, **kw)
+            got = np.concatenate(list(out_fn()), axis=1)
+            assert got.shape == expect.shape, (width, kw)
+            assert m_out == expect.shape[1], (width, kw)
+            np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+            if mean_e is None:
+                assert mean is None
+            else:
+                np.testing.assert_allclose(mean, mean_e, rtol=1e-5)
+            got2 = np.concatenate(list(out_fn()), axis=1)
+            np.testing.assert_array_equal(got, got2)

@@ -50,3 +50,30 @@ def test_native_and_python_loaders_agree_on_all_formats(tmp_path):
         d, n_files, _ = gen(str(tmp_path), **kwargs)
         res = ir.time_loaders(d, n_files, ext, loc)  # asserts allclose inside
         assert res["shape"][1] == n_files
+
+
+def test_cli_pod_streaming_matches_in_memory(tmp_path, capsys):
+    """`desmo_tpu pod` over an on-disk series: the out-of-core streaming path
+    (X never materialized) must agree with the in-memory exact SVD loaded from
+    the same files — spectrum, captured energy, and factored error."""
+    d, m, _ = ir.gen_cylinder(str(tmp_path), n=60, m=12)
+    common = [
+        "pod", "--preset", "cylinder", "--rank", "3",
+        "--data-dir", d, "--t-end", str(m),
+    ]
+    assert cli_main(common + ["--method", "svd"]) == 0
+    exact = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_main(common + ["--method", "streaming", "--block", "5"]) == 0
+    stream = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stream["rank"] == exact["rank"] == 3
+    np.testing.assert_allclose(
+        stream["singular_values"], exact["singular_values"], rtol=1e-2
+    )
+    assert abs(stream["relative_error"] - exact["relative_error"]) < 2e-2
+    # saving artifacts works on the streaming path too
+    out = str(tmp_path / "pod.npz")
+    assert cli_main(common + ["--method", "streaming", "--save", out]) == 0
+    capsys.readouterr()
+    saved = np.load(out)
+    assert saved["modes"].shape == (60, 3)
+    assert saved["temporal"].shape[0] == 3

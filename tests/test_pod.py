@@ -253,3 +253,54 @@ def test_streaming_pod_from_vtu_files(tmp_path):
     np.testing.assert_allclose(
         np.asarray(stream.modes), np.asarray(mem.modes), rtol=1e-3, atol=1e-5
     )
+
+
+def test_canonical_signs_convention():
+    """canonical_signs pins a data-only sign convention: largest-|entry| entry
+    of each mode positive, flips absorbed by the temporal rows (U@Vt
+    invariant), idempotent, and invariant to ARBITRARY input sign flips — the
+    property the runner's non-host pod_method round trip rests on."""
+    x = synthetic.separable_rank_k(80, 30, k=5, seed=7)
+    res = pod.pod(x, 4, method="snapshots")
+    canon = pod.canonical_signs(res)
+    got = np.asarray(canon.modes)
+    idx = np.argmax(np.abs(got), axis=0)
+    assert (got[idx, np.arange(got.shape[1])] > 0).all()
+    np.testing.assert_allclose(
+        got @ np.asarray(canon.temporal),
+        np.asarray(res.modes) @ np.asarray(res.temporal),
+        rtol=1e-5, atol=1e-6,
+    )
+    again = pod.canonical_signs(canon)
+    np.testing.assert_array_equal(np.asarray(again.modes), got)
+    flip = np.where(np.arange(4) % 2 == 0, -1.0, 1.0).astype(np.float32)
+    flipped = pod.PODResult(
+        modes=res.modes * flip[None, :],
+        temporal=res.temporal * flip[:, None],
+        singular_values=res.singular_values,
+        energy=res.energy,
+        reconstruction=res.reconstruction,
+    )
+    canon2 = pod.canonical_signs(flipped)
+    np.testing.assert_array_equal(np.asarray(canon2.modes), got)
+    np.testing.assert_array_equal(
+        np.asarray(canon2.temporal), np.asarray(canon.temporal)
+    )
+
+
+def test_randomized_pod_rank_deficient_data():
+    """Exactly low-rank data with sketch width k > numerical rank must not NaN
+    (shifted CholeskyQR escalation): leading modes are exact, tail singular
+    values collapse to ~0, everything stays finite."""
+    x = synthetic.separable_rank_k(60, 40, k=2, seed=0).astype(np.float32)
+    x -= x.mean(axis=1, keepdims=True)
+    res = pod.randomized_pod(x, 4)  # k = 12 >> rank 2
+    for a in (res.modes, res.temporal, res.singular_values, res.energy, res.reconstruction):
+        assert np.isfinite(np.asarray(a)).all()
+    s = np.asarray(res.singular_values)
+    exact = np.linalg.svd(np.asarray(x, np.float64), compute_uv=False)
+    np.testing.assert_allclose(s[:2], exact[:2], rtol=1e-3)
+    assert (s[2:] < 1e-2 * s[0]).all()
+    # the captured-energy factored error agrees with the materialized one
+    err = pod.pod_relative_error(x, res)
+    assert err < 1e-2

@@ -313,3 +313,32 @@ def test_run_mesh_with_seeds(tmp_path):
     assert ens["n_seeds"] == 3
     assert len(ens["final_totals"]) == 3
     assert ens["diverged_seeds"] == []
+
+
+@pytest.mark.parametrize("method", ["snapshots", "randomized"])
+def test_run_evaluate_roundtrip_device_pod(tmp_path, method):
+    """cfg.pod_method != 'host': training inits from device POD under
+    canonical_signs, and evaluate() rebuilds POD the SAME way — the saved
+    checkpoint's frozen phi masks must pair with identical mode signs, so the
+    reported inference error matches the training-side error."""
+    cfg = dataclasses.replace(tiny_cfg(), pod_method=method)
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    pt = next(f for f in os.listdir(art.out_dir) if f.endswith("_final.pt"))
+    rep = runner.evaluate(cfg, x, os.path.join(art.out_dir, pt), echo=False)
+    assert np.isfinite(rep["relative_error"])
+    assert abs(rep["relative_error"] - art.relative_error) < 2e-3, (
+        rep["relative_error"], art.relative_error,
+    )
+
+
+def test_compute_pod_host_matches_pod_host():
+    from desmo_tpu import pod as pod_mod
+
+    cfg = tiny_cfg()
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=3, seed=1)
+    p, p2 = runner.compute_pod(cfg, x)
+    oracle = pod_mod.pod_host(x, 2 * cfg.r)
+    np.testing.assert_array_equal(np.asarray(p2.modes), np.asarray(oracle.modes))
+    assert p.modes.shape == (cfg.n, cfg.r)
