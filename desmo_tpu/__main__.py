@@ -155,8 +155,15 @@ def cmd_sr(args) -> int:
     params = checkpoint.params_from_state_dict(sd, "desmo")
     import jax.numpy as jnp
 
-    # imported checkpoints pair with the reference's np.linalg.svd mode signs
-    p = pod.pod_host(x, r)
+    # POD sign convention must match what the checkpoint TRAINED under
+    # (see runner.compute_pod): default 'host' = the reference's
+    # np.linalg.svd signs (all imported .pt checkpoints); a checkpoint from
+    # `run --pod-method X` analyzes with `sr --pod-method X`
+    method = getattr(args, "pod_method", None) or "host"
+    if method == "host":
+        p = pod.pod_host(x, r)
+    else:
+        p = pod.canonical_signs(pod.pod(x, r, method=method))
     batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
     result = sr.identify_and_reinject(
         params,
@@ -230,7 +237,12 @@ def cmd_pod(args) -> int:
         if args.method == "host":
             res = pod.pod_host(x, r)
         else:
-            res = pod.canonical_signs(pod.pod(x, r, method=args.method))
+            res = pod.canonical_signs(
+                pod.pod(
+                    x, r, method=args.method,
+                    oversample=args.oversample, n_iter=args.iters,
+                )
+            )
         err = pod.pod_relative_error(x, res)
     if args.save:
         np.savez(
@@ -411,6 +423,12 @@ def main(argv=None) -> int:
     p_sr.add_argument(
         "--engine", choices=("stlsq", "pysr"), default="stlsq",
         help="sparse-regression engine (pysr needs the optional pysr package)",
+    )
+    p_sr.add_argument(
+        "--pod-method", default=None,
+        choices=["host", "snapshots", "svd", "randomized"],
+        help="rebuild POD with this method — MUST match the method the "
+        "checkpoint was trained under (default 'host' = reference signs)",
     )
 
     args = parser.parse_args(argv)

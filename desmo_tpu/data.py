@@ -168,7 +168,10 @@ def streaming_preprocess_blocks(
     total = None
     m_raw = 0
     for xb in base_blocks():
-        s = xb.sum(axis=1)
+        # accumulate in float64: sequential fp32 summation would drift
+        # O(m*eps) from preprocess's pairwise np.mean at the large m this
+        # out-of-core path exists for; the (n,)-sized f64 carry is free
+        s = xb.sum(axis=1, dtype=np.float64)
         total = s if total is None else total + s
         m_raw += xb.shape[1]
     if total is None:

@@ -58,6 +58,7 @@ from desmo_tpu.pallas.train_chunk import (
     _pack_wide_row,
     _pack_wide_row_seeds,
     _round_up,
+    seed_lane_geometry,
     _split,
     _unpack_aug,
     _unpack_b,
@@ -524,19 +525,16 @@ def make_sharded_fused_ensemble_chunk(
         tgrid = jnp.asarray(fourier_model.t_points(m))
         _SKEYS = ("z", "z_trig", "period", "trig_period")
 
-    # static lane geometry: wide lane -> seed block; aug lane -> seed block
-    lane = np.arange(LANES)
-    wide_seed = np.minimum(lane // K, S - 1).astype(np.int32)
-    inblk = (lane < S * K).astype(np.float32)
-    aug_seed = np.clip((lane - 1) // r, 0, S - 1).astype(np.int32)
-    augmask = ((lane >= 1) & (lane < 1 + S * r)).astype(np.float32)
-    seedsel = np.zeros((LANES, S), np.float32)
-    seedsel[np.arange(S * K), np.repeat(np.arange(S), K)] = 1.0
-    augsel = np.zeros((LANES, S), np.float32)
-    for s in range(S):
-        augsel[1 + s * r : 1 + (s + 1) * r, s] = 1.0
-    wmask = np.zeros((LANES, LANES), np.float32)
-    wmask[: S * K, : S * K] = np.kron(np.eye(S), np.ones((K, K)))
+    # static lane geometry — shared with build_constants' in-kernel tables
+    # (ONE layout definition; see train_chunk.seed_lane_geometry)
+    geo = seed_lane_geometry(r, P_, S)
+    wide_seed = geo.wide_seed
+    inblk = geo.inblk.astype(np.float32)
+    aug_seed = geo.aug_seed
+    augmask = geo.augmask
+    seedsel = geo.seedsel
+    augsel = geo.augsel
+    wmask = geo.wmask
 
     vplateau = jax.vmap(
         lambda st, t: optim.plateau_step(

@@ -101,6 +101,46 @@ class ChunkConstants(NamedTuple):
     n_sel: int
 
 
+class SeedLaneGeometry(NamedTuple):
+    wide_seed: np.ndarray  # (128,) i32: seed block of each WIDE lane
+    off: np.ndarray  # (128,) i64: offset within the seed's WIDE block
+    inblk: np.ndarray  # (128,) bool: lane belongs to some seed's WIDE block
+    aug_seed: np.ndarray  # (128,) i32: seed block of each AUG lane
+    augmask: np.ndarray  # (128,) f32: lane is some seed's AUG mode lane
+    seedsel: np.ndarray  # (128, S) f32: WIDE lane -> seed one-hot
+    augsel: np.ndarray  # (128, S) f32: AUG lane -> seed one-hot
+    wmask: np.ndarray  # (128, 128) f32: WIDE block-diagonal 0/1
+
+
+def seed_lane_geometry(r: int, P: int, n_seeds: int) -> SeedLaneGeometry:
+    """SINGLE source of truth for the seed-packed lane layout, shared by
+    ``build_constants`` (the in-kernel tables) and the sharded megastep's
+    jax-side reductions (``shard_step``): seed s's WIDE block occupies lanes
+    ``[s*K, (s+1)*K)`` ([T poly, 3r trig] inside) and its AUG modes live at
+    lanes ``1 + s*r + i``. The two consumers must stay bit-consistent —
+    mixing layouts would silently blend packed seeds' losses/LRs — so any
+    layout change lands here, once."""
+    T = library.num_poly_terms(r, P)
+    K = T + 3 * r
+    S = n_seeds
+    lane = np.arange(LANES)
+    wide_seed = np.minimum(lane // K, S - 1).astype(np.int32)
+    off = lane - wide_seed.astype(np.int64) * K
+    inblk = lane < S * K
+    aug_seed = np.clip((lane - 1) // max(r, 1), 0, S - 1).astype(np.int32)
+    augmask = ((lane >= 1) & (lane < 1 + S * r)).astype(np.float32)
+    seedsel = np.zeros((LANES, S), np.float32)
+    seedsel[np.arange(S * K), np.repeat(np.arange(S), K)] = 1.0
+    augsel = np.zeros((LANES, S), np.float32)
+    for s in range(S):
+        augsel[1 + s * r : 1 + (s + 1) * r, s] = 1.0
+    wmask = np.zeros((LANES, LANES), np.float32)
+    wmask[: S * K, : S * K] = np.kron(np.eye(S), np.ones((K, K)))
+    return SeedLaneGeometry(
+        wide_seed, off, inblk, aug_seed, augmask, seedsel, augsel, wmask
+    )
+
+
 def build_constants(r: int, P: int, n_seeds: int = 1) -> ChunkConstants:
     """Selection matrices + lane masks for a given (r, poly_order).
 
@@ -146,29 +186,23 @@ def build_constants(r: int, P: int, n_seeds: int = 1) -> ChunkConstants:
         for i in range(r):
             EM[s * K : s * K + T, 1 + s * r + i] = E[:, i].astype(np.float32)
     mats.append(EM)
+    geo = seed_lane_geometry(r, P, S)
     if S > 1:
         # SEEDSEL: wide lane -> seed lane (per-seed metric reductions)
         SS = np.zeros((LANES, LANES), np.float32)
-        for s in range(S):
-            SS[s * K : (s + 1) * K, s] = 1.0
+        SS[:, :S] = geo.seedsel
         mats.append(SS)
         # AUGSEL: aug lane -> seed lane (per-seed ortho reductions)
         AS = np.zeros((LANES, LANES), np.float32)
-        for s in range(S):
-            AS[1 + s * r : 1 + (s + 1) * r, s] = 1.0
+        AS[:, :S] = geo.augsel
         mats.append(AS)
         # WMASK: wide block-diagonal 0/1 (keeps the packed Grams per-seed —
         # cross-seed B/A correlations must not leak into gradients)
-        WM = np.zeros((LANES, LANES), np.float32)
-        for s in range(S):
-            WM[s * K : (s + 1) * K, s * K : (s + 1) * K] = 1.0
-        mats.append(WM)
+        mats.append(geo.wmask)
     sel = np.concatenate(mats, axis=0).astype(jnp.bfloat16)
 
-    lane = np.arange(LANES)
-    blk = np.minimum(lane // K, S - 1)  # seed block of each wide lane
-    off = lane - blk * K  # offset within the seed block
-    inblk = lane < S * K
+    off = geo.off  # offset within the seed block
+    inblk = geo.inblk
     polymask = (inblk & (off < T)).astype(np.float32)
     trigmask = (inblk & (off >= T) & (off < K)).astype(np.float32)
     kind = (off - T) // max(r, 1)
@@ -1276,7 +1310,13 @@ def select_ensemble_chunk(
                     "shard_step.supports_sharded_packed"
                 )
             return None
-        if method != "megakernel" and jax.default_backend() != "tpu":
+        if method != "megakernel" and (
+            jax.default_backend() != "tpu"
+            # same gate as the single-chip auto branch below: an explicit
+            # non-fused loss_method is a request for the scan path's numerics
+            # class — adding a mesh must not silently override it
+            or getattr(cfg, "loss_method", "auto") not in ("auto", "fused")
+        ):
             return None
         return shard_step.make_sharded_fused_ensemble_chunk(
             spec, cfg, device_mesh, n_seeds, bt

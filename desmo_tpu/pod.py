@@ -48,6 +48,9 @@ def pod(
     r: int,
     method: str = "auto",
     precision=jax.lax.Precision.HIGHEST,
+    oversample: int = 8,
+    n_iter: int = 2,
+    mesh=None,
 ) -> PODResult:
     """Rank-r POD of X (n, m).
 
@@ -58,14 +61,19 @@ def pod(
     method: 'auto' (snapshots when n > m), 'snapshots', 'svd' (full
     ``jnp.linalg.svd``, bit-matching the reference up to sign), or
     'randomized' (range-finder sketch, :func:`randomized_pod` — for shapes
-    where even the m x m Gram is too expensive).
+    where even the m x m Gram is too expensive). ``oversample``, ``n_iter``
+    and ``mesh`` (run the factorization 'space'-sharded over a device mesh)
+    apply to 'randomized' only and are ignored by the exact methods.
     """
     x = jnp.asarray(x, jnp.float32)
     n, m = x.shape
     if method == "auto":
         method = "snapshots" if n > m else "svd"
     if method == "randomized":
-        return randomized_pod(x, r, precision=precision)
+        return randomized_pod(
+            x, r, oversample=oversample, n_iter=n_iter,
+            precision=precision, mesh=mesh,
+        )
     if method == "snapshots":
         u, s, vt = _method_of_snapshots(x, precision)
     elif method == "svd":

@@ -201,7 +201,7 @@ def fourier_period_multistart(
     return best[2]
 
 
-def compute_pod(cfg: configs.RunConfig, x: np.ndarray):
+def compute_pod(cfg: configs.RunConfig, x: np.ndarray, device_mesh=None):
     """Rank-r and rank-2r POD of X under ONE sign convention shared by
     run/evaluate/sr. 'host' (default) = np.linalg.svd on host, exactly the
     reference (CYL:199-205) — required whenever frozen phi masks were trained
@@ -210,11 +210,19 @@ def compute_pod(cfg: configs.RunConfig, x: np.ndarray):
     'randomized') wrapped in ``pod.canonical_signs``, so a checkpoint trained
     here re-derives bit-identical mode signs at evaluate time as long as the
     same method is passed — raw eigh/randomized signs are an implementation
-    accident that would otherwise silently corrupt frozen-mask inference."""
+    accident that would otherwise silently corrupt frozen-mask inference.
+    ``device_mesh`` runs the 'randomized' factorization 'space'-sharded (its
+    whole point is data too large for one device); the canonical signs make
+    mesh and single-device runs interchangeable."""
     if cfg.pod_method == "host":
         p2 = pod.pod_host(x, 2 * cfg.r)
     else:
-        p2 = pod.canonical_signs(pod.pod(x, 2 * cfg.r, method=cfg.pod_method))
+        p2 = pod.canonical_signs(
+            pod.pod(
+                x, 2 * cfg.r, method=cfg.pod_method,
+                mesh=device_mesh if cfg.pod_method == "randomized" else None,
+            )
+        )
     return pod.truncate(x, p2, cfg.r), p2
 
 
@@ -247,7 +255,7 @@ def run(
         params = dict(params)
         params["omega"] = ae_model.data_scaled_omega(params, jnp.asarray(x))
 
-    p, p2 = compute_pod(cfg, x)
+    p, p2 = compute_pod(cfg, x, device_mesh=device_mesh)
 
     # the resident/streamed mega-kernel (whole chunk in one pallas_call) is
     # the fastest desmo path on TPU; select_chunk applies cfg.chunk_method

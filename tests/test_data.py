@@ -114,3 +114,30 @@ def test_streaming_preprocess_blocks_matches_preprocess():
                 np.testing.assert_allclose(mean, mean_e, rtol=1e-5)
             got2 = np.concatenate(list(out_fn()), axis=1)
             np.testing.assert_array_equal(got, got2)
+
+
+def test_streaming_mean_accumulates_in_float64():
+    """The temporal mean must not drift at the large m the out-of-core path
+    exists for: sequential fp32 summation accrues O(m*eps) error vs
+    preprocess's pairwise np.mean (round-4 review fix — the accumulator is
+    f64). m=200k at a ~0.1 offset drifts ~1e-4 relative in fp32; require
+    1e-7 of the exact f64 mean."""
+    m = 200_000
+    rng = np.random.default_rng(3)
+    base = (0.1 + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    base = np.abs(base)
+    # one spatial point, 3 components (u=base, v=w=0): magnitude == base
+    raw = np.stack([base, np.zeros(m, np.float32), np.zeros(m, np.float32)])
+    exact = np.mean(base.astype(np.float64))
+
+    def blocks():
+        for t in range(0, m, 4096):
+            yield raw[:, t : t + 4096]
+
+    _out, _m, mean = data.streaming_preprocess_blocks(
+        blocks, dim=3, magnitude=True, mean_subtract=True
+    )
+    np.testing.assert_allclose(mean, exact, rtol=1e-7)
+    # and the fp32 sequential sum would NOT have passed this bound
+    drift = abs(np.cumsum(base.astype(np.float32), dtype=np.float32)[-1] / m - exact)
+    assert drift > 1e-6 * abs(exact)

@@ -344,6 +344,30 @@ def test_select_ensemble_chunk_mesh_policy():
         )
 
 
+def test_select_ensemble_chunk_mesh_respects_loss_method(monkeypatch):
+    """An explicit non-fused loss_method is a request for the scan path's
+    numerics class; adding a device mesh must not silently override it with
+    the bf16 sharded megakernel (round-4 review fix) — same gate as the
+    single-chip auto branch."""
+    import dataclasses as dc
+
+    import jax
+
+    from desmo_tpu.pallas import train_chunk as tc
+    from desmo_tpu.parallel import make_mesh
+
+    spec, cfg, params, batch = _problem(2)
+    mesh = make_mesh(n_space=4, n_time=2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert tc.select_ensemble_chunk(spec, cfg, 2, device_mesh=mesh) is not None
+    assert (
+        tc.select_ensemble_chunk(
+            spec, dc.replace(cfg, loss_method="factored"), 2, device_mesh=mesh
+        )
+        is None
+    )
+
+
 def test_fit_recovers_mid_run_divergence(monkeypatch):
     """Divergence in a LATER chunk: fit must roll back to the previous
     (trained) chunk boundary, freeze the originator, re-run the chunk, and

@@ -321,3 +321,31 @@ def test_supports_sharded_packed():
         shard_step.make_sharded_fused_ensemble_chunk(
             spec, acfg, make_mesh(n_space=4, n_time=2), 2
         )
+
+
+def test_seed_lane_geometry_matches_kernel_tables():
+    """The sharded megastep's jax-side reductions and build_constants'
+    in-kernel tables must share ONE seed-block lane layout (round-4 review
+    fix: both now derive from train_chunk.seed_lane_geometry). Pin the
+    equivalence of the SEEDSEL/AUGSEL/WMASK sel row-blocks to the geometry
+    across the packable (r, P, S) corners."""
+    L = train_chunk.LANES
+    for r, P, S in [(2, 2, 2), (2, 2, 8), (4, 2, 4), (4, 3, 2)]:
+        geo = train_chunk.seed_lane_geometry(r, P, S)
+        sel = np.asarray(train_chunk.build_constants(r, P, n_seeds=S).sel,
+                         np.float32)
+        np.testing.assert_array_equal(sel[3 * L : 4 * L, :S], geo.seedsel)
+        np.testing.assert_array_equal(sel[4 * L : 5 * L, :S], geo.augsel)
+        np.testing.assert_array_equal(sel[5 * L : 6 * L, :], geo.wmask)
+        # the one-hot selectors agree with the block-index vectors
+        T = train_chunk.library.num_poly_terms(r, P)
+        K = T + 3 * r
+        lane = np.arange(L)
+        np.testing.assert_array_equal(
+            geo.seedsel.argmax(axis=1)[geo.inblk], geo.wide_seed[geo.inblk]
+        )
+        np.testing.assert_array_equal(geo.inblk, lane < S * K)
+        aug = geo.augmask.astype(bool)
+        np.testing.assert_array_equal(
+            geo.augsel.argmax(axis=1)[aug], geo.aug_seed[aug]
+        )
