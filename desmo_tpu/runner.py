@@ -274,7 +274,13 @@ def run(
         from desmo_tpu.pallas import shard_step
 
         method = getattr(cfg, "chunk_method", "auto")
-        if method != "scan" and shard_step.supports_sharded(spec, cfg):
+        # an explicit non-fused loss_method requests the scan path's numerics
+        # class — the mesh must not silently override it (only an explicit
+        # chunk_method='megakernel' does); same gate as select_ensemble_chunk
+        loss_ok = method == "megakernel" or getattr(
+            cfg, "loss_method", "auto"
+        ) in ("auto", "fused")
+        if method != "scan" and loss_ok and shard_step.supports_sharded(spec, cfg):
             chunk = shard_step.make_sharded_fused_chunk(
                 spec, cfg, device_mesh, bt=kernel_bt
             )

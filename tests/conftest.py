@@ -70,6 +70,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_with_device_mesh_scan_fallback",
     "tests/test_runner.py::test_run_with_device_mesh_sharded_kernel",
     "tests/test_runner.py::test_run_mesh_with_seeds",
+    "tests/test_runner.py::test_run_mesh_respects_loss_method",
     "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",
     "tests/test_ensemble_fourier.py::test_mesh_fourier_ensemble_matches_single_device",
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",

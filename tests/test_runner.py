@@ -342,3 +342,31 @@ def test_compute_pod_host_matches_pod_host():
     oracle = pod_mod.pod_host(x, 2 * cfg.r)
     np.testing.assert_array_equal(np.asarray(p2.modes), np.asarray(oracle.modes))
     assert p.modes.shape == (cfg.n, cfg.r)
+
+
+def test_run_mesh_respects_loss_method(tmp_path, monkeypatch):
+    """An explicit non-fused loss_method keeps the scan path's numerics class
+    under a device mesh (the sharded mega-kernel is only forced by an
+    explicit chunk_method='megakernel') — same policy as the ensemble
+    selector."""
+    import dataclasses as dc
+
+    from desmo_tpu.io import synthetic
+    from desmo_tpu.pallas import shard_step
+    from desmo_tpu.parallel import make_mesh
+
+    def forbidden(*a, **k):  # the point: the mesh must NOT pick the kernel
+        raise AssertionError("sharded mega-kernel selected despite loss_method")
+
+    monkeypatch.setattr(shard_step, "make_sharded_fused_chunk", forbidden)
+    cfg = dc.replace(
+        configs.get("cylinder"), n=96, m=40, num_epochs=30,
+        checkpoint_every=10_000, log_every=10, loss_method="factored",
+    )
+    x = np.asarray(synthetic.cylinder_wake(cfg.n, cfg.m))
+    mesh = make_mesh(n_space=4, n_time=2)
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        device_mesh=mesh,
+    )
+    assert np.isfinite(art.relative_error)
