@@ -32,7 +32,12 @@ def cmd_presets(_args) -> int:
 
 
 def cmd_run(args) -> int:
-    from desmo_tpu import configs, runner
+    from desmo_tpu import configs, runner, train
+
+    # the CLI owns the process: arm SIGTERM-graceful training (SLURM
+    # preemption / spot reclaim -> final checkpoint at the next chunk
+    # boundary + clean exit instead of dying mid-run)
+    train.install_preemption_handler()
 
     cfg = configs.get(args.preset)
     overrides = {}
@@ -100,6 +105,7 @@ def cmd_run(args) -> int:
         if math.isnan(artifacts.steps_per_sec)
         else artifacts.steps_per_sec,
         "out_dir": artifacts.out_dir,
+        "preempted": artifacts.preempted,
     }
     print(json.dumps(summary))
     return 0

@@ -540,7 +540,9 @@ def fit(
     ``checkpoint_fn(state, epoch)``, when given, is called at every chunk
     boundary with the current group's best live seed as a single-seed
     TrainState — a crash mid-run loses at most ``cfg.checkpoint_every``
-    epochs, same contract as ``train.fit``.
+    epochs, same contract as ``train.fit``. (Graceful SIGTERM preemption —
+    ``train.install_preemption_handler`` — is ``train.fit`` scope; ensemble
+    runs get equivalent safety from this per-chunk best-seed checkpoint.)
 
     ``device_mesh`` (a ('space','time') ``jax.sharding.Mesh``) composes
     multi-start with multi-chip: seeds stay packed in MXU lanes while each

@@ -32,6 +32,9 @@ class RunArtifacts:
     steps_per_sec: float
     sweep: list
     out_dir: str
+    # the run was stopped early by graceful preemption (SIGTERM /
+    # train.request_preemption); state_final.npz resumes it bit-exactly
+    preempted: bool = False
 
 
 def load_data(
@@ -472,13 +475,21 @@ def run(
                 chunk=chunk,
                 param_shardings=param_shardings,
             )
-    start_epoch = int(result.state.epoch) - n_epochs
-    for i in range(0, n_epochs, cfg.log_every):
+    # a preempted run has history only for the epochs it completed
+    n_ran = (
+        len(next(iter(result.history.values()))) if result.history else 0
+    )
+    start_epoch = int(result.state.epoch) - n_ran
+    for i in range(0, n_ran, cfg.log_every):
         logger.log_epoch(
             start_epoch + i, start_epoch + n_epochs,
             {k: v[i] for k, v in result.history.items()},
         )
     logger.close()
+    if getattr(result, "preempted", False):
+        # SIGTERM grace windows are short: skip the matplotlib report, keep
+        # the cheap final artifacts (.pt + resumable .npz + error numbers)
+        make_figures = False
 
     recon = reconstruct(result.state.params, batch, spec, cfg.variant)
     err = float(losses.relative_frobenius_error(xd, recon))
@@ -579,6 +590,7 @@ def run(
         steps_per_sec=result.steps_per_sec,
         sweep=sweep,
         out_dir=out_dir,
+        preempted=getattr(result, "preempted", False),
     )
 
 

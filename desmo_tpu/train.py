@@ -43,6 +43,60 @@ def _snapshot_tree(tree):
     return jax.tree.map(jnp.copy, tree)
 
 
+# --- graceful preemption (SURVEY §5.3 failure detection/recovery) ---------
+# SLURM preemption / spot-VM reclaim sends SIGTERM with a short grace window;
+# the reference's scripts die mid-step and lose up to checkpoint_every epochs.
+# Here a preemption request stops fit() at the NEXT CHUNK BOUNDARY, forces a
+# final (off-cadence) checkpoint through checkpoint_fn, and returns cleanly
+# with result.preempted=True — resume via checkpoint.load_state is bit-exact.
+_PREEMPT = None
+
+
+def _preempt_event():
+    global _PREEMPT
+    if _PREEMPT is None:
+        import threading
+
+        _PREEMPT = threading.Event()
+    return _PREEMPT
+
+
+def request_preemption() -> None:
+    """Ask any running :func:`fit` to stop at its next chunk boundary (after
+    a final checkpoint). Safe from signal handlers and other threads."""
+    _preempt_event().set()
+
+
+def preemption_requested() -> bool:
+    return _preempt_event().is_set()
+
+
+def clear_preemption() -> None:
+    _preempt_event().clear()
+
+
+def install_preemption_handler(signals=None) -> None:
+    """Arm SIGTERM-graceful training for this process: the signals (default
+    ``(SIGTERM,)`` — what SLURM preemption and spot-VM reclaim deliver)
+    request a chunk-boundary stop instead of killing the run mid-chunk.
+    Chains any previously-installed handler. Main thread only (CPython's
+    signal rule); library users opt in — only the CLI installs it by
+    default."""
+    import signal as _signal
+
+    if signals is None:
+        signals = (_signal.SIGTERM,)
+    for sig in signals:
+        prev = _signal.getsignal(sig)
+
+        def _handler(signum, frame, _prev=prev):
+            request_preemption()
+            if callable(_prev):
+                _prev(signum, frame)
+
+        _signal.signal(sig, _handler)
+
+
 _CKPT_POOL = None
 
 
@@ -287,6 +341,10 @@ class TrainResult:
     # max |omega*latent| seen by the mega-kernel (fast-sincos telemetry);
     # 0.0 when the run never used the kernel path
     max_abs_trig_arg: float = 0.0
+    # True when the run stopped early at a chunk boundary because preemption
+    # was requested (request_preemption / install_preemption_handler); the
+    # final state was checkpointed and is bit-exact resumable
+    preempted: bool = False
 
 
 def fit(
@@ -317,6 +375,12 @@ def fit(
     without locking). A failed save raises at the next chunk boundary (the
     loop polls the pending future each chunk), at the next checkpoint submit,
     or at the end of ``fit`` — never silently.
+
+    Graceful preemption: when :func:`request_preemption` fires (directly, or
+    via the SIGTERM handler from :func:`install_preemption_handler`), the
+    loop finishes the in-flight compiled chunk, forces an off-cadence
+    ``checkpoint_fn`` save, and returns early with ``result.preempted=True``;
+    resuming from that state is bit-exact (``tests/test_train.py``).
     """
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
     if num_epochs <= 0:
@@ -397,6 +461,7 @@ def fit(
                         f"L1 loss: {metrics['l1'][j]:.4f} "
                     )
         done += n
+        preempt = preemption_requested()
         # surface async-checkpoint failures promptly (ADVICE r3): if the
         # worker already finished, a failed save raises HERE, not only at the
         # next checkpoint submit
@@ -404,7 +469,7 @@ def fit(
             _ckpt_pending.result()
             _ckpt_pending = None
         if checkpoint_fn is not None and (
-            done % cfg.checkpoint_every == 0 or done == end_epoch
+            done % cfg.checkpoint_every == 0 or done == end_epoch or preempt
         ):
             # Async checkpoint: snapshot the state on-device with ONE jitted
             # dispatch (the next chunk donates/overwrites these buffers), then
@@ -414,11 +479,18 @@ def fit(
             if _ckpt_pending is not None:
                 _ckpt_pending.result()  # surface errors; keep writes ordered
             _ckpt_pending = _ckpt_pool().submit(checkpoint_fn, snap, done)
+        if preempt:
+            if log is not None:
+                log(
+                    f"graceful preemption: stopped at epoch {done} "
+                    f"(of {end_epoch}); final state checkpointed"
+                )
+            break
     if _ckpt_pending is not None:
         _ckpt_pending.result()
     wall = time.perf_counter() - t0 if t0 is not None else 0.0
     # The first chunk's steps ran before the timer started (compile excluded).
-    steps_timed = num_epochs - first_chunk
+    steps_timed = (done - start_epoch) - first_chunk
     sps = steps_timed / wall if wall > 0 and steps_timed > 0 else float("nan")
     history = {
         k: np.concatenate([h[k] for h in histories]) for k in histories[0]
@@ -426,4 +498,5 @@ def fit(
     return TrainResult(
         state=state, history=history, steps_per_sec=sps, wall_seconds=wall,
         max_abs_trig_arg=max_abs_trig_arg,
+        preempted=done < end_epoch,
     )

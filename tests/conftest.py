@@ -71,6 +71,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_with_device_mesh_sharded_kernel",
     "tests/test_runner.py::test_run_mesh_with_seeds",
     "tests/test_runner.py::test_run_mesh_respects_loss_method",
+    "tests/test_runner.py::test_graceful_preemption_end_to_end",
     "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",
     "tests/test_ensemble_fourier.py::test_mesh_fourier_ensemble_matches_single_device",
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",
@@ -95,6 +96,36 @@ _SLOW = {
     "tests/test_train_chunk_kernel.py::test_sincos_domain_guard_engages",
     "tests/test_train_chunk_kernel.py::test_streamed_fourier_matches_resident",
     "tests/test_train_chunk_kernel.py::test_streamed_state_variant_matches_resident",
+    # --- round-4 re-tier: everything >= ~5.5 s in the 2026-08-18 durations
+    # profile moves out of the quick tier (VERDICT r3 weak #6: quick < 3 min).
+    # The full suite (-m '') still runs all of these; run it before
+    # committing kernel/train/parallel changes (CLAUDE.md).
+    "tests/test_train.py::test_fit_resume_matches_uninterrupted",
+    "tests/test_train.py::test_fit_reduces_loss_and_beats_pod",
+    "tests/test_train_chunk_kernel.py::test_plateau_lr_drops_match",
+    "tests/test_train_chunk_kernel.py::test_sincos_guard_quiet_in_domain",
+    "tests/test_train_chunk_kernel.py::test_resume_from_mid_chunk_state",
+    "tests/test_ensemble.py::test_packed_grad_matches_per_seed",
+    "tests/test_ensemble.py::test_fit_selects_best_seed",
+    "tests/test_ensemble.py::test_seed_state_resumes_on_single_chunk",
+    "tests/test_ensemble.py::test_packed_loss_matches_per_seed",
+    "tests/test_ensemble_kernel.py::test_fit_runs_kernel_path_end_to_end",
+    "tests/test_ensemble_kernel.py::test_fit_sincos_fallback_to_packed_scan",
+    "tests/test_ensemble_kernel.py::test_single_seed_wrapper_bitwise_equals_standard_kernel",
+    "tests/test_ensemble_kernel.py::test_fit_warns_when_candidates_exceed_seeds",
+    "tests/test_ensemble_kernel.py::test_fit_runs_fourier_kernel_path",
+    "tests/test_ensemble_fourier.py::test_packed_fourier_loss_matches_per_seed",
+    "tests/test_shard_step.py::test_sharded_chunk_keeps_phi_distributed",
+    "tests/test_runner.py::test_run_evaluate_roundtrip_device_pod",
+    "tests/test_runner.py::test_run_resume",
+    "tests/test_runner.py::test_run_multiseed_fourier",
+    "tests/test_runner.py::test_run_multiseed_ensemble",
+    "tests/test_ae.py::test_tanh_receives_no_gradient",
+    "tests/test_ae.py::test_factored_ae_mse_matches_naive",
+    "tests/test_fourier.py::test_period_mismatch_stall_regression",
+    "tests/test_trajectory_parity.py::test_training_trajectory_matches_torch",
+    "tests/test_pod.py::test_streaming_randomized_pod_matches_in_memory",
+    "tests/test_parallel.py::test_chunk_output_state_stays_sharded",
 }
 
 

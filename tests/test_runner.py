@@ -370,3 +370,57 @@ def test_run_mesh_respects_loss_method(tmp_path, monkeypatch):
         device_mesh=mesh,
     )
     assert np.isfinite(art.relative_error)
+
+
+def test_graceful_preemption_end_to_end(tmp_path):
+    """Real SIGTERM through install_preemption_handler in a subprocess: the
+    run stops at the first chunk boundary, writes resumable state, reports
+    preempted=True — and --resume from that state completes the run."""
+    import json as _json
+    import subprocess
+    import sys
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses as dc, json, os, signal
+import numpy as np
+from desmo_tpu import configs, runner, train
+from desmo_tpu.io import synthetic
+
+train.install_preemption_handler()
+os.kill(os.getpid(), signal.SIGTERM)  # delivered synchronously (self-signal)
+cfg = dc.replace(configs.get("cylinder"), n=96, m=40, num_epochs=200,
+                 checkpoint_every=50, log_every=50)
+x = np.asarray(synthetic.cylinder_wake(96, 40))
+art = runner.run(cfg, x, out_dir={str(tmp_path)!r}, make_figures=False, echo=False)
+print(json.dumps({{"preempted": art.preempted, "epoch": int(art.state.epoch),
+                   "out_dir": art.out_dir}}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["preempted"] is True
+    assert info["epoch"] == 50  # stopped at the first chunk boundary
+    state_file = os.path.join(info["out_dir"], "state_final.npz")
+    assert os.path.exists(state_file)
+
+    # resume the remaining epochs in-process; completes un-preempted
+    import dataclasses as dc
+
+    from desmo_tpu.io import synthetic
+
+    cfg = dc.replace(
+        configs.get("cylinder"), n=96, m=40, num_epochs=150,
+        checkpoint_every=50, log_every=50,
+    )
+    x = np.asarray(synthetic.cylinder_wake(96, 40))
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        resume_from=state_file,
+    )
+    assert not art.preempted
+    assert int(art.state.epoch) == 200

@@ -133,3 +133,65 @@ def test_scheduler_reduces_lr_during_training():
     )
     lrs = np.asarray(res.state.sched.lrs)
     assert (lrs <= np.asarray(cfg.group_lrs, np.float32) * (1 + 1e-6)).all()
+
+
+def test_graceful_preemption_checkpoints_and_resumes_bit_exact():
+    """A preemption request stops fit() at the next chunk boundary, forces an
+    off-cadence checkpoint, and flags the result; resuming the saved state
+    for the remaining epochs is bit-identical to an uninterrupted run
+    (SURVEY §5.3 — the reference dies mid-step under SLURM preemption)."""
+    cfg = small_cfg(num_epochs=100, sched_every=1, patience=10)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    groups = desmo.param_groups(params)
+
+    res_full = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=100)
+
+    saved = {}
+
+    def ckpt(state, epoch):
+        saved["state"] = state
+        saved["epoch"] = epoch
+
+    train.request_preemption()
+    try:
+        res_a = train.fit(
+            loss_fn, groups, cfg, params, batch, log=None, chunk_size=20,
+            checkpoint_fn=ckpt,
+        )
+    finally:
+        train.clear_preemption()
+    # stopped at the FIRST chunk boundary, with the off-cadence checkpoint
+    assert res_a.preempted
+    assert int(res_a.state.epoch) == 20
+    assert saved["epoch"] == 20  # checkpoint_every is 10_000 — forced save
+    assert len(res_a.history["total"]) == 20
+
+    res_b = train.fit(
+        loss_fn, groups, cfg, None, batch, num_epochs=80, log=None,
+        chunk_size=80, state=saved["state"],
+    )
+    assert not res_b.preempted
+    for k in res_full.state.params:
+        np.testing.assert_array_equal(
+            np.asarray(res_full.state.params[k]), np.asarray(res_b.state.params[k])
+        )
+
+
+def test_sigterm_installs_and_requests_preemption():
+    """install_preemption_handler: SIGTERM sets the preemption flag (and
+    chains a previously-installed handler) instead of killing the process."""
+    import os
+    import signal
+
+    seen = []
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+        train.install_preemption_handler()
+        os.kill(os.getpid(), signal.SIGTERM)
+        # delivery is synchronous for a self-signal on the main thread
+        assert train.preemption_requested()
+        assert seen == [signal.SIGTERM]  # chained
+    finally:
+        train.clear_preemption()
+        signal.signal(signal.SIGTERM, prev)
