@@ -85,15 +85,27 @@ def cmd_run(args) -> int:
         synthetic=args.synthetic,
         dim=args.dim,
     )
-    artifacts = runner.run(
-        cfg,
-        x,
-        out_dir=args.out_dir,
-        make_figures=not args.no_figures,
-        mesh=mesh,
-        resume_from=args.resume,
-        device_mesh=device_mesh,
+    import contextlib
+
+    from desmo_tpu import profiling
+
+    if getattr(args, "debug_nans", False):
+        profiling.debug_nans(True)
+    trace_ctx = (
+        profiling.trace(args.profile)
+        if getattr(args, "profile", None)
+        else contextlib.nullcontext()
     )
+    with trace_ctx:
+        artifacts = runner.run(
+            cfg,
+            x,
+            out_dir=args.out_dir,
+            make_figures=not args.no_figures,
+            mesh=mesh,
+            resume_from=args.resume,
+            device_mesh=device_mesh,
+        )
     summary = {
         "preset": cfg.name,
         "relative_error": artifacts.relative_error,
@@ -355,6 +367,18 @@ def main(argv=None) -> int:
         "--seed-omega-spread", type=float, default=None, metavar="DECADES",
         help="multi-seed: omega init log-spread in decades for seeds > 0 "
         "(default 0 = keep the preset omega_init)",
+    )
+    p_run.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a TensorBoard-compatible jax.profiler device trace of "
+        "the whole run into DIR (use a small --epochs; traces grow with "
+        "steps)",
+    )
+    p_run.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax_debug_nans: fail at the first non-finite value "
+        "inside compiled code instead of at the chunk-boundary loss check "
+        "(slow; for debugging diverging configs)",
     )
     p_run.add_argument(
         "--pod-method", default=None,

@@ -72,6 +72,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_mesh_with_seeds",
     "tests/test_runner.py::test_run_mesh_respects_loss_method",
     "tests/test_runner.py::test_graceful_preemption_end_to_end",
+    "tests/test_runner.py::test_cli_profile_and_debug_nans_flags",
     "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",
     "tests/test_ensemble_fourier.py::test_mesh_fourier_ensemble_matches_single_device",
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",

@@ -424,3 +424,26 @@ print(json.dumps({{"preempted": art.preempted, "epoch": int(art.state.epoch),
     )
     assert not art.preempted
     assert int(art.state.epoch) == 200
+
+
+def test_cli_profile_and_debug_nans_flags(tmp_path):
+    """run --profile DIR emits a TensorBoard-compatible jax.profiler trace;
+    --debug-nans parses and runs (profiling.py wired into the CLI)."""
+    x = synthetic.separable_rank_k(60, 24, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    npz = tmp_path / "x.npz"
+    np.savez(npz, X=x.astype(np.float32))
+    trace_dir = tmp_path / "trace"
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "desmo_tpu", "run", "--preset", "cylinder",
+            "--npz", str(npz), "--epochs", "30", "--platform", "cpu",
+            "--out-dir", str(tmp_path / "runs"), "--no-figures",
+            "--profile", str(trace_dir), "--debug-nans",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    profile_root = trace_dir / "plugins" / "profile"
+    assert profile_root.is_dir()
+    assert any(profile_root.iterdir())  # one timestamped capture
