@@ -31,6 +31,23 @@ def cmd_presets(_args) -> int:
     return 0
 
 
+def _parse_mesh(spec_str):
+    """'space=4[,time=2]' -> a ('space','time') jax.sharding.Mesh (or None)."""
+    if not spec_str:
+        return None
+    from desmo_tpu.parallel import make_mesh
+
+    axes = {"space": None, "time": 1}
+    for part in spec_str.split(","):
+        name, _, val = part.partition("=")
+        if name not in axes or not val.isdigit():
+            raise SystemExit(
+                f"--mesh expects 'space=<d>[,time=<d>]', got {spec_str!r}"
+            )
+        axes[name] = int(val)
+    return make_mesh(n_space=axes["space"], n_time=axes["time"])
+
+
 def cmd_run(args) -> int:
     from desmo_tpu import configs, runner, train
 
@@ -59,19 +76,7 @@ def cmd_run(args) -> int:
         overrides["pod_method"] = args.pod_method
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
-    device_mesh = None
-    if args.mesh:
-        from desmo_tpu.parallel import make_mesh
-
-        axes = {"space": None, "time": 1}
-        for part in args.mesh.split(","):
-            name, _, val = part.partition("=")
-            if name not in axes or not val.isdigit():
-                raise SystemExit(
-                    f"--mesh expects 'space=<d>[,time=<d>]', got {args.mesh!r}"
-                )
-            axes[name] = int(val)
-        device_mesh = make_mesh(n_space=axes["space"], n_time=axes["time"])
+    device_mesh = _parse_mesh(args.mesh)
     x, mesh = runner.load_data(
         cfg,
         data_dir=args.data_dir,
@@ -146,7 +151,9 @@ def cmd_evaluate(args) -> int:
         npz_path=args.npz,
         synthetic=args.synthetic,
     )
-    out = runner.evaluate(cfg, x, args.checkpoint)
+    out = runner.evaluate(
+        cfg, x, args.checkpoint, device_mesh=_parse_mesh(getattr(args, "mesh", None))
+    )
     print(_json.dumps({k: v for k, v in out.items() if k != "sweep"}))
     return 0
 
@@ -437,6 +444,11 @@ def main(argv=None) -> int:
         choices=["host", "snapshots", "svd", "randomized"],
         help="rebuild POD with this method — MUST match the method the "
         "checkpoint was trained under (default 'host' = reference signs)",
+    )
+    p_ev.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="row-shard inference over a device mesh, e.g. 'space=4' — for "
+        "spatial sizes one device can't hold (same sharding story as run)",
     )
 
     p_sr = sub.add_parser(

@@ -608,10 +608,16 @@ def evaluate(
     x: np.ndarray,
     checkpoint_path: str,
     echo: bool = True,
+    device_mesh=None,
 ) -> dict:
     """Load a ``.pt`` checkpoint (ours or the reference's), run inference, and
     report error + POD baselines + sparsification table — the reference's
-    read-and-infer workflow (``DESMO-SR/...py:620-713``), no training."""
+    read-and-infer workflow (``DESMO-SR/...py:620-713``), no training.
+
+    ``device_mesh`` (a ('space','time') mesh) row-shards X, the POD modes and
+    therefore the (n, m) reconstruction over 'space' — inference at spatial
+    sizes one device can't hold, same sharding story as ``run`` (the error /
+    sweep reductions are psum'd by XLA's sharding propagation)."""
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     sd = checkpoint.load_pt(checkpoint_path)
     if cfg.variant != "ae":
@@ -640,11 +646,29 @@ def evaluate(
     # modes they were trained against; compute_pod rebuilds the convention the
     # checkpoint was trained under (reference .pt = 'host'; our non-default
     # pod_method runs must evaluate with the SAME method — see compute_pod).
-    p, p2 = compute_pod(cfg, x)
+    p, p2 = compute_pod(cfg, x, device_mesh=device_mesh)
     xd = jnp.asarray(x)
+    modes = p.modes
+    if device_mesh is not None:
+        if x.shape[0] % device_mesh.shape["space"]:
+            # same convention as the scan fallback in run(): uneven spatial
+            # dims degrade to replication instead of erroring
+            if echo:
+                print(
+                    f"n={x.shape[0]} not divisible by the 'space' axis "
+                    f"({device_mesh.shape['space']}); evaluating replicated"
+                )
+        else:
+            import jax
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            row = NamedSharding(device_mesh, P("space", None))
+            xd = jax.device_put(xd, row)
+            modes = jax.device_put(modes, row)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if cfg.variant != "ae":
-        batch["pod_modes"] = p.modes
+        batch["pod_modes"] = modes
     recon = reconstruct(params, batch, spec, cfg.variant)
     err = float(losses.relative_frobenius_error(xd, recon))
     if echo:

@@ -31,10 +31,10 @@ import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # Two test tiers: the default run (`pytest tests/ -q`) excludes tests marked
-# slow (via addopts in pyproject.toml) and finishes in ~7 min; the full suite
+# slow (via addopts in pyproject.toml) and finishes in ~3 min; the full suite
 # (`pytest tests/ -m '' -q`, ~20 min) adds the trajectory-parity /
 # kernel-interpret / end-to-end heavyweights listed here. Measured cutoff:
-# anything >= ~6.5 s per --durations on the 8-device CPU mesh. Kept as one
+# anything >= ~5 s per --durations on the 8-device CPU mesh. Kept as one
 # central list (not scattered decorators) so re-tiering after a profiling run
 # is a single edit.
 # ---------------------------------------------------------------------------
@@ -73,6 +73,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_mesh_respects_loss_method",
     "tests/test_runner.py::test_graceful_preemption_end_to_end",
     "tests/test_runner.py::test_cli_profile_and_debug_nans_flags",
+    "tests/test_runner.py::test_evaluate_with_device_mesh_matches_single_device",
     "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",
     "tests/test_ensemble_fourier.py::test_mesh_fourier_ensemble_matches_single_device",
     "tests/test_shard_step.py::test_sharded_chunk_matches_single_device",
@@ -127,6 +128,9 @@ _SLOW = {
     "tests/test_trajectory_parity.py::test_training_trajectory_matches_torch",
     "tests/test_pod.py::test_streaming_randomized_pod_matches_in_memory",
     "tests/test_parallel.py::test_chunk_output_state_stays_sharded",
+    "tests/test_train.py::test_graceful_preemption_checkpoints_and_resumes_bit_exact",
+    "tests/test_ensemble.py::test_fused_blocks_matches_factored",
+    "tests/test_ae.py::test_warmup_loss_is_pure_ae_mse",
 }
 
 

@@ -447,3 +447,46 @@ def test_cli_profile_and_debug_nans_flags(tmp_path):
     profile_root = trace_dir / "plugins" / "profile"
     assert profile_root.is_dir()
     assert any(profile_root.iterdir())  # one timestamped capture
+
+
+def test_evaluate_with_device_mesh_matches_single_device(tmp_path):
+    """evaluate(device_mesh=...): X / POD modes / the reconstruction are
+    row-sharded over 'space' and every reported number matches the
+    single-device evaluate (inference at spatial sizes one device can't
+    hold — same sharding story as run)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from desmo_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(tiny_cfg(), n=256, num_epochs=40, checkpoint_every=40)
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    ckpt_path = os.path.join(art.out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
+
+    ref = runner.evaluate(cfg, x, ckpt_path, echo=False)
+    mesh = make_mesh(n_space=4, n_time=2)
+    got = runner.evaluate(cfg, x, ckpt_path, echo=False, device_mesh=mesh)
+    np.testing.assert_allclose(got["relative_error"], ref["relative_error"], rtol=1e-5)
+    np.testing.assert_allclose(got["pod_error_r"], ref["pod_error_r"], rtol=1e-5)
+    for (t1, e1, n1), (t2, e2, n2) in zip(got["sweep"], ref["sweep"]):
+        assert n1 == n2
+        np.testing.assert_allclose(e1, e2, rtol=1e-4)
+
+    # the reconstruction itself is 'space'-sharded when inputs are
+    from desmo_tpu import checkpoint as ckpt_mod
+    from desmo_tpu.models import desmo as desmo_model
+
+    sd = ckpt_mod.load_pt(ckpt_path)
+    params = ckpt_mod.params_from_state_dict(sd, "desmo")
+    p, _ = runner.compute_pod(cfg, x)
+    row = NamedSharding(mesh, P("space", None))
+    batch = {
+        "x": jax.device_put(jnp.asarray(x), row),
+        "pod_modes": jax.device_put(p.modes, row),
+    }
+    spec = desmo_model.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+    recon = runner.reconstruct(params, batch, spec, "desmo")
+    assert not recon.sharding.is_fully_replicated, recon.sharding
