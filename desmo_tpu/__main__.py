@@ -162,7 +162,7 @@ def cmd_sr(args) -> int:
     """DESMO-SR: load a trained checkpoint, identify dz/dt = f(z), reinject."""
     import numpy as np
 
-    from desmo_tpu import checkpoint, configs, pod, runner, sr
+    from desmo_tpu import checkpoint, configs, runner, sr
     from desmo_tpu.models import desmo as desmo_model
 
     cfg = configs.get(args.preset)
@@ -180,15 +180,17 @@ def cmd_sr(args) -> int:
     params = checkpoint.params_from_state_dict(sd, "desmo")
     import jax.numpy as jnp
 
-    # POD sign convention must match what the checkpoint TRAINED under
-    # (see runner.compute_pod): default 'host' = the reference's
-    # np.linalg.svd signs (all imported .pt checkpoints); a checkpoint from
-    # `run --pod-method X` analyzes with `sr --pod-method X`
-    method = getattr(args, "pod_method", None) or "host"
-    if method == "host":
-        p = pod.pod_host(x, r)
-    else:
-        p = pod.canonical_signs(pod.pod(x, r, method=method))
+    # POD must be rebuilt EXACTLY as training built it — same method (sign
+    # convention) AND same construction (compute_pod factorizes at rank 2r
+    # then truncates; for 'randomized' a direct rank-r sketch would be a
+    # DIFFERENT random subspace, not just different signs). Default 'host' =
+    # the reference's np.linalg.svd (all imported .pt checkpoints); a
+    # checkpoint from `run --pod-method X` analyzes with `sr --pod-method X`.
+    cfg_pod = dataclasses.replace(
+        cfg, n=x.shape[0], m=x.shape[1], r=r, poly_order=poly_order,
+        pod_method=getattr(args, "pod_method", None) or "host",
+    )
+    p, _p2 = runner.compute_pod(cfg_pod, x)
     batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
     result = sr.identify_and_reinject(
         params,

@@ -540,9 +540,12 @@ def fit(
     ``checkpoint_fn(state, epoch)``, when given, is called at every chunk
     boundary with the current group's best live seed as a single-seed
     TrainState — a crash mid-run loses at most ``cfg.checkpoint_every``
-    epochs, same contract as ``train.fit``. (Graceful SIGTERM preemption —
-    ``train.install_preemption_handler`` — is ``train.fit`` scope; ensemble
-    runs get equivalent safety from this per-chunk best-seed checkpoint.)
+    epochs, same contract as ``train.fit``. Graceful preemption
+    (``train.request_preemption`` / the SIGTERM handler) is honored at the
+    same boundaries: the current group stops after its in-flight chunk (the
+    per-chunk checkpoint above already saved the best live seed), later
+    groups are skipped, and the result carries ``preempted=True`` with the
+    best seed among those trained.
 
     ``device_mesh`` (a ('space','time') ``jax.sharding.Mesh``) composes
     multi-start with multi-chip: seeds stay packed in MXU lanes while each
@@ -638,7 +641,18 @@ def fit(
                 )
         return chunk_cache[key]
 
+    preempted = False
     while start < n_seeds:
+        if preempted or (results and train.preemption_requested()):
+            # graceful preemption between seed groups: keep what's trained
+            # (the first group always runs so there is a best seed to keep)
+            preempted = True
+            if log is not None:
+                log(
+                    f"graceful preemption: skipping seed groups from seed "
+                    f"{start} onward ({len(results)} seeds trained)"
+                )
+            break
         S = min(cap, n_seeds - start)
         group_periods = (
             [periods[(start + s) % len(periods)] for s in range(S)]
@@ -778,6 +792,17 @@ def fit(
                     f"[ensemble group {gi}] epoch {done}/{num_epochs} "
                     f"per-seed total: {np.array2string(tot, precision=6)}"
                 )
+            if train.preemption_requested():
+                # graceful preemption (same contract as train.fit): stop at
+                # the chunk boundary — the per-chunk checkpoint above already
+                # saved the best live seed
+                preempted = True
+                if log is not None:
+                    log(
+                        f"graceful preemption: group {gi} stopped at epoch "
+                        f"{done} (of {num_epochs})"
+                    )
+                break
         finals = np.where(frozen, np.inf, histories[-1]["total_s"][-1])
         hist = {
             k: np.concatenate([h[k] for h in histories]) for k in histories[0]
@@ -808,5 +833,6 @@ def fit(
         state=single, history=history,
         steps_per_sec=sps,  # SEED-steps/s across all packed groups
         wall_seconds=wall,
+        preempted=preempted,
     )
     return result, best_global, final_totals

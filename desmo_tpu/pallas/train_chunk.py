@@ -1243,6 +1243,16 @@ def supports_packed(spec, cfg, n_seeds: int) -> bool:
     )
 
 
+def loss_method_allows_kernel(cfg) -> bool:
+    """ONE policy gate for "may a fused/mega kernel replace the scan chunk":
+    an explicit non-fused ``cfg.loss_method`` requests the scan path's
+    numerics class, which auto-selection must respect (only an explicit
+    ``chunk_method='megakernel'`` overrides it). ``select_chunk``,
+    ``select_ensemble_chunk`` and ``runner.run``'s mesh branch all consult
+    this — don't re-roll the predicate."""
+    return getattr(cfg, "loss_method", "auto") in ("auto", "fused")
+
+
 def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
     """The single chunk-selection policy shared by runner/bench: returns the
     mega-kernel chunk, or None for the scanned path.
@@ -1272,7 +1282,7 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
         return make_fused_train_chunk(spec, cfg, bt)
     if jax.default_backend() != "tpu":
         return None
-    if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
+    if not loss_method_allows_kernel(cfg):
         return None
     if variant == "ae":
         # The AE mega-kernel is measured SLOWER than the scanned path on
@@ -1312,10 +1322,9 @@ def select_ensemble_chunk(
             return None
         if method != "megakernel" and (
             jax.default_backend() != "tpu"
-            # same gate as the single-chip auto branch below: an explicit
-            # non-fused loss_method is a request for the scan path's numerics
-            # class — adding a mesh must not silently override it
-            or getattr(cfg, "loss_method", "auto") not in ("auto", "fused")
+            # same gate as the single-chip auto branch below: adding a mesh
+            # must not silently override an explicit loss_method
+            or not loss_method_allows_kernel(cfg)
         ):
             return None
         return shard_step.make_sharded_fused_ensemble_chunk(
@@ -1330,7 +1339,7 @@ def select_ensemble_chunk(
         return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt)
     if jax.default_backend() != "tpu":
         return None
-    if getattr(cfg, "loss_method", "auto") not in ("auto", "fused"):
+    if not loss_method_allows_kernel(cfg):
         return None
     if not supports_packed(spec, cfg, n_seeds):
         return None

@@ -221,10 +221,9 @@ def compute_pod(cfg: configs.RunConfig, x: np.ndarray, device_mesh=None):
         p2 = pod.pod_host(x, 2 * cfg.r)
     else:
         p2 = pod.canonical_signs(
-            pod.pod(
-                x, 2 * cfg.r, method=cfg.pod_method,
-                mesh=device_mesh if cfg.pod_method == "randomized" else None,
-            )
+            # pod() routes mesh (and oversample/n_iter) to the randomized
+            # path only; exact methods ignore it
+            pod.pod(x, 2 * cfg.r, method=cfg.pod_method, mesh=device_mesh)
         )
     return pod.truncate(x, p2, cfg.r), p2
 
@@ -277,12 +276,9 @@ def run(
         from desmo_tpu.pallas import shard_step
 
         method = getattr(cfg, "chunk_method", "auto")
-        # an explicit non-fused loss_method requests the scan path's numerics
-        # class — the mesh must not silently override it (only an explicit
-        # chunk_method='megakernel' does); same gate as select_ensemble_chunk
-        loss_ok = method == "megakernel" or getattr(
-            cfg, "loss_method", "auto"
-        ) in ("auto", "fused")
+        # the mesh must not silently override an explicit loss_method (only
+        # an explicit chunk_method='megakernel' does) — shared predicate
+        loss_ok = method == "megakernel" or tc.loss_method_allows_kernel(cfg)
         if method != "scan" and loss_ok and shard_step.supports_sharded(spec, cfg):
             chunk = shard_step.make_sharded_fused_chunk(
                 spec, cfg, device_mesh, bt=kernel_bt
@@ -486,10 +482,6 @@ def run(
             {k: v[i] for k, v in result.history.items()},
         )
     logger.close()
-    if getattr(result, "preempted", False):
-        # SIGTERM grace windows are short: skip the matplotlib report, keep
-        # the cheap final artifacts (.pt + resumable .npz + error numbers)
-        make_figures = False
 
     recon = reconstruct(result.state.params, batch, spec, cfg.variant)
     err = float(losses.relative_frobenius_error(xd, recon))
@@ -500,6 +492,26 @@ def run(
         print(f"DESMO error with {cfg.r} modes: {err}")
         print(f"POD error with {cfg.r} modes: {err_pod}")
         print(f"POD error with {2 * cfg.r} modes: {err_pod2}")
+
+    if getattr(result, "preempted", False):
+        # SIGTERM grace windows are short: write the resumable artifacts NOW
+        # and skip the sweep/greedy/figure reports — SIGKILL mid-sweep must
+        # not cost the checkpoint (run `evaluate` on the .pt offline instead)
+        final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
+        checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))
+        checkpoint.save_state(os.path.join(out_dir, "state_final.npz"), result.state)
+        return RunArtifacts(
+            config=cfg,
+            state=result.state,
+            history=result.history,
+            relative_error=err,
+            pod_error_r=err_pod,
+            pod_error_2r=err_pod2,
+            steps_per_sec=result.steps_per_sec,
+            sweep=[],
+            out_dir=out_dir,
+            preempted=True,
+        )
 
     sweep = sparsify.threshold_sweep(
         result.state.params,
@@ -648,29 +660,17 @@ def evaluate(
     # pod_method runs must evaluate with the SAME method — see compute_pod).
     p, p2 = compute_pod(cfg, x, device_mesh=device_mesh)
     xd = jnp.asarray(x)
-    modes = p.modes
-    if device_mesh is not None:
-        if x.shape[0] % device_mesh.shape["space"]:
-            # same convention as the scan fallback in run(): uneven spatial
-            # dims degrade to replication instead of erroring
-            if echo:
-                print(
-                    f"n={x.shape[0]} not divisible by the 'space' axis "
-                    f"({device_mesh.shape['space']}); evaluating replicated"
-                )
-        else:
-            import jax
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
-
-            row = NamedSharding(device_mesh, P("space", None))
-            xd = jax.device_put(xd, row)
-            modes = jax.device_put(modes, row)
     batch = {"x": xd, "x_sq": jnp.sum(xd * xd)}
     if cfg.variant != "ae":
-        batch["pod_modes"] = modes
+        batch["pod_modes"] = p.modes
+    if device_mesh is not None:
+        # ONE sharding policy with run(): x -> ('space','time'), pod_modes ->
+        # ('space', None), uneven axes degrade to replication (_drop_unfit)
+        from desmo_tpu import parallel
+
+        batch = parallel.shard_batch(batch, device_mesh)
     recon = reconstruct(params, batch, spec, cfg.variant)
-    err = float(losses.relative_frobenius_error(xd, recon))
+    err = float(losses.relative_frobenius_error(batch["x"], recon))
     if echo:
         print(f"DESMO error with {cfg.r} modes: {err}")
         print(f"POD error with {cfg.r} modes: {pod.pod_relative_error(x, p)}")

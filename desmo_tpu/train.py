@@ -481,9 +481,14 @@ def fit(
             _ckpt_pending = _ckpt_pool().submit(checkpoint_fn, snap, done)
         if preempt:
             if log is not None:
+                saved = (
+                    "final state checkpointed"
+                    if checkpoint_fn is not None
+                    else "no checkpoint_fn — state NOT saved"
+                )
                 log(
                     f"graceful preemption: stopped at epoch {done} "
-                    f"(of {end_epoch}); final state checkpointed"
+                    f"(of {end_epoch}); {saved}"
                 )
             break
     if _ckpt_pending is not None:

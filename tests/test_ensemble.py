@@ -428,3 +428,28 @@ def test_fit_mesh_kernel_path():
     assert int(result.state.epoch) == 12
     assert result.state.params["phi"].shape == (spec.r, spec.n)
     assert np.isfinite(result.history["total"]).all()
+
+
+def test_fit_honors_graceful_preemption():
+    """ensemble.fit stops at the chunk boundary when preemption is requested
+    (same contract as train.fit — the CLI installs the SIGTERM handler for
+    --seeds runs too): one chunk runs, later chunks and groups are skipped,
+    the per-chunk checkpoint already saved the best live seed, and the
+    result carries preempted=True."""
+    from desmo_tpu import train
+
+    spec, cfg, params, batch = _problem(3)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, num_epochs=40)
+    saved = []
+    train.request_preemption()
+    try:
+        result, best, finals = ensemble.fit(
+            cfg, spec, batch, n_seeds=3, num_epochs=40, log=None,
+            checkpoint_fn=lambda st, ep: saved.append(ep),
+        )
+    finally:
+        train.clear_preemption()
+    assert result.preempted
+    assert int(result.state.epoch) == 10  # one chunk, then the boundary stop
+    assert saved == [10]
+    assert len(finals) == 3 and np.isfinite(finals).all()

@@ -490,3 +490,29 @@ def test_evaluate_with_device_mesh_matches_single_device(tmp_path):
     spec = desmo_model.DesmoSpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
     recon = runner.reconstruct(params, batch, spec, "desmo")
     assert not recon.sharding.is_fully_replicated, recon.sharding
+
+
+def test_sr_pod_rebuild_matches_training_randomized():
+    """The sr CLI rebuilds POD through runner.compute_pod, so a
+    pod_method='randomized' checkpoint pairs with the SAME modes training
+    used: compute_pod is deterministic call-to-call (fixed sketch PRNG), and
+    a naive direct rank-r randomized sketch — what a re-rolled rebuild would
+    produce — is a genuinely different subspace, not just different signs."""
+    from desmo_tpu import pod
+
+    rng = np.random.default_rng(5)
+    # full-rank data with a slowly decaying spectrum: subspace differences
+    # between sketches are visible
+    u = np.linalg.qr(rng.standard_normal((64, 32)))[0]
+    x = (u * (1.0 / np.arange(1, 33))) @ rng.standard_normal((32, 32))
+    x = x.astype(np.float32)
+    cfg = dataclasses.replace(
+        tiny_cfg(), n=64, m=32, pod_method="randomized"
+    )
+    p1, _ = runner.compute_pod(cfg, x)
+    p2, _ = runner.compute_pod(cfg, x)
+    np.testing.assert_array_equal(np.asarray(p1.modes), np.asarray(p2.modes))
+    direct = pod.canonical_signs(pod.pod(x, cfg.r, method="randomized"))
+    assert not np.allclose(
+        np.asarray(direct.modes), np.asarray(p1.modes), atol=1e-5
+    )
