@@ -214,8 +214,15 @@ def _tpu_alive(timeout_s: float = 240.0) -> bool:
     import sys as _sys
 
     code = (
-        "import jax, jax.numpy as jnp;"
-        "assert jax.default_backend() == 'tpu', jax.default_backend();"
+        # honor a CLI-forced platform (python -m desmo_tpu bench --platform
+        # cpu sets DESMO_BENCH_PLATFORM); default = assert the real TPU
+        "import os, jax;"
+        "p=os.environ.get('DESMO_BENCH_PLATFORM');"
+        "d=os.environ.get('DESMO_BENCH_CPU_DEVICES');"
+        "p and jax.config.update('jax_platforms', p);"
+        "d and jax.config.update('jax_num_cpu_devices', int(d));"
+        "import jax.numpy as jnp;"
+        "assert jax.default_backend() == (p or 'tpu'), jax.default_backend();"
         "x=(jnp.ones((128,128))@jnp.ones((128,128))).sum();"
         "assert float(x)==128*128*128"
     )
@@ -297,6 +304,17 @@ def _watchdog() -> None:
 
 if __name__ == "__main__":
     import os as _os
+
+    # CLI-forced platform (cmd_bench): must land in THIS process (probe and
+    # main children inherit the env) before any backend touch
+    _forced = _os.environ.get("DESMO_BENCH_PLATFORM")
+    if _forced:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _forced)
+        _nd = _os.environ.get("DESMO_BENCH_CPU_DEVICES")
+        if _nd:
+            _jax.config.update("jax_num_cpu_devices", int(_nd))
 
     if _os.environ.get("DESMO_BENCH_CHILD") == "1":
         # in-child retry for transient runtime errors; a hang here is the

@@ -128,11 +128,22 @@ def cmd_run(args) -> int:
     return 0
 
 
-def cmd_bench(_args) -> int:
+def cmd_bench(args) -> int:
+    import os
     import runpy
 
+    # absolute path: `python -m desmo_tpu bench` must work from any cwd
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    # --platform/--cpu-devices must reach the watchdog's probe/main CHILD
+    # processes, not just this parent — bench.py reads these env vars
+    if getattr(args, "platform", None):
+        os.environ["DESMO_BENCH_PLATFORM"] = args.platform
+    if getattr(args, "cpu_devices", None):
+        os.environ["DESMO_BENCH_CPU_DEVICES"] = str(args.cpu_devices)
     sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    runpy.run_path(bench_path, run_name="__main__")
     return 0
 
 

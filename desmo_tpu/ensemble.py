@@ -549,9 +549,11 @@ def fit(
 
     ``device_mesh`` (a ('space','time') ``jax.sharding.Mesh``) composes
     multi-start with multi-chip: seeds stay packed in MXU lanes while each
-    seed's phi rows (and Adamax moments) shard over 'space' through the
-    sharding-aware scanned chunk (``parallel.ensemble_param_shardings``).
-    The single-chip seed-packed mega-kernel is skipped under a mesh.
+    seed's phi rows (and Adamax moments) shard over 'space'. On TPU the
+    kernel form is the SHARDED seed-packed megastep
+    (``shard_step.make_sharded_fused_ensemble_chunk``, auto-selected by
+    ``select_ensemble_chunk(device_mesh=...)``); the portable form is the
+    sharding-aware packed scan chunk (``parallel.ensemble_param_shardings``).
     """
     if method is None:
         method = "fused" if jax.default_backend() == "tpu" else "factored"
@@ -567,6 +569,10 @@ def fit(
             )
         method = "factored"
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
+    if num_epochs <= 0:
+        # no trained metric exists to pick a best seed from (train.fit's
+        # zero-epoch no-op contract has no multi-seed analogue)
+        raise ValueError(f"ensemble.fit needs num_epochs > 0, got {num_epochs}")
     cap = max_seeds_packed(spec)
     is_fourier = getattr(cfg, "variant", "desmo") == "fourier"
     mod = fourier_model if is_fourier else desmo_model
@@ -620,10 +626,10 @@ def fit(
         key = (kind, S)
         if key not in chunk_cache:
             if kind == "kernel":
-                # SEED-PACKED MEGA-KERNEL when the central policy selects it
-                # (TPU, pack fits, no mesh — the kernel is single-chip):
-                # S models inside one pallas_call for ~the cost of one (the
-                # in-kernel trig/gather/contraction work is lane-width-fixed)
+                # SEED-PACKED MEGA-KERNEL when the central policy selects
+                # it (TPU + pack fits; under a mesh this is the SHARDED
+                # seed-packed megastep): S models inside one pallas_call for
+                # ~the cost of one (in-kernel work is lane-width-fixed)
                 chunk_cache[key] = _tc.select_ensemble_chunk(
                     spec, cfg, S, device_mesh=device_mesh
                 )
@@ -665,15 +671,23 @@ def fit(
         )
         if start > 0:
             # only the global seed 0 keeps the exact reference init; later
-            # groups jitter every member
-            key = jax.random.PRNGKey(seed + 1000 + gi)
+            # groups jitter every member — phi multiplicatively AND omega by
+            # the same log-spread as members > 0 (else member 0 of every
+            # later group duplicates global seed 0 when phi_sigma == 0)
+            kphi, komega = jax.random.split(jax.random.PRNGKey(seed + 1000 + gi))
             noise = phi_sigma * jax.random.normal(
-                key, (1, spec.r, spec.n), jnp.float32
+                kphi, (spec.r, spec.n), jnp.float32
             )
             params = dict(
                 params,
-                phi=params["phi"].at[0].multiply(1.0 + noise[0]),
+                phi=params["phi"].at[0].multiply(1.0 + noise),
             )
+            if omega_spread > 0.0:
+                fac = 10.0 ** jax.random.uniform(
+                    komega, params["omega"].shape[1:], jnp.float32,
+                    minval=-omega_spread, maxval=omega_spread,
+                )
+                params["omega"] = params["omega"].at[0].multiply(fac)
         chunk = _get_chunk("kernel", S)
         is_kernel = chunk is not None
         if is_kernel:
@@ -812,6 +826,10 @@ def fit(
         start += S
         gi += 1
 
+    if preempted:
+        # consume the latch (same contract as train.fit): the request is
+        # honored by this fit; later fits in the process start fresh
+        train.clear_preemption()
     final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[1])])
     best_total, best_global, best_state, best_local, best_hist = min(
         results, key=lambda r: r[0]

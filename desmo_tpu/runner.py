@@ -284,6 +284,17 @@ def run(
                 spec, cfg, device_mesh, bt=kernel_bt
             )
             sharded_kernel = True
+            # the fast-sincos guard can rebuild a SCAN chunk mid-run: hand it
+            # the mesh-safe pieces — sharding rules (else the rebuild would
+            # replicate phi + moments onto every device) and the pure-XLA
+            # factored loss (the fused dual-GEMM is single-chip)
+            from desmo_tpu import parallel
+
+            param_shardings = parallel.param_shardings(params, device_mesh, cfg.m)
+            if resolve_loss_method(cfg) == "fused":
+                _, _, loss_fn, _ = build_model(
+                    dataclasses.replace(cfg, loss_method="factored")
+                )
         elif method == "megakernel":
             # mirror select_chunk's policy: an explicit megakernel request
             # must not silently degrade to the scanned chunk
@@ -409,12 +420,22 @@ def run(
         from desmo_tpu import ensemble
 
         method = resolve_loss_method(cfg)
+        if method not in ("factored", "fused"):
+            # e.g. an explicit 'direct': no packed multi-seed form exists —
+            # honor the requested numerics CLASS with the pure-XLA factored
+            # loss rather than silently taking the fused Pallas path
+            if echo:
+                print(
+                    f"[ensemble] loss_method={method!r} has no packed form; "
+                    "using the factored (pure-XLA) loss"
+                )
+            method = "factored"
         with mesh_ctx:
             result, best_seed, finals = ensemble.fit(
                 cfg, spec, batch, n_seeds=cfg.n_seeds, num_epochs=n_epochs,
                 seed=cfg.seed, phi_sigma=cfg.seed_phi_sigma,
                 omega_spread=cfg.seed_omega_spread,
-                method=method if method in ("factored", "fused") else None,
+                method=method,
                 log=log_line if echo else None,
                 checkpoint_fn=ckpt,
                 device_mesh=device_mesh,

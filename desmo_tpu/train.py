@@ -63,7 +63,9 @@ def _preempt_event():
 
 def request_preemption() -> None:
     """Ask any running :func:`fit` to stop at its next chunk boundary (after
-    a final checkpoint). Safe from signal handlers and other threads."""
+    a final checkpoint). Safe from signal handlers and other threads. The
+    request is CONSUMED by the fit that honors it (one request = one stop);
+    a fresh SIGTERM re-arms it."""
     _preempt_event().set()
 
 
@@ -490,6 +492,10 @@ def fit(
                     f"graceful preemption: stopped at epoch {done} "
                     f"(of {end_epoch}); {saved}"
                 )
+            # consume the latch: the request is honored by THIS fit — a later
+            # fit in the same process (retry loops, preset sweeps) must not
+            # silently stop after its first chunk
+            clear_preemption()
             break
     if _ckpt_pending is not None:
         _ckpt_pending.result()

@@ -5,6 +5,7 @@ it). The TPU paths themselves run on hardware; these tests pin the
 watchdog's host-side logic with the probe and child stubbed."""
 
 import json
+import os
 import subprocess
 import sys
 import types
@@ -84,3 +85,34 @@ def test_transient_child_failure_retries_once(bench_mod, monkeypatch, capsys):
             bench_mod._watchdog()
     assert exc.value.code == 0
     assert capsys.readouterr().out == ""
+
+
+def test_probe_honors_forced_platform(bench_mod, monkeypatch):
+    """`python -m desmo_tpu bench --platform cpu` exports
+    DESMO_BENCH_PLATFORM; the liveness probe subprocess must apply it and
+    assert THAT backend instead of requiring the real TPU (previously the
+    flags never reached the watchdog's children and the probe spent ~29 min
+    failing)."""
+    monkeypatch.setenv("DESMO_BENCH_PLATFORM", "cpu")
+    assert bench_mod._tpu_alive(timeout_s=240.0)
+
+
+def test_cmd_bench_exports_platform_env_and_abs_path(monkeypatch, tmp_path):
+    """The CLI bench entry resolves bench.py absolutely (works from any cwd)
+    and exports the platform override for the watchdog's subprocesses."""
+    import types as _types
+
+    from desmo_tpu import __main__ as cli
+
+    seen = {}
+    monkeypatch.setattr(
+        "runpy.run_path",
+        lambda path, run_name=None: seen.update(path=path, run_name=run_name),
+    )
+    monkeypatch.chdir(tmp_path)  # NOT the repo root
+    monkeypatch.delenv("DESMO_BENCH_PLATFORM", raising=False)
+    args = _types.SimpleNamespace(platform="cpu", cpu_devices=4)
+    assert cli.cmd_bench(args) == 0
+    assert os.path.isabs(seen["path"]) and os.path.exists(seen["path"])
+    assert os.environ["DESMO_BENCH_PLATFORM"] == "cpu"
+    assert os.environ["DESMO_BENCH_CPU_DEVICES"] == "4"

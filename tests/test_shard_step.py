@@ -214,15 +214,23 @@ def test_sharded_sincos_guard_engages():
         spec, cfg.beta, cfg.l1_lambda, method="factored"
     )
     logs = []
+    # runner.run hands the kernel path param_shardings for exactly this
+    # fallback: the rebuilt scan chunk must keep phi distributed, not
+    # silently replicate it onto every device
+    from desmo_tpu import parallel
+
+    shardings = parallel.param_shardings(params, mesh, cfg.m)
     with jax.sharding.set_mesh(mesh):
         result = train.fit(
             loss_fn, desmo_model.param_groups(params), cfg, params, batch,
             num_epochs=12, chunk_size=4, log=logs.append, chunk=sharded,
+            param_shardings=shardings,
         )
     assert any("fast-sincos domain" in line for line in logs)
     assert result.max_abs_trig_arg > tc.SINCOS_DOMAIN
     assert int(result.state.epoch) == 12
     assert np.isfinite(np.asarray(result.history["total"])).all()
+    assert not result.state.params["phi"].sharding.is_fully_replicated
 
 
 def test_sharded_ensemble_matches_single_chip_packed_kernel():

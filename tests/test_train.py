@@ -195,3 +195,22 @@ def test_sigterm_installs_and_requests_preemption():
     finally:
         train.clear_preemption()
         signal.signal(signal.SIGTERM, prev)
+
+
+def test_preemption_latch_is_consumed_by_the_honoring_fit():
+    """One request = one stop: after a fit honors a preemption request, a
+    later fit in the same process trains to completion (retry loops / preset
+    sweeps must not inherit a sticky latch)."""
+    cfg = small_cfg(num_epochs=40, sched_every=1, patience=10)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    groups = desmo.param_groups(params)
+
+    train.request_preemption()
+    try:
+        res_a = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=20)
+        assert res_a.preempted and int(res_a.state.epoch) == 20
+        assert not train.preemption_requested()  # consumed
+        res_b = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=20)
+        assert not res_b.preempted and int(res_b.state.epoch) == 40
+    finally:
+        train.clear_preemption()
