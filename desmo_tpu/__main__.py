@@ -279,6 +279,7 @@ def cmd_pod(args) -> int:
                 pod.pod(
                     x, r, method=args.method,
                     oversample=args.oversample, n_iter=args.iters,
+                    mesh=_parse_mesh(getattr(args, "mesh", None)),
                 )
             )
         err = pod.pod_relative_error(x, res)
@@ -441,6 +442,12 @@ def main(argv=None) -> int:
     p_pod.add_argument("--oversample", type=int, default=8, help="randomized/streaming sketch oversampling")
     p_pod.add_argument("--iters", type=int, default=2, help="randomized/streaming power iterations")
     p_pod.add_argument("--save", default=None, metavar="NPZ", help="write modes/temporal/spectrum to an npz")
+    p_pod.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="'randomized' only: run the factorization 'space'-sharded over "
+        "a device mesh, e.g. 'space=4' (X, Q and the modes stay sharded; "
+        "only k-width reductions cross devices)",
+    )
 
     p_ev = sub.add_parser(
         "evaluate",

@@ -200,7 +200,9 @@ def randomized_pod(
     k = min(m, n, r + oversample)
     if r > k:
         raise ValueError(f"rank r={r} exceeds sketch width k={k}")
-    if mesh is not None:
+    if mesh is not None and n % mesh.shape["space"] == 0:
+        # uneven n degrades to replication, same convention as
+        # parallel._drop_unfit (JAX rejects uneven shards)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x = jax.device_put(x, NamedSharding(mesh, P("space", None)))
