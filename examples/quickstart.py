@@ -29,7 +29,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20000)
     ap.add_argument("--out", default="/tmp/desmo_quickstart")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. cpu) — without a reachable TPU the "
+        "default backend can hang at init",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        # must land before the first backend touch (the tunneled TPU plugin
+        # ignores the JAX_PLATFORMS env var — see CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from desmo_tpu import checkpoint, configs, runner, sr
     from desmo_tpu.io import synthetic
