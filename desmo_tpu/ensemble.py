@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from desmo_tpu import library, optim, train
+from desmo_tpu import checkpoint, library, optim, train
 from desmo_tpu.configs import GROUP_ORDER, RunConfig
 from desmo_tpu.models import desmo as desmo_model
 from desmo_tpu.models import fourier as fourier_model
@@ -719,7 +719,9 @@ def fit(
             t_chunk = _time.perf_counter()
             try:
                 state, mets = chunk(state, batch, num_steps=nsteps)
-                mets = {k: np.asarray(v) for k, v in mets.items()}
+                # one packed fetch — per-key np.asarray costs a tunneled
+                # round trip each (see checkpoint.device_fetch_tree)
+                mets = checkpoint.device_fetch_tree(mets)
             except Exception as exc:
                 if not (is_kernel and done == 0):
                     raise

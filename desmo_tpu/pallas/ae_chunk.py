@@ -962,6 +962,11 @@ def ae_supports(spec, cfg, bt: int = _BT_DEFAULT, vmem_budget_mb: float = 40.0) 
         return False
     n_pad = _round_up(spec.n, bt)
     m_pad = _round_up(spec.m, LANES)
+    # make_ae_fused_chunk streams the init/out tensors in bs-row slabs and
+    # rejects n_pad % bs at the first call — gate it here so supports() and
+    # the chunk constructor agree (e.g. n=1400 -> n_pad=1536, bs=1024 fails)
+    if n_pad % min(n_pad, 1024):
+        return False
     n_tiles = n_pad // bt
     for rows in (3 * m_pad, 768, 1536, 3 * _NSQ * 128):
         if rows % n_tiles or (rows // n_tiles) % 8:

@@ -630,15 +630,31 @@ def make_sharded_fused_ensemble_chunk(
                 ax, ga, auga, acc = jax.lax.psum((ax, ga, auga, acc), "space")
 
                 # per-seed losses: gb is block-masked, so ga*gb is already
-                # block-diagonal — row-sums bucket by seed via SEEDSEL
-                gg_rows = jnp.sum(ga * gb, axis=1)
+                # block-diagonal — row-sums bucket by seed via SEEDSEL.
+                # Divergence isolation (same scheme as the single-chip
+                # kernel's _seed_reduce): a diverged seed's inf/NaN must not
+                # leak into other seeds' metrics through NaN*0, neither in
+                # the zero-masked cross-seed products nor in the one-hot
+                # selection matmuls — ensemble.fit attributes blame from
+                # per-seed finiteness of total_s at the first bad step
+                def _bucket(rows, selmat):
+                    fin = jnp.abs(rows) < jnp.inf
+                    clean = jnp.where(fin, rows, 0.0) @ selmat
+                    bad = jnp.where(fin, 0.0, 1.0) @ selmat
+                    return jnp.where(bad > 0.0, float("nan"), clean)
+
+                gg_rows = jnp.sum(jnp.where(gb == 0.0, 0.0, ga * gb), axis=1)
                 cross_rows = jnp.sum(ax * bser, axis=1)
                 rec_s = (
-                    gg_rows @ seedsel_j - 2.0 * (cross_rows @ seedsel_j) + x_sq
+                    _bucket(gg_rows, seedsel_j)
+                    - 2.0 * _bucket(cross_rows, seedsel_j) + x_sq
                 ) / (n * m)
-                od_rows = jnp.sum(jnp.abs(auga * offdiag), axis=1)
-                ortho_s = 0.5 * (od_rows @ augsel_j)
-                l1_s = (jnp.abs(crow[0, :]) * inblk_j) @ seedsel_j
+                od_rows = jnp.sum(
+                    jnp.where(offdiag == 0.0, 0.0, jnp.abs(auga * offdiag)),
+                    axis=1,
+                )
+                ortho_s = 0.5 * _bucket(od_rows, augsel_j)
+                l1_s = _bucket(jnp.abs(crow[0, :]) * inblk_j, seedsel_j)
                 total_s = rec_s + beta * ortho_s + lam * l1_s
                 total = jnp.sum(total_s)
                 sign = jnp.sign(auga) * offdiag

@@ -261,6 +261,19 @@ def _dot2(x, M, dims=_STD):
     return _d(h, M, dims) + _d(l, M, dims)
 
 
+def _seed_reduce(v, M, dims=_STD):
+    """NaN-isolated ``_dot2(v, M, dims)`` for one-hot seed bucketing: a
+    non-finite entry of ``v`` poisons ONLY the output lanes its one-hot
+    column selects. A plain selection matmul leaks one diverged seed's
+    inf/NaN into EVERY seed's metric (IEEE NaN*0 = NaN), which would defeat
+    ensemble.fit's divergence containment — it attributes blame from
+    per-seed finiteness of total_s at the first bad step."""
+    fin = jnp.abs(v) < jnp.float32(jnp.inf)  # False for NaN and +-inf
+    clean = _dot2(jnp.where(fin, v, 0.0), M, dims)
+    bad = _d(jnp.where(fin, 0.0, 1.0).astype(jnp.bfloat16), M, dims)
+    return jnp.where(bad > 0.0, float("nan"), clean)
+
+
 from desmo_tpu.pallas.dual_gemm import _dot3  # noqa: E402, F401  (same scheme)
 
 
@@ -718,16 +731,23 @@ def _make_kernel(
                     # selection matmuls (gb is block-masked, so ga*gb and the
                     # cross term group cleanly by seed block). Lane si of
                     # each *_row holds seed si's value.
-                    gagb_col = jnp.sum(ga_s[:] * gb_s[:], axis=0, keepdims=True)
-                    rec_gram = _dot2(gagb_col, SEL(3))
+                    # divergence isolation: ga/auga carry non-finite CROSS-
+                    # seed entries once one seed diverges; the zero masks
+                    # (block-diagonal gb, within-seed offdiag) turn them into
+                    # NaN*0 = NaN, so select instead of multiplying by 0
+                    gg = jnp.where(gb_s[:] == 0.0, 0.0, ga_s[:] * gb_s[:])
+                    gagb_col = jnp.sum(gg, axis=0, keepdims=True)
+                    rec_gram = _seed_reduce(gagb_col, SEL(3))
                     wv = jnp.sum(ax_s[:] * bv, axis=1, keepdims=True)
-                    cross_row = _dot2(wv, SEL(3), _AXD)
+                    cross_row = _seed_reduce(wv, SEL(3), _AXD)
                     rec_row = (rec_gram - 2.0 * cross_row + x_sq) / nm
-                    ao = jnp.abs(auga_s[:] * offdiag)
+                    ao = jnp.where(
+                        offdiag == 0.0, 0.0, jnp.abs(auga_s[:] * offdiag)
+                    )
                     w2 = jnp.sum(ao, axis=1, keepdims=True)
-                    ortho_row = 0.5 * _dot2(w2, SEL(4), _AXD)
+                    ortho_row = 0.5 * _seed_reduce(w2, SEL(4), _AXD)
                     ca = jnp.abs(crow_ref[0:1, :]) * coefmask
-                    l1_row = _dot2(ca, SEL(3))
+                    l1_row = _seed_reduce(ca, SEL(3))
                     total_row = rec_row + beta * ortho_row + lam * l1_row
                     # met lanes per seed: 8*si + (rec, ortho, l1, total,
                     # global maxarg)

@@ -194,11 +194,22 @@ def fourier_period_multistart(
             num_epochs=cfg.period_probe_epochs, log=None, chunk=chunk,
             param_shardings=param_shardings,
         )
-        rec = float(res.history["rec"][-1])
-        if log is not None:
-            log(f"period multi-start: candidate {pc:.4f} -> rec {rec:.6f}")
-        if best is None or rec < best[0]:
-            best = (rec, pc, res.state)
+        if res.history:
+            rec = float(res.history["rec"][-1])
+            if log is not None:
+                log(f"period multi-start: candidate {pc:.4f} -> rec {rec:.6f}")
+            if best is None or rec < best[0]:
+                best = (rec, pc, res.state)
+        if res.preempted:
+            # fit consumed the SIGTERM latch; re-raise it so the probe loop
+            # stops HERE and the main fit checkpoints and exits immediately
+            # instead of training to full length after a swallowed signal
+            if log is not None:
+                log("period multi-start: preempted; skipping remaining candidates")
+            train.request_preemption()
+            break
+    if best is None:
+        return None
     if log is not None:
         log(f"period multi-start: keeping period {best[1]:.4f} (rec {best[0]:.6f})")
     return best[2]
@@ -388,6 +399,10 @@ def run(
                     param_shardings=param_shardings,
                 )
             params = dict(warm.state.params)
+            if warm.preempted:
+                # the warmup consumed the SIGTERM latch; re-raise it so the
+                # main fit saves the warmed state and exits immediately
+                train.request_preemption()
         om = ae_model.data_scaled_omega(params, xd)
         params["omega"] = om
         cfg = dataclasses.replace(

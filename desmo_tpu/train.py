@@ -400,6 +400,25 @@ def fit(
     state = jax.tree.map(jnp.array, state)
     batch = jax.tree.map(jnp.asarray, batch)
 
+    if preemption_requested():
+        # the latch was raised before this fit started (e.g. SIGTERM during
+        # an earlier warmup/probe phase that re-raised it): stop before the
+        # first chunk, but still save a resumable checkpoint of the incoming
+        # state — it may carry unsaved work from that earlier phase
+        if checkpoint_fn is not None:
+            checkpoint_fn(_snapshot_tree(state), int(state.epoch))
+        if log is not None:
+            saved = (
+                "incoming state checkpointed" if checkpoint_fn is not None
+                else "no checkpoint_fn — state NOT saved"
+            )
+            log(f"graceful preemption: stopped before the first chunk; {saved}")
+        clear_preemption()
+        return TrainResult(
+            state=state, history={}, steps_per_sec=float("nan"),
+            wall_seconds=0.0, preempted=True,
+        )
+
     histories: list[dict] = []
     max_abs_trig_arg = 0.0
     _ckpt_pending = None

@@ -49,6 +49,8 @@ _SLOW = {
     "tests/test_ensemble_kernel.py::test_packed_fourier_seeds_match_independent_single_kernels",
     "tests/test_ensemble_kernel.py::test_packed_fourier_streamed_emul_matches_resident",
     "tests/test_ensemble_kernel.py::test_packed_kernel_matches_packed_scan",
+    "tests/test_ensemble_kernel.py::test_packed_kernel_isolates_diverged_seed_metrics",
+    "tests/test_ensemble_kernel.py::test_fit_kernel_path_recovers_from_diverged_seed",
     "tests/test_ensemble_kernel.py::test_packed_seeds_match_independent_single_kernels",
     "tests/test_ensemble_kernel.py::test_resume_mid_run",
     "tests/test_ensemble_kernel.py::test_streamed_emul_matches_resident_packed",
@@ -72,6 +74,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_mesh_with_seeds",
     "tests/test_runner.py::test_run_mesh_respects_loss_method",
     "tests/test_runner.py::test_graceful_preemption_end_to_end",
+    "tests/test_runner.py::test_preemption_during_ae_warmup_is_not_swallowed",
     "tests/test_runner.py::test_cli_profile_and_debug_nans_flags",
     "tests/test_runner.py::test_evaluate_with_device_mesh_matches_single_device",
     "tests/test_ensemble.py::test_mesh_ensemble_matches_single_device",

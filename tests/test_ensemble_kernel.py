@@ -499,3 +499,47 @@ def test_resume_mid_run():
     np.testing.assert_allclose(
         np.asarray(ma["total_s"]), np.asarray(mb["total_s"])[8:], rtol=1e-6
     )
+
+
+def test_packed_kernel_isolates_diverged_seed_metrics():
+    """One diverged seed's inf/NaN must not leak into the OTHER seeds'
+    per-seed metrics: ga/auga carry non-finite cross-seed entries once a
+    seed diverges, and both the zero-masked block products and the one-hot
+    SEEDSEL/AUGSEL matmuls would turn them into NaN*0 = NaN for every seed.
+    ensemble.fit attributes divergence blame from per-seed finiteness of
+    total_s at the FIRST bad step, so this isolation is what makes
+    containment work on the kernel path (the scan path extracts block
+    diagonals by indexing and is isolated by construction)."""
+    S = 3
+    cfg, spec, params, batch = problem(S)
+    params = dict(params, phi=params["phi"].at[1].set(jnp.nan))
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    state = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    _, mets = fused(state, batch, num_steps=2)
+    for key in ("rec", "ortho", "total_s"):
+        row = np.asarray(mets[key])[0]  # step 0: only seed 1 is bad yet
+        assert not np.isfinite(row[1]), key
+        assert np.isfinite(row[0]) and np.isfinite(row[2]), (key, row)
+
+
+def test_fit_kernel_path_recovers_from_diverged_seed(monkeypatch):
+    """Divergence containment END-TO-END on the packed-kernel path: the
+    jittered seeds overflow at init, fit must attribute them from the
+    isolated per-seed metrics, freeze exactly those, and let seed 0 (exact
+    reference init) finish — not raise 'every seed diverged'."""
+    _patch_kernel_select(monkeypatch)
+    cfg, spec, params, batch = problem(3)
+    cfg = dataclasses.replace(cfg, checkpoint_every=8, log_every=1000)
+    msgs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=16, seed=0,
+        phi_sigma=1e200, omega_spread=0.0, log=msgs.append,
+    )
+    assert best == 0
+    assert np.isfinite(finals[0])
+    assert np.isinf(finals[1]) and np.isinf(finals[2])
+    assert any("diverged" in m for m in msgs)
+    assert result.history["total"].shape == (16,)
+    assert np.isfinite(result.history["total"]).all()

@@ -374,8 +374,11 @@ def test_run_mesh_respects_loss_method(tmp_path, monkeypatch):
 
 def test_graceful_preemption_end_to_end(tmp_path):
     """Real SIGTERM through install_preemption_handler in a subprocess: the
-    run stops at the first chunk boundary, writes resumable state, reports
-    preempted=True — and --resume from that state completes the run."""
+    signal lands before training starts, so the run stops BEFORE the first
+    chunk (the grace window is never spent training), writes resumable
+    state, reports preempted=True — and --resume from that state completes
+    the run. Mid-run SIGTERM (stop at the next chunk boundary) is pinned in
+    test_train.py::test_graceful_preemption_checkpoints_and_resumes_bit_exact."""
     import json as _json
     import subprocess
     import sys
@@ -404,7 +407,7 @@ print(json.dumps({{"preempted": art.preempted, "epoch": int(art.state.epoch),
     assert out.returncode == 0, out.stderr[-2000:]
     info = _json.loads(out.stdout.strip().splitlines()[-1])
     assert info["preempted"] is True
-    assert info["epoch"] == 50  # stopped at the first chunk boundary
+    assert info["epoch"] == 0  # latch was up at fit entry: zero chunks run
     state_file = os.path.join(info["out_dir"], "state_final.npz")
     assert os.path.exists(state_file)
 
@@ -423,7 +426,56 @@ print(json.dumps({{"preempted": art.preempted, "epoch": int(art.state.epoch),
         resume_from=state_file,
     )
     assert not art.preempted
-    assert int(art.state.epoch) == 200
+    assert int(art.state.epoch) == 150
+
+
+def test_preemption_during_fourier_period_probe_is_not_swallowed(tmp_path):
+    """The period multi-start probes call train.fit internally, and each fit
+    CONSUMES the SIGTERM latch when honoring it. The runner must re-raise the
+    latch out of the probe phase so the main fit checkpoints and stops
+    immediately — not train to full length after a swallowed signal."""
+    from desmo_tpu import train
+
+    cfg = dataclasses.replace(
+        tiny_cfg("fourier"), period_multistart=2, num_epochs=200
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    train.request_preemption()
+    try:
+        art = runner.run(
+            cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False
+        )
+    finally:
+        train.clear_preemption()
+    assert art.preempted
+    assert int(art.state.epoch) == 0
+    assert os.path.exists(os.path.join(art.out_dir, "state_final.npz"))
+    assert not train.preemption_requested()  # consumed by the main fit
+
+
+def test_preemption_during_ae_warmup_is_not_swallowed(tmp_path):
+    """Same contract for the AE-recipe warmup fit: a SIGTERM honored (and
+    consumed) by the warmup must be re-raised so the main fit saves the
+    warmed state and exits instead of training the full dictionary phase."""
+    from desmo_tpu import train
+
+    cfg = dataclasses.replace(
+        tiny_cfg("ae"), ae_recipe=True, ae_warmup_epochs=20, omega_init=1e4
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    train.request_preemption()
+    try:
+        art = runner.run(
+            cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False
+        )
+    finally:
+        train.clear_preemption()
+    assert art.preempted
+    assert int(art.state.epoch) == 0
+    assert os.path.exists(os.path.join(art.out_dir, "state_final.npz"))
+    assert not train.preemption_requested()
 
 
 def test_cli_profile_and_debug_nans_flags(tmp_path):

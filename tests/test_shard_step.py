@@ -357,3 +357,29 @@ def test_seed_lane_geometry_matches_kernel_tables():
         np.testing.assert_array_equal(
             geo.augsel.argmax(axis=1)[aug], geo.aug_seed[aug]
         )
+
+
+def test_sharded_ensemble_isolates_diverged_seed_metrics():
+    """Same divergence isolation contract as the single-chip packed kernel
+    (test_ensemble_kernel.py): a NaN seed must not poison the other seeds'
+    total_s through the jax-side SEEDSEL/AUGSEL bucketing or the zero-masked
+    cross-seed Gram products — ensemble.fit's containment attributes blame
+    from per-seed finiteness at the first bad step on mesh runs too."""
+    from desmo_tpu import ensemble
+
+    n_space = 4
+    S = 3
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    eparams = ensemble.init_params(spec, S, seed=1, phi_sigma=0.1)
+    eparams = dict(eparams, phi=eparams["phi"].at[1].set(jnp.nan))
+    sharded = shard_step.make_sharded_fused_ensemble_chunk(
+        spec, cfg, mesh, S, bt=16
+    )
+    s_sh = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
+    with jax.sharding.set_mesh(mesh):
+        _, m_sh = sharded(s_sh, batch, num_steps=2)
+    for key in ("rec", "ortho", "total_s"):
+        row = np.asarray(m_sh[key])[0]  # step 0: only seed 1 is bad yet
+        assert not np.isfinite(row[1]), key
+        assert np.isfinite(row[0]) and np.isfinite(row[2]), (key, row)

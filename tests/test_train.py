@@ -152,11 +152,13 @@ def test_graceful_preemption_checkpoints_and_resumes_bit_exact():
         saved["state"] = state
         saved["epoch"] = epoch
 
-    train.request_preemption()
+    # SIGTERM arrives MID-RUN (during the first chunk's log processing);
+    # fit stops at that chunk's boundary. A latch already set when fit
+    # STARTS stops before the first chunk instead — pinned separately below.
     try:
         res_a = train.fit(
-            loss_fn, groups, cfg, params, batch, log=None, chunk_size=20,
-            checkpoint_fn=ckpt,
+            loss_fn, groups, cfg, params, batch, chunk_size=20,
+            checkpoint_fn=ckpt, log=lambda _line: train.request_preemption(),
         )
     finally:
         train.clear_preemption()
@@ -205,12 +207,45 @@ def test_preemption_latch_is_consumed_by_the_honoring_fit():
     _, spec, params, batch, loss_fn = make_problem(cfg)
     groups = desmo.param_groups(params)
 
-    train.request_preemption()
     try:
-        res_a = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=20)
+        res_a = train.fit(
+            loss_fn, groups, cfg, params, batch, chunk_size=20,
+            log=lambda _line: train.request_preemption(),
+        )
         assert res_a.preempted and int(res_a.state.epoch) == 20
         assert not train.preemption_requested()  # consumed
         res_b = train.fit(loss_fn, groups, cfg, params, batch, log=None, chunk_size=20)
         assert not res_b.preempted and int(res_b.state.epoch) == 40
     finally:
         train.clear_preemption()
+
+
+def test_preemption_latch_set_before_fit_stops_before_first_chunk():
+    """A latch already raised when fit() STARTS (SIGTERM during an earlier
+    warmup/probe phase, re-raised by the runner) must stop before the first
+    chunk and still checkpoint the incoming state — the SIGTERM grace window
+    must not be spent training a full chunk first."""
+    cfg = small_cfg(num_epochs=100, sched_every=1, patience=10)
+    _, spec, params, batch, loss_fn = make_problem(cfg)
+    groups = desmo.param_groups(params)
+    saved = {}
+
+    def ckpt(state, epoch):
+        saved["epoch"] = epoch
+        saved["params"] = {k: np.asarray(v) for k, v in state.params.items()}
+
+    train.request_preemption()
+    try:
+        res = train.fit(
+            loss_fn, groups, cfg, params, batch, log=None, chunk_size=20,
+            checkpoint_fn=ckpt,
+        )
+    finally:
+        train.clear_preemption()
+    assert res.preempted
+    assert int(res.state.epoch) == 0
+    assert res.history == {}
+    assert saved["epoch"] == 0  # incoming state saved, off-cadence
+    for k, v in params.items():
+        np.testing.assert_array_equal(saved["params"][k], np.asarray(v))
+    assert not train.preemption_requested()  # consumed
