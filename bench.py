@@ -82,7 +82,8 @@ def bench_ensemble(preset: str, steps: int, reps: int):
 
     Returns packed steps/s spread + S, or None when the pack doesn't apply.
     The headline claim (S seeds at ~1.0x single-seed cost) is judged against
-    the same run's single-seed median for the preset."""
+    a single-seed median measured in the SAME chip window (the caller probes
+    it immediately before this) — cross-window timings differ ~20x."""
     import jax
     import jax.numpy as jnp
 
@@ -171,21 +172,24 @@ def main() -> None:
     }
     # Beyond-reference capability: S-seed multi-start at ~the cost of one
     # step (seed-packed mega-kernel, lanes the MXU padded anyway). The cost
-    # ratio uses this run's own single-seed median per preset — same-run
-    # comparison, since cross-window timings are not comparable (CLAUDE.md).
+    # ratio needs a SAME-WINDOW single-seed reference: the chip is
+    # time-shared and throughput varies ~20x between windows (CLAUDE.md), so
+    # the preset median measured minutes earlier is NOT comparable — re-probe
+    # the single-seed chunk immediately before the packed one.
     def ensemble_entry(preset, steps):
         try:
+            single = bench_preset(preset, steps=steps, reps=3)["median"]
             ens = bench_ensemble(preset, steps=steps, reps=5)
         except Exception:
             return None  # never let the ensemble extra block the headline
         if ens is None:
             return None
-        single = results[preset]["median"]
         return {
             "metric": f"{preset} seed-packed mega-kernel, S={ens['n_seeds']} models/kernel",
             "value": round(ens["n_seeds"] * ens["median"], 2),
             "unit": "seed-steps/s",
             "packed_steps_per_sec": ens["median"],
+            "single_seed_same_window": single,
             "cost_vs_single_x": round(single / ens["median"], 3),
             "seed_throughput_vs_sequential_x": round(
                 ens["n_seeds"] * ens["median"] / single, 2

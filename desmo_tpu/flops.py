@@ -93,10 +93,29 @@ def ae_step_flops(n: int, m: int, r: int, poly_order: int, encoder_widths=None) 
     K = T + 3 * r
     dict_useful = 2 * (2 * K * K * m + n * m * K + n * K * (m + K) + n * K * K)
     useful = mlp + dict_useful
-    # XLA pads to tile multiples internally; the MLP dims are near-aligned
-    # (<=3% for m=1001), so executed ~= 3 passes x useful.
-    executed = 3 * useful
-    return {"useful": useful, "executed": executed, "K": K, "K_padded": K}
+
+    # Executed counts at MXU tiling: every GEMM runs at 8-sublane x 128-lane
+    # granularity, so the K=T+3r dictionary dims pad to 128 lanes (~10x for
+    # K=12 at ae_cylinder) and the narrow funnel tail (64/16/8/4/r) pads too;
+    # only the m->256 head is near-aligned. 3 bf16 passes on top
+    # (Precision.HIGH everywhere on the AE path).
+    def _gexec(rows, k, cols):
+        return 2 * _round_up(rows, 8) * _round_up(k, _LANES) * _round_up(cols, _LANES)
+
+    mlp_exec = 3 * 3 * 2 * sum(
+        _gexec(n, a, b) for a, b in zip(widths[:-1], widths[1:])
+    )
+    L = _LANES
+    m_pad = _round_up(m, L)
+    n8 = _round_up(n, 8)
+    dict_exec = 3 * 2 * (
+        2 * L * L * m_pad
+        + n8 * m_pad * L
+        + n8 * L * (m_pad + L)
+        + n8 * L * L
+    )
+    executed = mlp_exec + dict_exec
+    return {"useful": useful, "executed": executed, "K": K, "K_padded": L}
 
 
 def step_flops(cfg) -> dict:

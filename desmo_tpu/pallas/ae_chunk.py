@@ -13,8 +13,9 @@ funnel must be traversed 3x per step (forward, backward recompute, backward)
 so the in-kernel MLP floor (~400 us) alone exceeds XLA's entire 297 us MLP
 side. ``select_chunk`` therefore keeps the scanned chunk for AE in 'auto';
 ``chunk_method='megakernel'`` opts in explicitly. The kernel remains the
-ablation harness that produced those numbers (``_ABLATE`` keys, same pattern
-as ``train_chunk``) and a working proof of the factored in-kernel AE design:
+ablation harness that produced those numbers (``ablate(**switches)`` below —
+same ``_ABLATE`` pattern as ``train_chunk``, plus the cache clear the lru'd
+builder needs) and a working proof of the factored in-kernel AE design:
 
 Design rationale (what one kernel buys IF the funnel were free): the scanned
 AE step costs ~451 us, of which ~97 us is the per-step op-graph overhead of
@@ -139,9 +140,24 @@ _IG_COEF = GROUP_ORDER.index("coef")
 _IG_Z = GROUP_ORDER.index("z")
 _IG_OMEGA = GROUP_ORDER.index("omega")
 
-# Trace-time ablation switches (scripts/ablate_megakernel.py --ae): timing is
-# data-independent, so stubbing a block with cheap fills isolates its cost.
+# Trace-time ablation switches: timing is data-independent, so stubbing a
+# block with cheap fills isolates its cost. Set keys here AND call
+# _build_ae_call.cache_clear() before rebuilding the chunk (the call is
+# lru_cached on shapes, not on this dict) — see ablate() below for the safe
+# entry point. The measured attribution tables live in docs/RESULTS.md
+# ("AE mega-kernel"); the shipped-path AE ablation (XLA scanned step, stub
+# differencing) is scripts/ae_ablate.py.
 _ABLATE: dict = {}
+
+
+def ablate(**switches):
+    """Enable ablation switches for the NEXT chunk build (stubs a kernel
+    block with cheap fills to isolate its cost; numerics become meaningless).
+    Call with no arguments to restore the real kernel. Clears the shape cache
+    so a rebuilt chunk actually picks the switches up."""
+    _ABLATE.clear()
+    _ABLATE.update(switches)
+    _build_ae_call.cache_clear()
 
 
 def _xdot3(xh, xl, w32, dims=_STD):
@@ -745,6 +761,19 @@ def _build_ae_call(r, P, n, m, n_pad, m_pad, num_steps, bt, bs, beta, lam,
                    ae_beta, cfg, interpret):
     T = library.num_poly_terms(r, P)
     n_tiles = n_pad // bt
+    # re-validate the init/out stream tiling against the CALL-TIME n_pad:
+    # ae_supports checked spec.n-derived padding, but a batch prepared with a
+    # different n_mult (e.g. a mesh multiple) can reach here with an n_tiles
+    # that doesn't divide the packed stacks — truncating division would then
+    # silently skip tail rows of p/mu/nu at init (garbage optimizer moments)
+    for rows in (3 * m_pad, 768, 1536, 3 * _NSQ * 128):
+        if rows % n_tiles or (rows // n_tiles) % 8:
+            raise ValueError(
+                f"AE mega-kernel init/out streams need {rows} rows tiled "
+                f"evenly over n_tiles={n_tiles} (n_pad={n_pad}, bt={bt}) in "
+                "8-row multiples; re-pad x (train_chunk.prepare_batch) or "
+                "use the scanned chunk"
+            )
     consts = build_constants(r, P)
     kernel = _make_ae_kernel(
         r, P, T, n, m, num_steps, n_tiles, bt, bs, beta, lam, ae_beta, cfg
@@ -1021,7 +1050,7 @@ def make_ae_fused_chunk(spec, cfg, bt: int = _BT_DEFAULT,
         )
         params, opt, sched = state.params, state.opt, state.sched
 
-        def pack_gen(tree, with_xcol=False):
+        def pack_gen(tree):
             w0 = _pack_w0(tree, m_pad)
             v6 = _pack_v6(tree, m_pad)
             mid = _pack_mid(tree)

@@ -42,6 +42,8 @@ _SLOW = {
     "tests/test_ae.py::test_ae_training_converges",
     "tests/test_ae.py::test_live_init_has_gradient_flow",
     "tests/test_ae_chunk.py::TestAEChunkParity",
+    "tests/test_ae_chunk.py::test_multiblock_funnel_matches_single_block",
+    "tests/test_ae_chunk.py::test_call_time_tiling_revalidated",
     "tests/test_ensemble_fourier.py::test_fit_packed_period_multistart_rescues_mismatch",
     "tests/test_ensemble_fourier.py::test_packed_fourier_grad_matches_per_seed",
     "tests/test_ensemble_fourier.py::test_trajectory_parity_fourier",

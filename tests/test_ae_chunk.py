@@ -136,3 +136,55 @@ def test_select_chunk_megakernel_routes_ae():
     spec = ae.AESpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
     chunk = train_chunk.select_chunk(spec, cfg, bt=16)
     assert chunk is not None
+
+
+def test_multiblock_funnel_matches_single_block():
+    """bs < n_pad: the REAL ae_cylinder shape streams the funnel in 4 row
+    blocks (n_pad=4096, bs=1024), but the class parity above runs with
+    n_pad == bs == 64 — a single block per step. Pin the cross-block
+    accumulation (gbias/gmid/gsq) and the shared 'big' buffer
+    read-then-overwrite discipline: 4 blocks must reproduce the single-block
+    step numerics (same data, same steps; only fp association of the
+    block-sum order differs)."""
+    cfg = _tiny_cfg()
+    spec = ae.AESpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+    x = jnp.asarray(synthetic.cylinder_wake(cfg.n, cfg.m, seed=0))
+    params = ae.init_params_live(spec)
+    batch = train_chunk.prepare_batch(x, np.zeros((cfg.r, cfg.n)), bt=16)
+
+    outs = {}
+    for bs in (None, 16):  # None -> single 64-row block; 16 -> 4 blocks
+        chunk = ae_chunk.make_ae_fused_chunk(
+            spec, cfg, bt=16, interpret=True, bs=bs
+        )
+        state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+        outs[bs] = chunk(state, batch, num_steps=10)
+    (s1, m1), (s4, m4) = outs[None], outs[16]
+    for k in ("rec", "ortho", "l1", "ae", "total"):
+        np.testing.assert_allclose(
+            np.asarray(m4[k]), np.asarray(m1[k]), rtol=1e-5, atol=1e-8,
+            err_msg=f"metric {k!r}",
+        )
+    for key in sorted(s1.params):
+        a, b = np.asarray(s4.params[key]), np.asarray(s1.params[key])
+        scale = np.max(np.abs(b)) + 1e-12
+        # block-sum association feeds Adamax's sign-sensitive mu/nu ratio:
+        # isolated elements drift ~1e-4 rel over 10 steps (same mechanism as
+        # the 5e-3 vs-scan bound above, an order tighter here)
+        assert np.max(np.abs(a - b)) / scale < 2e-3, key
+
+
+def test_call_time_tiling_revalidated():
+    """A batch padded with a different n_mult than ae_supports assumed must
+    be REJECTED, not silently stream-truncated: the init/out row stacks are
+    tiled by n_tiles = n_pad // bt with exact division required."""
+    cfg = _tiny_cfg()
+    spec = ae.AESpec(cfg.n, cfg.m, cfg.r, cfg.poly_order, cfg.omega_init)
+    x = jnp.asarray(synthetic.cylinder_wake(cfg.n, cfg.m, seed=0))
+    params = ae.init_params_live(spec)
+    # n=64 padded to n_mult=80 -> n_tiles=5: 768 % 5 != 0
+    batch = train_chunk.prepare_batch(x, np.zeros((cfg.r, cfg.n)), bt=16, n_mult=80)
+    chunk = ae_chunk.make_ae_fused_chunk(spec, cfg, bt=16, interpret=True)
+    state = jax.tree.map(jnp.array, train.init_state(params, cfg))
+    with pytest.raises(ValueError, match="tiled"):
+        chunk(state, batch, num_steps=2)

@@ -40,7 +40,11 @@ def test_ae_flops_mlp_dominates():
     # encoder first layer alone: 2*n*m*256 x2 (enc+dec) x3 (fwd+bwd)
     first = 3 * 2 * 2 * cfg.n * cfg.m * 256
     assert fl["useful"] > first  # MLP floor
-    assert fl["executed"] == 3 * fl["useful"]
+    # executed > 3x useful: lane padding on the K=12 dictionary dots (~10x)
+    # and the narrow funnel tail is ON TOP of the 3 bf16 passes
+    assert fl["executed"] > 3 * fl["useful"]
+    assert fl["executed"] < 6 * fl["useful"]  # but bounded: the m->256 head dominates
+    assert fl["K_padded"] == 128
 
 
 def test_mfu_fields_consistent():
