@@ -210,6 +210,11 @@ def cmd_sr(args) -> int:
         energy_threshold=args.energy_threshold,
         degree=args.degree,
         engine=args.engine,
+        gp_kwargs=(
+            {"niterations": args.gp_iters}
+            if getattr(args, "gp_iters", None) is not None
+            else None
+        ),
         log=print,
     )
     print(f"channels: {result.channels}")
@@ -483,8 +488,13 @@ def main(argv=None) -> int:
     p_sr.add_argument("--energy-threshold", type=float, default=1.0)
     p_sr.add_argument("--degree", type=int, default=1)
     p_sr.add_argument(
-        "--engine", choices=("stlsq", "pysr"), default="stlsq",
-        help="sparse-regression engine (pysr needs the optional pysr package)",
+        "--engine", choices=("stlsq", "gp", "pysr"), default="stlsq",
+        help="sparse-regression engine: stlsq (SINDy), gp (built-in genetic "
+        "symbolic regression, no extra deps), pysr (optional package+Julia)",
+    )
+    p_sr.add_argument(
+        "--gp-iters", type=int, default=None,
+        help="gp engine only: generations per target (default 60)",
     )
     p_sr.add_argument(
         "--pod-method", default=None,

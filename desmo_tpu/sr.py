@@ -359,6 +359,7 @@ def identify_and_reinject(
     equation_tables: Optional[Sequence] = None,
     second_best_for: Sequence[int] = (),
     pysr_kwargs: Optional[dict] = None,
+    gp_kwargs: Optional[dict] = None,
 ) -> SRResult:
     """The DESMO-SR pipeline on a trained (plain-variant) model:
 
@@ -369,6 +370,9 @@ def identify_and_reinject(
        score-based equation selection (...py:1116-1226) — pass a fitted
        result via ``equation_tables`` (per-target candidate tables, e.g.
        :func:`equation_tables_from_pysr`) or let it call :func:`fit_pysr`;
+       ``engine='gp'``: the SAME genetic-regression contract with the
+       built-in engine (``desmo_tpu.gp`` — no Julia/PySR needed; reference
+       operator set and constraints, PySR-style score tables);
        ``second_best_for`` lists target indices that take the second-highest-
        score equation, like the reference's hand-picked targets 1 and 4;
     3. integrate from z(0) with RK45 (...py:1228-1280);
@@ -392,16 +396,24 @@ def identify_and_reinject(
         t = np.arange(m, dtype=np.float64)
 
     model: Optional[SINDyModel] = None
-    if engine == "pysr":
+    if engine in ("pysr", "gp"):
         names = channel_names(channels, spec)
-        if equation_tables is None:  # pragma: no cover - needs Julia
+        if equation_tables is None:
             dzdt = finite_difference(
                 np.asarray(z_data, np.float64), np.asarray(t, np.float64)
             )
-            fitted = fit_pysr(
-                z_data, dzdt, variable_names=names, **(pysr_kwargs or {})
-            )
-            equation_tables = equation_tables_from_pysr(fitted)
+            if engine == "gp":
+                from desmo_tpu import gp as gp_mod
+
+                equation_tables = gp_mod.fit_gp(
+                    z_data, dzdt, variable_names=names, log=log,
+                    **(gp_kwargs or {}),
+                )
+            else:  # pragma: no cover - needs Julia
+                fitted = fit_pysr(
+                    z_data, dzdt, variable_names=names, **(pysr_kwargs or {})
+                )
+                equation_tables = equation_tables_from_pysr(fitted)
         eq_strings = select_equations(equation_tables, second_best_for)
         rhs = lambdify_system(eq_strings, names)
         equations = [
@@ -414,7 +426,9 @@ def identify_and_reinject(
         rhs = model
         equations = model.equations()
     else:
-        raise ValueError(f"unknown SR engine {engine!r} (use 'stlsq' or 'pysr')")
+        raise ValueError(
+            f"unknown SR engine {engine!r} (use 'stlsq', 'gp' or 'pysr')"
+        )
     if log is not None:
         for eq in equations:
             log(eq)
