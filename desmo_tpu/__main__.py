@@ -74,6 +74,25 @@ def cmd_run(args) -> int:
         overrides["seed_omega_spread"] = args.seed_omega_spread
     if getattr(args, "pod_method", None):
         overrides["pod_method"] = args.pod_method
+    for flag, field in (
+        ("sweep_beta", "sweep_beta"),
+        ("sweep_lam", "sweep_lam"),
+        ("sweep_lr_scale", "sweep_lr_scale"),
+    ):
+        vals = getattr(args, flag, None)
+        if vals:
+            overrides[field] = tuple(float(v) for v in vals.split(","))
+    if any(k.startswith("sweep_") for k in overrides):
+        # the sweep needs one packed seed per combo: default n_seeds to the
+        # grid size when --seeds was not given
+        import math as _math
+
+        n_combo = _math.prod(
+            len(overrides.get(k) or (0,))
+            for k in ("sweep_beta", "sweep_lam", "sweep_lr_scale")
+        )
+        if overrides.get("n_seeds", cfg.n_seeds) <= 1 and n_combo > 1:
+            overrides["n_seeds"] = n_combo
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     device_mesh = _parse_mesh(args.mesh)
@@ -393,6 +412,26 @@ def main(argv=None) -> int:
         "--seed-omega-spread", type=float, default=None, metavar="DECADES",
         help="multi-seed: omega init log-spread in decades for seeds > 0 "
         "(default 0 = keep the preset omega_init)",
+    )
+    p_run.add_argument(
+        "--sweep-beta", default=None, metavar="B1,B2,...",
+        help="hyperparameter multi-start: per-seed ortho weights; the "
+        "cartesian product of --sweep-beta/--sweep-lam/--sweep-lr-scale "
+        "forms a combo grid and packed seed s trains under combo s mod "
+        "#combos for ~the cost of ONE run (--seeds defaults to the grid "
+        "size). The winning seed is picked by REC error — see "
+        "ensemble.resolve_hypers",
+    )
+    p_run.add_argument(
+        "--sweep-lam", default=None, metavar="L1,L2,...",
+        help="hyperparameter multi-start: per-seed L1 sparsity weights "
+        "(combined with --sweep-beta/--sweep-lr-scale as a cartesian grid)",
+    )
+    p_run.add_argument(
+        "--sweep-lr-scale", default=None, metavar="S1,S2,...",
+        help="hyperparameter multi-start: per-seed LR-row scale factors "
+        "(each seed's whole group-LR row is multiplied; its plateau "
+        "scheduler then evolves the scaled row independently)",
     )
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",

@@ -100,6 +100,16 @@ class RunConfig:
     n_seeds: int = 1
     seed_phi_sigma: float = 0.02
     seed_omega_spread: float = 0.0
+    # --- hyperparameter multi-start (beyond reference; ensemble.resolve_
+    # hypers): value lists whose cartesian product forms a (beta, l1_lambda,
+    # lr_scale) combo grid; packed seed s trains under combo s mod #combos —
+    # S hyperparameter settings for ~the cost of one run (beta/lambda ride
+    # per-seed kernel lanes, lr_scale scales each seed's LR row). Empty = off
+    # (that axis keeps the cfg value). Requires n_seeds > 1; the winning seed
+    # is then picked by REC error (totals weight ortho/L1 differently).
+    sweep_beta: tuple = ()
+    sweep_lam: tuple = ()
+    sweep_lr_scale: tuple = ()
 
     @property
     def group_lrs(self) -> tuple[float, ...]:

@@ -32,6 +32,12 @@ Capacity: S*K <= 128 lanes — 4 seeds for the r=4/P=2 presets (K=27),
 2 seeds for cylinder r=4/P=3 (K=47). Larger S falls back to multiple packed
 groups run sequentially (``max_seeds_packed``).
 
+The same packing carries a HYPERPARAMETER multi-start (``resolve_hypers``):
+per-seed beta/l1_lambda enter the packed kernels as per-seed lane values and
+an lr_scale multiplies each seed's LR row, so a (beta, lambda, lr) combo grid
+trains for ~the cost of one run. The winner is then picked by REC error —
+per-seed totals weight ortho/L1 differently and are not comparable.
+
 Scope: the desmo variant (POD-masked modes) and the Fourier variant — the
 spatial dictionary packs identically; the per-seed temporal series evaluate
 batched over the seed axis, and per-seed PERIODS turn the FFT-informed period
@@ -64,6 +70,53 @@ def max_seeds_packed(spec) -> int:
     """How many seeds fit in one 128-lane pack for this architecture."""
     K = spec.num_poly_terms + 3 * spec.r
     return max(1, LANES // K)
+
+
+def resolve_hypers(cfg: RunConfig, n_seeds: int):
+    """Per-seed hyperparameters from the cfg sweep lists, or ``None``.
+
+    HYPERPARAMETER MULTI-START (beyond reference — the reference hard-codes
+    one (beta, lambda, lr) setting per dataset and can only sweep by
+    re-running the whole script): the packed ensemble trains every seed under
+    its OWN loss weights / LR scale for ~the cost of one run, because beta and
+    lambda enter the packed kernels as per-seed lane values and the LRs were
+    per-seed rows already.
+
+    ``cfg.sweep_beta`` / ``cfg.sweep_lam`` / ``cfg.sweep_lr_scale`` are value
+    lists; their CARTESIAN PRODUCT forms the combo grid and seed s takes
+    ``combos[s % len(combos)]`` — so n_seeds == len(combos) gives one seed per
+    combo, and n_seeds = k*len(combos) gives k differently-initialized seeds
+    per combo. Empty lists contribute the cfg's own value (a single point).
+
+    Returns ``None`` when no sweep is configured (every list empty or
+    single-valued at the cfg default), else a dict with per-seed float32
+    arrays ``betas``, ``lams``, ``lr_scales`` (length n_seeds) and the combo
+    grid ``combos`` for logging.
+    """
+    bl = tuple(float(v) for v in (getattr(cfg, "sweep_beta", ()) or (cfg.beta,)))
+    ll = tuple(float(v) for v in (getattr(cfg, "sweep_lam", ()) or (cfg.l1_lambda,)))
+    sl = tuple(float(v) for v in (getattr(cfg, "sweep_lr_scale", ()) or (1.0,)))
+    if bl == (float(cfg.beta),) and ll == (float(cfg.l1_lambda),) and sl == (1.0,):
+        return None
+    import itertools
+
+    combos = list(itertools.product(bl, ll, sl))
+    take = [combos[s % len(combos)] for s in range(n_seeds)]
+    if len(combos) > n_seeds:
+        import warnings
+
+        warnings.warn(
+            f"{len(combos)} hyperparameter combos but only {n_seeds} seeds — "
+            f"combos beyond the first {n_seeds} will not be trained; raise "
+            "--seeds to cover the full grid",
+            stacklevel=2,
+        )
+    return {
+        "betas": np.asarray([c[0] for c in take], np.float32),
+        "lams": np.asarray([c[1] for c in take], np.float32),
+        "lr_scales": np.asarray([c[2] for c in take], np.float32),
+        "combos": combos,
+    }
 
 
 def packed_factor_table(spec, n_seeds: int) -> np.ndarray:
@@ -209,19 +262,30 @@ def factored_mse_blocks(
     return vals
 
 
-def build_loss(spec, cfg: RunConfig, n_seeds: int, method: str = "factored") -> Callable:
+def build_loss(
+    spec, cfg: RunConfig, n_seeds: int, method: str = "factored",
+    betas=None, lams=None,
+) -> Callable:
     """Packed multi-seed loss: ``(params, batch) -> (sum_s total_s, metrics)``.
 
     Per-seed params are disjoint, so ``grad(sum_s total_s)`` IS the stacked
     per-seed gradient. Metrics carry (S,) vectors: rec/ortho/l1/total.
     method='fused' routes the X contractions through the packed Pallas
     dual-GEMM (one read of X per step for ALL seeds); 'factored' is pure XLA.
+    ``betas``/``lams`` (optional, length n_seeds) weight each seed's ortho/L1
+    terms individually (hyperparameter multi-start, ``resolve_hypers``).
     """
     factors_packed = packed_factor_table(spec, n_seeds)
     interpret = jax.default_backend() != "tpu"
     K = spec.num_poly_terms + 3 * spec.r
     is_fourier = getattr(cfg, "variant", "desmo") == "fourier"
     t = jnp.asarray(fourier_model.t_points(spec.m)) if is_fourier else None
+    beta_s = (
+        float(cfg.beta) if betas is None else jnp.asarray(betas, jnp.float32)
+    )
+    lam_s = (
+        float(cfg.l1_lambda) if lams is None else jnp.asarray(lams, jnp.float32)
+    )
 
     def loss_fn(params: dict, batch: dict):
         A, latents = packed_dictionary(params, batch["pod_modes"], spec, factors_packed)
@@ -253,7 +317,7 @@ def build_loss(spec, cfg: RunConfig, n_seeds: int, method: str = "factored") -> 
         l1 = jnp.sum(jnp.abs(params["c"]), axis=1) + jnp.sum(
             jnp.abs(params["c_trig"]), axis=(1, 2)
         )
-        total_s = rec + cfg.beta * ortho + cfg.l1_lambda * l1
+        total_s = rec + beta_s * ortho + lam_s * l1
         metrics = {"rec": rec, "ortho": ortho, "l1": l1, "total_s": total_s}
         return jnp.sum(total_s), metrics
 
@@ -305,11 +369,25 @@ class _SeedFlatLayout:
         return out
 
 
-def init_state(params: dict, cfg: RunConfig, n_seeds: int) -> train.TrainState:
-    """TrainState whose scheduler carries per-seed LR rows (S, G)."""
+def init_state(
+    params: dict, cfg: RunConfig, n_seeds: int, lr_scales=None
+) -> train.TrainState:
+    """TrainState whose scheduler carries per-seed LR rows (S, G).
+
+    ``lr_scales`` (optional, length n_seeds) multiplies seed s's whole LR row
+    by ``lr_scales[s]`` — the LR leg of the hyperparameter multi-start (the
+    per-seed rows then evolve independently under each seed's own plateau
+    scheduler, exactly as uniform rows do)."""
     lrs = jnp.broadcast_to(
         jnp.asarray(cfg.group_lrs, jnp.float32), (n_seeds, len(GROUP_ORDER))
     )
+    if lr_scales is not None:
+        scales = jnp.asarray(lr_scales, jnp.float32)
+        if scales.shape != (n_seeds,):
+            raise ValueError(
+                f"lr_scales must have shape ({n_seeds},), got {scales.shape}"
+            )
+        lrs = lrs * scales[:, None]
     sched = optim.PlateauState(
         lrs=lrs,
         best=jnp.full((n_seeds,), jnp.inf, jnp.float32),
@@ -519,9 +597,18 @@ def fit(
     checkpoint_fn: Optional[Callable] = None,
     max_recoveries: int = 8,
     device_mesh=None,
+    hypers: Optional[dict] = None,
 ) -> tuple[train.TrainResult, int, np.ndarray]:
     """Train an S-seed packed ensemble; returns ``(result, best, final_totals)``
     where ``result.state`` is the BEST member's single-seed TrainState.
+
+    ``hypers`` (default: ``resolve_hypers(cfg, n_seeds)``) activates the
+    HYPERPARAMETER MULTI-START: per-seed ``betas``/``lams`` enter the packed
+    kernels as per-seed lane values and ``lr_scales`` scales each seed's LR
+    row, so S (beta, lambda, lr) settings train for ~the cost of one run.
+    Under a sweep the winning seed is chosen by final REC error, not total —
+    per-seed totals weight ortho/L1 differently and are not comparable
+    (``final_totals`` still reports each seed's own total).
 
     Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
     sequentially; compiled chunks are CACHED per pack width, so groups of the
@@ -568,6 +655,14 @@ def fit(
                 f"the {method!r} path is single-chip"
             )
         method = "factored"
+    if hypers is None:
+        hypers = resolve_hypers(cfg, n_seeds)
+    if hypers is not None and log is not None:
+        log(
+            f"[ensemble] hyperparameter multi-start: {len(hypers['combos'])} "
+            "(beta, l1_lambda, lr_scale) combos, seed s takes combo "
+            f"s mod {len(hypers['combos'])}: {hypers['combos']}"
+        )
     num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
     if num_epochs <= 0:
         # no trained metric exists to pick a best seed from (train.fit's
@@ -617,13 +712,29 @@ def fit(
     steps_timed = 0
     from desmo_tpu.pallas import train_chunk as _tc
 
-    # one compiled chunk per pack width, shared across same-size groups
-    # (rebuilding per group would pay a full XLA/Mosaic recompile each time)
+    # one compiled chunk per (pack width, per-seed loss weights), shared
+    # across matching groups (rebuilding per group would pay a full
+    # XLA/Mosaic recompile each time; a sweep's groups may slice DIFFERENT
+    # beta/lam values, so the weights are part of the key)
     chunk_cache: dict = {}
     warmed: set = set()  # chunk fns that have executed at least once
 
-    def _get_chunk(kind: str, S: int, template_params=None):
-        key = (kind, S)
+    def _hyper_slice(start: int, S: int):
+        """This group's per-seed (betas, lams, lr_scales) or (None,)*3."""
+        if hypers is None:
+            return None, None, None
+        sl = slice(start, start + S)
+        return hypers["betas"][sl], hypers["lams"][sl], hypers["lr_scales"][sl]
+
+    def _ckey(kind: str, S: int, betas, lams):
+        return (
+            kind, S,
+            None if betas is None else tuple(float(v) for v in betas),
+            None if lams is None else tuple(float(v) for v in lams),
+        )
+
+    def _get_chunk(kind: str, S: int, template_params=None, betas=None, lams=None):
+        key = _ckey(kind, S, betas, lams)
         if key not in chunk_cache:
             if kind == "kernel":
                 # SEED-PACKED MEGA-KERNEL when the central policy selects
@@ -631,7 +742,8 @@ def fit(
                 # seed-packed megastep): S models inside one pallas_call for
                 # ~the cost of one (in-kernel work is lane-width-fixed)
                 chunk_cache[key] = _tc.select_ensemble_chunk(
-                    spec, cfg, S, device_mesh=device_mesh
+                    spec, cfg, S, device_mesh=device_mesh,
+                    betas=betas, lams=lams,
                 )
             else:
                 shardings = None
@@ -641,7 +753,9 @@ def fit(
                     shardings = parallel.ensemble_param_shardings(
                         template_params, device_mesh, cfg.m
                     )
-                loss_fn = build_loss(spec, cfg, S, method=method)
+                loss_fn = build_loss(
+                    spec, cfg, S, method=method, betas=betas, lams=lams
+                )
                 chunk_cache[key] = make_ensemble_chunk(
                     loss_fn, groups, cfg, S, param_shardings=shardings
                 )
@@ -660,6 +774,7 @@ def fit(
                 )
             break
         S = min(cap, n_seeds - start)
+        betas_g, lams_g, scales_g = _hyper_slice(start, S)
         group_periods = (
             [periods[(start + s) % len(periods)] for s in range(S)]
             if periods is not None
@@ -688,7 +803,7 @@ def fit(
                     minval=-omega_spread, maxval=omega_spread,
                 )
                 params["omega"] = params["omega"].at[0].multiply(fac)
-        chunk = _get_chunk("kernel", S)
+        chunk = _get_chunk("kernel", S, betas=betas_g, lams=lams_g)
         is_kernel = chunk is not None
         if is_kernel:
             # the sharded megastep needs every device to own whole row tiles
@@ -702,8 +817,10 @@ def fit(
                     batch["x"], batch["pod_modes"], n_mult=n_mult
                 )}
         if chunk is None:
-            chunk = _get_chunk("scan", S, params)
-        state = jax.tree.map(jnp.array, init_state(params, cfg, S))
+            chunk = _get_chunk("scan", S, params, betas=betas_g, lams=lams_g)
+        state = jax.tree.map(
+            jnp.array, init_state(params, cfg, S, lr_scales=scales_g)
+        )
         chunk_size = min(cfg.checkpoint_every, num_epochs)
         done = 0
         histories = []
@@ -738,8 +855,8 @@ def fit(
                 is_kernel = False
                 # cache the failure (None) so later same-width groups don't
                 # pay the failed compile attempt again
-                chunk_cache[("kernel", S)] = None
-                chunk = _get_chunk("scan", S, params)
+                chunk_cache[_ckey("kernel", S, betas_g, lams_g)] = None
+                chunk = _get_chunk("scan", S, params, betas=betas_g, lams=lams_g)
                 state = _restore_with_frozen(snap, frozen)
                 continue
             dt = _time.perf_counter() - t_chunk
@@ -760,7 +877,7 @@ def fit(
                         "falling back to the packed scan chunk"
                     )
                 is_kernel = False
-                chunk = _get_chunk("scan", S, params)
+                chunk = _get_chunk("scan", S, params, betas=betas_g, lams=lams_g)
             tot_s = mets["total_s"]  # (nsteps, S)
             if not np.isfinite(tot_s).all():
                 # one diverged seed contaminates EVERY seed's gradients within
@@ -797,7 +914,12 @@ def fit(
             done += nsteps
             snap = train._snapshot_tree(state)
             if checkpoint_fn is not None:
-                live_tot = np.where(frozen, np.inf, tot_s[-1])
+                # under a hyper sweep "best live seed" means lowest REC (the
+                # per-seed totals weight ortho/L1 differently)
+                live_tot = np.where(
+                    frozen, np.inf,
+                    (mets["rec"] if hypers is not None else tot_s)[-1],
+                )
                 checkpoint_fn(
                     seed_state(state, cfg, int(np.argmin(live_tot))),
                     int(snap.epoch),
@@ -820,11 +942,20 @@ def fit(
                     )
                 break
         finals = np.where(frozen, np.inf, histories[-1]["total_s"][-1])
+        # the seed-selection metric: REC under a hyper sweep (totals weight
+        # ortho/L1 differently and are not comparable), else the total
+        sels = (
+            np.where(frozen, np.inf, histories[-1]["rec"][-1])
+            if hypers is not None
+            else finals
+        )
         hist = {
             k: np.concatenate([h[k] for h in histories]) for k in histories[0]
         }
         for s in range(S):
-            results.append((float(finals[s]), start + s, state, s, hist))
+            results.append(
+                (float(finals[s]), float(sels[s]), start + s, state, s, hist)
+            )
         start += S
         gi += 1
 
@@ -832,15 +963,27 @@ def fit(
         # consume the latch (same contract as train.fit): the request is
         # honored by this fit; later fits in the process start fresh
         train.clear_preemption()
-    final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[1])])
-    best_total, best_global, best_state, best_local, best_hist = min(
-        results, key=lambda r: r[0]
+    final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[2])])
+    best_total, best_sel, best_global, best_state, best_local, best_hist = min(
+        results, key=lambda r: (r[1], r[0])
     )
     if log is not None:
+        by = f"rec {best_sel:.8f}, " if hypers is not None else ""
         log(
             f"[ensemble] best seed = {best_global} "
-            f"(total {best_total:.8f}; all: {np.array2string(final_totals, precision=6)})"
+            f"({by}total {best_total:.8f}; all: "
+            f"{np.array2string(final_totals, precision=6)})"
         )
+        if hypers is not None:
+            b, lm, sc = (
+                hypers["betas"][best_global],
+                hypers["lams"][best_global],
+                hypers["lr_scales"][best_global],
+            )
+            log(
+                f"[ensemble] winning hypers: beta={b:g} l1_lambda={lm:g} "
+                f"lr_scale={sc:g}"
+            )
     single = seed_state(best_state, cfg, best_local)
     history = {
         "rec": best_hist["rec"][:, best_local],

@@ -477,7 +477,7 @@ def supports_sharded_packed(spec, cfg, n_seeds: int) -> bool:
 
 def make_sharded_fused_ensemble_chunk(
     spec, cfg, mesh, n_seeds: int, bt: int = _BT_DEFAULT,
-    interpret: Optional[bool] = None,
+    interpret: Optional[bool] = None, betas=None, lams=None,
 ):
     """SEED-PACKED x SPACE-SHARDED: S lane-packed models per device megastep.
 
@@ -517,6 +517,18 @@ def make_sharded_fused_ensemble_chunk(
     n, m = spec.n, spec.m
     beta = float(cfg.beta)
     lam = float(cfg.l1_lambda)
+    # per-seed loss weights (hyperparameter multi-start, ensemble.resolve_
+    # hypers): seed vectors + their lane splats over the shared geometry.
+    # With uniform weights every splat equals the scalar constant on each
+    # lane where the other factor is nonzero (dlo is zero off aug lanes,
+    # sign(crow)*inblk zero off seed blocks), so the arithmetic stays
+    # bit-identical to the scalar form.
+    betas_v = np.full((S,), beta, np.float32) if betas is None else np.asarray(betas, np.float32)
+    lams_v = np.full((S,), lam, np.float32) if lams is None else np.asarray(lams, np.float32)
+    if betas_v.shape != (S,) or lams_v.shape != (S,):
+        raise ValueError(
+            f"betas/lams must have shape ({S},), got {betas_v.shape}/{lams_v.shape}"
+        )
     b1, b2, eps = _B1, _B2, _EPS
     fourier = getattr(cfg, "variant", "desmo") == "fourier"
     if fourier:
@@ -596,6 +608,10 @@ def make_sharded_fused_ensemble_chunk(
         wide_seed_j = jnp.asarray(wide_seed)
         aug_seed_j = jnp.asarray(aug_seed)
         augmask_j = jnp.asarray(augmask)
+        betas_j = jnp.asarray(betas_v)
+        lams_j = jnp.asarray(lams_v)
+        beta_aug_l = jnp.asarray(betas_v[aug_seed] * augmask)  # (LANES,)
+        lam_wide_l = jnp.asarray(lams_v[wide_seed] * inblk)  # (LANES,)
 
         def body(
             xhi, xlo, pod, phi, mu, nu, b, bmu, bnu, crow,
@@ -655,7 +671,7 @@ def make_sharded_fused_ensemble_chunk(
                 )
                 ortho_s = 0.5 * _bucket(od_rows, augsel_j)
                 l1_s = _bucket(jnp.abs(crow[0, :]) * inblk_j, seedsel_j)
-                total_s = rec_s + beta * ortho_s + lam * l1_s
+                total_s = rec_s + betas_j * ortho_s + lams_j * l1_s
                 total = jnp.sum(total_s)
                 sign = jnp.sign(auga) * offdiag
 
@@ -695,7 +711,7 @@ def make_sharded_fused_ensemble_chunk(
                     bnu_n = jnp.maximum(b2 * bnu, jnp.abs(gB) + eps)
                     b_n = b - (lr_z_l[:, None] / bias) * bmu_n / bnu_n
 
-                gC = acc[0:1, :] + lam * jnp.sign(crow[0:1, :]) * inblk_j[None, :]
+                gC = acc[0:1, :] + lam_wide_l[None, :] * jnp.sign(crow[0:1, :])
                 cmu = b1 * crow[1:2, :] + (1.0 - b1) * gC
                 cnu = jnp.maximum(b2 * crow[2:3, :], jnp.abs(gC) + eps)
                 c_n = crow[0:1, :] - (lr_coef_l[None, :] / bias) * cmu / cnu
@@ -707,7 +723,9 @@ def make_sharded_fused_ensemble_chunk(
 
                 aug_old = pod * phi
                 dlo = _dot2(aug_old, sign.astype(jnp.bfloat16))
-                g = (dl + beta * dlo) * pod
+                # dlo is zero off aug lanes (within-seed offdiag sign matrix),
+                # so the per-seed beta lane splat is exact
+                g = (dl + beta_aug_l[None, :] * dlo) * pod
                 mu_n = b1 * mu + (1.0 - b1) * g
                 nu_n = jnp.maximum(b2 * nu, jnp.abs(g) + eps)
                 phi_n = phi - (lr_phi_l[None, :] / bias) * mu_n / nu_n

@@ -92,6 +92,13 @@ _L_NUMBAD = 8
 _L_LRPHI_USED = 9  # saved at the end of step s for the delayed phi sweep
 _L_BIAS_USED = 10
 _L_EPOCH = 11
+# Per-seed loss weights (hyperparameter multi-start, ensemble.resolve_hypers):
+# the packed kernel reads beta/lambda from each seed's svec row instead of the
+# compile-time scalar, so S lane-packed models can train under S different
+# (beta, l1_lambda) settings for the cost of one. SEEDS == 1 keeps the scalar
+# closure constants (bit-identical to the pre-sweep kernel).
+_L_BETA = 12
+_L_LAM = 13
 
 
 class ChunkConstants(NamedTuple):
@@ -493,16 +500,22 @@ def _make_kernel(
         def _():
             sv = svec_ref[0:1, :]
             if SEEDS > 1:
-                # per-seed saved lr_phi, splat onto each seed's aug lanes
+                # per-seed saved lr_phi AND ortho weight beta, splat onto each
+                # seed's aug lanes (dlo is zero outside aug lanes — the ortho
+                # sign matrix is within-seed — so the masked splat is exact)
                 w = augw if streamed else LANES
                 li = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
                 lr_phi = jnp.zeros((1, w), jnp.float32)
+                beta_phi = jnp.zeros((1, w), jnp.float32)
                 for si in range(SEEDS):
-                    lr_s = _lane(svec_ref[si : si + 1, :], _L_LRPHI_USED)
+                    svs = svec_ref[si : si + 1, :]
+                    lr_s = _lane(svs, _L_LRPHI_USED)
                     inb = jnp.logical_and(li >= 1 + si * r, li < 1 + (si + 1) * r)
                     lr_phi = jnp.where(inb, lr_s, lr_phi)
+                    beta_phi = jnp.where(inb, _lane(svs, _L_BETA), beta_phi)
             else:
                 lr_phi = _lane(sv, _L_LRPHI_USED)
+                beta_phi = beta
             bias = _lane(sv, _L_BIAS_USED)
             pod = pod_tile()
             phi_t, mu_p, nu_p, dl_prev = state_read()
@@ -517,7 +530,7 @@ def _make_kernel(
                 ]
             else:
                 dlo = _dot2(aug_old, sign_s[:].astype(jnp.bfloat16))
-            g = (dl_prev + beta * dlo) * pod
+            g = (dl_prev + beta_phi * dlo) * pod
             mu_t = _B1 * mu_p + (1.0 - _B1) * g
             nu_t = jnp.maximum(_B2 * nu_p, jnp.abs(g) + _EPS)
             state_write(phi_t - (lr_phi / bias) * mu_t / nu_t, mu_t, nu_t)
@@ -748,7 +761,20 @@ def _make_kernel(
                     ortho_row = 0.5 * _seed_reduce(w2, SEL(4), _AXD)
                     ca = jnp.abs(crow_ref[0:1, :]) * coefmask
                     l1_row = _seed_reduce(ca, SEL(3))
-                    total_row = rec_row + beta * ortho_row + lam * l1_row
+                    # per-seed loss weights (lane si = seed si, matching the
+                    # *_row reductions); ortho/l1 rows are zero beyond lane S,
+                    # so the masked splat changes nothing off the seed lanes
+                    beta_row = jnp.zeros((1, LANES), jnp.float32)
+                    lam_row = jnp.zeros((1, LANES), jnp.float32)
+                    for si in range(SEEDS):
+                        svs = svec_ref[si : si + 1, :]
+                        beta_row = jnp.where(
+                            lane_i == si, _lane(svs, _L_BETA), beta_row
+                        )
+                        lam_row = jnp.where(
+                            lane_i == si, _lane(svs, _L_LAM), lam_row
+                        )
+                    total_row = rec_row + beta_row * ortho_row + lam_row * l1_row
                     # met lanes per seed: 8*si + (rec, ortho, l1, total,
                     # global maxarg)
                     met_row = jnp.zeros((1, LANES), jnp.float32)
@@ -777,6 +803,7 @@ def _make_kernel(
                     lr_om = _lane(sv, _LR0 + 3)
                     lr_per = _lane(sv, _LR0 + 4) if fourier else None
                     lr_z_rows = lr_z
+                    lam_w = lam
                     ga_use = ga_s[:]
                 else:
                     # per-seed group LRs splat onto each seed's lanes/rows
@@ -786,6 +813,7 @@ def _make_kernel(
                     lr_om = jnp.zeros((1, LANES), jnp.float32)
                     lr_z = jnp.zeros((LANES, 1), jnp.float32)
                     lr_per = jnp.zeros((LANES, 1), jnp.float32) if fourier else None
+                    lam_w = jnp.zeros((1, LANES), jnp.float32)
                     lr_phi_seed = []
                     for si in range(SEEDS):
                         svs = svec_ref[si : si + 1, :]
@@ -797,6 +825,7 @@ def _make_kernel(
                         )
                         lr_coef = jnp.where(inw, _lane(svs, _LR0 + 0), lr_coef)
                         lr_om = jnp.where(inw, _lane(svs, _LR0 + 3), lr_om)
+                        lam_w = jnp.where(inw, _lane(svs, _L_LAM), lam_w)
                         lr_z = jnp.where(inr, _lane(svs, _LR0 + 2), lr_z)
                         if fourier:
                             lr_per = jnp.where(
@@ -866,7 +895,7 @@ def _make_kernel(
 
                 # ---- coefficient row (c + c_trig), group 'coef', with L1
                 crow_v = crow_ref[0:1, :]
-                gC = acc_s[0:1, :] + lam * jnp.sign(crow_v) * coefmask
+                gC = acc_s[0:1, :] + lam_w * jnp.sign(crow_v) * coefmask
                 cmu = _B1 * crow_ref[1:2, :] + (1.0 - _B1) * gC
                 cnu = jnp.maximum(_B2 * crow_ref[2:3, :], jnp.abs(gC) + _EPS)
                 crow_new = crow_v - (lr_coef / bias) * cmu / cnu
@@ -930,6 +959,10 @@ def _make_kernel(
                     new_sv = put(new_sv, _L_LRPHI_USED, lr_phi_used)
                     new_sv = put(new_sv, _L_BIAS_USED, bias)
                     new_sv = put(new_sv, _L_EPOCH, epoch + 1.0)
+                    # per-seed loss weights persist unchanged (read back next
+                    # step by the phi/coef/metric sites)
+                    new_sv = put(new_sv, _L_BETA, _lane(svs, _L_BETA))
+                    new_sv = put(new_sv, _L_LAM, _lane(svs, _L_LAM))
                     svec_ref[si : si + 1, :] = new_sv
 
     return kernel
@@ -1317,6 +1350,7 @@ def select_chunk(spec, cfg, bt: int = _BT_DEFAULT):
 
 def select_ensemble_chunk(
     spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT, device_mesh=None,
+    betas=None, lams=None,
 ):
     """Chunk-selection policy for the lane-packed multi-seed trainer
     (``ensemble.fit``), mirroring ``select_chunk``: the seed-packed
@@ -1324,7 +1358,10 @@ def select_ensemble_chunk(
     Under a ``device_mesh`` the kernel form is the SHARDED seed-packed
     megastep (``shard_step.make_sharded_fused_ensemble_chunk`` — seeds in
     lanes x rows over 'space'); an explicit ``chunk_method='megakernel'``
-    request errors rather than degrading when that kernel can't apply."""
+    request errors rather than degrading when that kernel can't apply.
+    ``betas``/``lams`` (optional, length n_seeds) are the per-seed loss
+    weights of the hyperparameter multi-start, forwarded to whichever packed
+    kernel is selected."""
     method = getattr(cfg, "chunk_method", "auto")
     if method == "scan":
         return None
@@ -1348,7 +1385,7 @@ def select_ensemble_chunk(
         ):
             return None
         return shard_step.make_sharded_fused_ensemble_chunk(
-            spec, cfg, device_mesh, n_seeds, bt
+            spec, cfg, device_mesh, n_seeds, bt, betas=betas, lams=lams
         )
     if method == "megakernel":
         if not supports_packed(spec, cfg, n_seeds):
@@ -1356,14 +1393,14 @@ def select_ensemble_chunk(
                 f"chunk_method='megakernel' but {n_seeds} seeds don't pack "
                 f"for preset {cfg.name!r} — see train_chunk.supports_packed"
             )
-        return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt)
+        return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt, betas=betas, lams=lams)
     if jax.default_backend() != "tpu":
         return None
     if not loss_method_allows_kernel(cfg):
         return None
     if not supports_packed(spec, cfg, n_seeds):
         return None
-    return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt)
+    return make_fused_ensemble_chunk(spec, cfg, n_seeds, bt, betas=betas, lams=lams)
 
 
 def resident_fits(spec, cfg, bt: int = _BT_DEFAULT, vmem_budget_mb: float = 30.0) -> bool:
@@ -1733,6 +1770,7 @@ def _unpack_periods_seeds(fw, S, T, K, r):
 def make_fused_ensemble_chunk(
     spec, cfg, n_seeds: int, bt: int = _BT_DEFAULT,
     interpret: bool | None = None, streamed: bool | None = None,
+    betas=None, lams=None,
 ):
     """Seed-packed ``chunk(state, batch, num_steps) -> (state, metrics)``.
 
@@ -1743,6 +1781,11 @@ def make_fused_ensemble_chunk(
     ``max_arg`` telemetry. Semantics per seed match the single-seed
     mega-kernel step-for-step (same Adamax/plateau quirks), asserted against
     the packed scan chunk in ``tests/test_ensemble_kernel.py``.
+
+    ``betas``/``lams`` (optional, length S) give each packed seed its OWN loss
+    weights — the hyperparameter multi-start of ``ensemble.resolve_hypers``.
+    The kernel reads them from the per-seed svec rows (``_L_BETA``/``_L_LAM``),
+    so a uniform sweep (or None) is bit-identical to the scalar-``cfg`` kernel.
     """
     from desmo_tpu import optim, train
 
@@ -1760,6 +1803,12 @@ def make_fused_ensemble_chunk(
         raise ValueError(f"{S} seeds x K={K} do not pack into {LANES} lanes")
     beta = float(cfg.beta)
     lam = float(cfg.l1_lambda)
+    betas_arr = np.full((S,), beta, np.float32) if betas is None else np.asarray(betas, np.float32)
+    lams_arr = np.full((S,), lam, np.float32) if lams is None else np.asarray(lams, np.float32)
+    if betas_arr.shape != (S,) or lams_arr.shape != (S,):
+        raise ValueError(
+            f"betas/lams must have shape ({S},), got {betas_arr.shape}/{lams_arr.shape}"
+        )
     augw = aug_width(r, S)
     fourier = getattr(cfg, "variant", "desmo") == "fourier"
     nf = int(getattr(spec, "n_fourier", 0)) if fourier else 0
@@ -1840,6 +1889,8 @@ def make_fused_ensemble_chunk(
         svec0 = svec0.at[:S, _L_COUNT].set(count_f)
         svec0 = svec0.at[:S, _L_NUMBAD].set(sched.num_bad.astype(jnp.float32))
         svec0 = svec0.at[:S, _L_EPOCH].set(state.epoch.astype(jnp.float32))
+        svec0 = svec0.at[:S, _L_BETA].set(jnp.asarray(betas_arr))
+        svec0 = svec0.at[:S, _L_LAM].set(jnp.asarray(lams_arr))
         mrow = jnp.asarray(consts.mrow).at[5, 0].set(batch["x_sq"])
 
         args = [

@@ -424,6 +424,15 @@ def run(
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
+    if (
+        getattr(cfg, "sweep_beta", ()) or getattr(cfg, "sweep_lam", ())
+        or getattr(cfg, "sweep_lr_scale", ())
+    ) and cfg.n_seeds <= 1:
+        raise ValueError(
+            "a hyperparameter sweep (sweep_beta/sweep_lam/sweep_lr_scale) "
+            "needs n_seeds > 1 — pass --seeds (the CLI defaults it to the "
+            "combo-grid size when any --sweep-* flag is given)"
+        )
     if cfg.n_seeds > 1:
         if cfg.variant not in ("desmo", "fourier") or state is not None:
             raise ValueError(
@@ -487,6 +496,25 @@ def run(
                     ),
                     "seed_phi_sigma": float(cfg.seed_phi_sigma),
                     "seed_omega_spread": float(cfg.seed_omega_spread),
+                    # hyperparameter multi-start record (None when off):
+                    # which (beta, l1_lambda, lr_scale) each seed trained
+                    # under, so the winning setting is reproducible
+                    "hypers": (
+                        None
+                        if (hyp := ensemble.resolve_hypers(cfg, cfg.n_seeds))
+                        is None
+                        else {
+                            "combos": [list(c) for c in hyp["combos"]],
+                            "betas": hyp["betas"].tolist(),
+                            "lams": hyp["lams"].tolist(),
+                            "lr_scales": hyp["lr_scales"].tolist(),
+                            "best_combo": [
+                                float(hyp["betas"][best_seed]),
+                                float(hyp["lams"][best_seed]),
+                                float(hyp["lr_scales"][best_seed]),
+                            ],
+                        }
+                    ),
                 },
                 fh,
                 indent=1,

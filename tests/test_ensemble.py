@@ -453,3 +453,146 @@ def test_fit_honors_graceful_preemption():
     assert int(result.state.epoch) == 10  # one chunk, then the boundary stop
     assert saved == [10]
     assert len(finals) == 3 and np.isfinite(finals).all()
+
+
+# --- hyperparameter multi-start (per-seed beta / l1_lambda / lr_scale) -------
+
+
+def test_resolve_hypers_grid():
+    """Cartesian combo grid, seed cycling, and the no-sweep None contract."""
+    cfg = configs.get("aneurysm")
+    assert ensemble.resolve_hypers(cfg, 4) is None
+    cfg2 = dataclasses.replace(
+        cfg, sweep_beta=(1e-3, 1e-4), sweep_lam=(1e-4, 1e-5)
+    )
+    h = ensemble.resolve_hypers(cfg2, 4)
+    assert len(h["combos"]) == 4
+    np.testing.assert_allclose(h["betas"], [1e-3, 1e-3, 1e-4, 1e-4], rtol=1e-6)
+    np.testing.assert_allclose(h["lams"], [1e-4, 1e-5, 1e-4, 1e-5], rtol=1e-6)
+    np.testing.assert_allclose(h["lr_scales"], np.ones(4))
+    # more seeds than combos: combos cycle (k inits per combo)
+    h6 = ensemble.resolve_hypers(cfg2, 6)
+    np.testing.assert_allclose(h6["betas"], [1e-3, 1e-3, 1e-4, 1e-4, 1e-3, 1e-3], rtol=1e-6)
+    # fewer seeds than combos: warn that the grid tail is untrained
+    with pytest.warns(UserWarning, match="combos"):
+        ensemble.resolve_hypers(cfg2, 2)
+    # a single-axis sweep keeps the cfg values on the other axes
+    h1 = ensemble.resolve_hypers(
+        dataclasses.replace(cfg, sweep_lr_scale=(1.0, 0.5)), 2
+    )
+    np.testing.assert_allclose(h1["betas"], [cfg.beta] * 2, rtol=1e-6)
+    np.testing.assert_allclose(h1["lr_scales"], [1.0, 0.5])
+
+
+def test_hyper_loss_matches_per_seed_cfg():
+    """Per-seed beta/lam in the packed loss == each seed under its own cfg."""
+    S = 3
+    spec, cfg, params, batch = _problem(S)
+    betas = np.array([1e-3, 5e-3, 1e-2], np.float32)
+    lams = np.array([1e-4, 1e-5, 1e-3], np.float32)
+    loss = ensemble.build_loss(
+        spec, cfg, S, method="factored", betas=betas, lams=lams
+    )
+    _, mets = loss(params, batch)
+    for s in range(S):
+        single = desmo.build_loss(
+            spec, float(betas[s]), float(lams[s]), method="factored"
+        )
+        t, _ = single(ensemble.extract_seed(params, s), batch)
+        np.testing.assert_allclose(
+            float(mets["total_s"][s]), float(t), rtol=2e-5, err_msg=f"seed{s}"
+        )
+
+
+def test_hyper_trajectory_matches_single_runs():
+    """The hyperparameter multi-start IS S independent runs: each packed
+    seed's 40-step trajectory under its own (beta, lambda, lr_scale) matches
+    a single-seed training whose cfg carries exactly those values (lr scales
+    chosen as powers of two so both float routes are bit-equal)."""
+    S = 3
+    spec, cfg, params, batch = _problem(S, lr_omega=0.1)
+    betas = np.array([1e-3, 5e-3, 1e-2], np.float32)
+    lams = np.array([1e-4, 1e-5, 1e-3], np.float32)
+    scales = np.array([1.0, 0.5, 2.0], np.float32)
+    loss = ensemble.build_loss(
+        spec, cfg, S, method="factored", betas=betas, lams=lams
+    )
+    groups = desmo.param_groups(desmo.init_params(spec))
+    chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    st = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    st, mets = chunk(st, batch, num_steps=40)
+    for s in range(S):
+        sc = float(scales[s])
+        cfg_s = dataclasses.replace(
+            cfg, beta=float(betas[s]), l1_lambda=float(lams[s]),
+            lr_coef=cfg.lr_coef * sc, lr_phi=cfg.lr_phi * sc,
+            lr_z=cfg.lr_z * sc, lr_omega=cfg.lr_omega * sc,
+            lr_period=cfg.lr_period * sc,
+        )
+        single = desmo.build_loss(
+            spec, cfg_s.beta, cfg_s.l1_lambda, method="factored"
+        )
+        schunk = train.make_train_chunk(single, groups, cfg_s)
+        ss = jax.tree.map(
+            jnp.array,
+            train.init_state(ensemble.extract_seed(params, s), cfg_s),
+        )
+        ss, sm = schunk(ss, batch, num_steps=40)
+        np.testing.assert_allclose(
+            float(mets["total_s"][-1][s]), float(sm["total"][-1]), rtol=1e-4
+        )
+        for k in ss.params:
+            np.testing.assert_allclose(
+                np.asarray(st.params[k][s]), np.asarray(ss.params[k]),
+                rtol=1e-4, atol=1e-6, err_msg=f"seed{s}:{k}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(st.sched.lrs[s]), np.asarray(ss.sched.lrs), rtol=1e-6
+        )
+
+
+def test_fit_hyper_sweep_selects_by_rec():
+    """Under a sweep, per-seed totals weight ortho/L1 differently, so fit
+    must pick the winner by REC: seed 0 (lr_scale 0, lam 0) never trains and
+    keeps the lower TOTAL, seed 1 (huge lam) trains to the lower REC — the
+    rec-trained seed must win despite its penalty-inflated total."""
+    spec, cfg, params, batch = _problem(2, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=20, log_every=1000)
+    hypers = {
+        "betas": np.array([1e-3, 1e-3], np.float32),
+        "lams": np.array([0.0, 5.0], np.float32),
+        "lr_scales": np.array([0.0, 1.0], np.float32),
+        "combos": [(1e-3, 0.0, 0.0), (1e-3, 5.0, 1.0)],
+    }
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=2, num_epochs=40, seed=0, phi_sigma=0.0,
+        method="factored", log=logs.append, hypers=hypers,
+    )
+    # seed 1's total carries ~5 * sum|c| of penalty -> far above seed 0's
+    assert finals[1] > finals[0]
+    # ...but it trained (seed 0 could not: lr_scale 0) -> best REC wins
+    assert best == 1
+    assert any("winning hypers" in line for line in logs)
+    assert any("l1_lambda=5" in line for line in logs)
+
+
+def test_fit_resolves_cfg_sweep_and_spans_groups():
+    """fit() picks up cfg.sweep_* automatically and a sweep slices correctly
+    across multiple packed groups (cap 4 at K=27 -> groups of 4 + 2)."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(
+        cfg, checkpoint_every=20, log_every=1000,
+        sweep_beta=(1e-3, 1e-2), sweep_lam=(1e-4, 1e-5), n_seeds=6,
+    )
+    logs = []
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=6, num_epochs=20, seed=0, phi_sigma=0.05,
+        method="factored", log=logs.append,
+    )
+    assert finals.shape == (6,)
+    assert np.isfinite(finals).all()
+    assert any("hyperparameter multi-start: 4" in line for line in logs)
+    assert result.state.params["phi"].shape == (spec.r, spec.n)

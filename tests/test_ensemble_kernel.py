@@ -242,12 +242,14 @@ def _patch_kernel_select(monkeypatch):
     backend), so the fit() integration runs the kernel path in CI."""
     real = train_chunk.make_fused_ensemble_chunk
 
-    def fake_select(spec, cfg, n_seeds, bt=32, device_mesh=None):
+    def fake_select(spec, cfg, n_seeds, bt=32, device_mesh=None,
+                    betas=None, lams=None):
         if device_mesh is not None:
             return None
         if not train_chunk.supports_packed(spec, cfg, n_seeds):
             return None
-        return real(spec, cfg, n_seeds, bt=32, interpret=True)
+        return real(spec, cfg, n_seeds, bt=32, interpret=True,
+                    betas=betas, lams=lams)
 
     monkeypatch.setattr(train_chunk, "select_ensemble_chunk", fake_select)
 
@@ -320,7 +322,7 @@ def test_fit_kernel_compile_failure_falls_back(monkeypatch):
     remote Mosaic compiler rejects some shapes opaquely) must degrade to the
     packed scan chunk with a warning, not kill the run."""
 
-    def broken_select(spec, cfg, n_seeds, bt=32, device_mesh=None):
+    def broken_select(spec, cfg, n_seeds, bt=32, device_mesh=None, **kw):
         def boom(state, batch, num_steps):
             raise RuntimeError("mosaic compile failed (simulated)")
 
@@ -543,3 +545,140 @@ def test_fit_kernel_path_recovers_from_diverged_seed(monkeypatch):
     assert any("diverged" in m for m in msgs)
     assert result.history["total"].shape == (16,)
     assert np.isfinite(result.history["total"]).all()
+
+
+# --- hyperparameter multi-start through the packed kernel --------------------
+
+
+def _hyper_triplet():
+    betas = np.array([1e-3, 5e-3, 1e-2], np.float32)
+    lams = np.array([1e-4, 1e-5, 1e-3], np.float32)
+    scales = np.array([1.0, 0.5, 2.0], np.float32)  # powers of two: exact
+    return betas, lams, scales
+
+
+def test_packed_kernel_hyper_sweep_matches_packed_scan():
+    """Per-seed beta/lam ride the svec rows into the kernel (phi gradient,
+    coef L1 gradient, per-seed totals) and lr_scales the per-seed LR rows —
+    30 steps of the packed kernel under HETEROGENEOUS hypers must match the
+    packed scan chunk built with the same per-seed weights. The streamed
+    transport must stay bit-exact vs resident under the sweep too."""
+    S = 3
+    cfg, spec, params, batch = problem(S)
+    betas, lams, scales = _hyper_triplet()
+    loss = ensemble.build_loss(
+        spec, cfg, S, method="factored", betas=betas, lams=lams
+    )
+    groups = desmo.param_groups(desmo.init_params(spec))
+    ref_chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    s_ref = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=30)
+
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, betas=betas, lams=lams
+    )
+    s_k = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    s_k, m_k = fused(s_k, batch, num_steps=30)
+    for key in ("rec", "ortho", "l1", "total_s"):
+        np.testing.assert_allclose(
+            np.asarray(m_k[key]), np.asarray(m_ref[key]),
+            rtol=3e-4, atol=1e-6, err_msg=key,
+        )
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]), np.asarray(s_ref.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_k.sched.lrs), np.asarray(s_ref.sched.lrs), rtol=1e-6
+    )
+
+    streamed = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, streamed=True,
+        betas=betas, lams=lams,
+    )
+    s_s = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    s_s, m_s = streamed(s_s, batch, num_steps=30)
+    np.testing.assert_array_equal(
+        np.asarray(m_s["total_s"]), np.asarray(m_k["total_s"])
+    )
+    for key in s_k.params:
+        np.testing.assert_array_equal(
+            np.asarray(s_s.params[key]), np.asarray(s_k.params[key]),
+            err_msg=key,
+        )
+
+
+def test_packed_fourier_kernel_hyper_sweep_matches_packed_scan():
+    """Fourier variant of the sweep parity: per-seed beta/lam must thread
+    through the series-coefficient/period updates unchanged (beta touches
+    only phi, lam only the coefficient row — both shared with desmo)."""
+    S = 3
+    cfg, spec, params, batch = fproblem(S)
+    betas, lams, scales = _hyper_triplet()
+    loss = ensemble.build_loss(
+        spec, cfg, S, method="factored", betas=betas, lams=lams
+    )
+    from desmo_tpu.models import fourier as fmodel
+
+    groups = fmodel.param_groups(fmodel.init_params(spec))
+    ref_chunk = ensemble.make_ensemble_chunk(loss, groups, cfg, S)
+    s_ref = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    s_ref, m_ref = ref_chunk(s_ref, batch, num_steps=25)
+
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True, betas=betas, lams=lams
+    )
+    s_k = jax.tree.map(
+        jnp.array, ensemble.init_state(params, cfg, S, lr_scales=scales)
+    )
+    s_k, m_k = fused(s_k, batch, num_steps=25)
+    for key in ("rec", "ortho", "l1", "total_s"):
+        # same ortho atol rationale as test_packed_fourier_kernel_matches_
+        # packed_scan: near-orthogonal latents make the off-diagonal Gram
+        # cancellation-dominated, ~5e-6 abs is the 3-pass noise floor
+        atol = 5e-6 if key == "ortho" else 1e-6
+        np.testing.assert_allclose(
+            np.asarray(m_k[key]), np.asarray(m_ref[key]),
+            rtol=3e-4, atol=atol, err_msg=key,
+        )
+    for key in s_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[key]), np.asarray(s_ref.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+
+
+def test_uniform_hypers_bitwise_equal_no_hypers():
+    """betas/lams equal to the cfg scalars must leave the kernel's numerics
+    EXACTLY unchanged (the svec-read path is the same float32 values the
+    scalar closure would have used)."""
+    S = 2
+    cfg, spec, params, batch = problem(S)
+    plain = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True
+    )
+    swept = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=32, interpret=True,
+        betas=np.full(S, cfg.beta, np.float32),
+        lams=np.full(S, cfg.l1_lambda, np.float32),
+    )
+    s0 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s1 = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, S))
+    s0, m0 = plain(s0, batch, num_steps=12)
+    s1, m1 = swept(s1, batch, num_steps=12)
+    np.testing.assert_array_equal(
+        np.asarray(m0["total_s"]), np.asarray(m1["total_s"])
+    )
+    for k in s0.params:
+        np.testing.assert_array_equal(
+            np.asarray(s0.params[k]), np.asarray(s1.params[k]), err_msg=k
+        )

@@ -77,3 +77,29 @@ def test_cli_pod_streaming_matches_in_memory(tmp_path, capsys):
     saved = np.load(out)
     assert saved["modes"].shape == (60, 3)
     assert saved["temporal"].shape[0] == 3
+
+
+def test_cli_run_hyper_sweep_defaults_seeds_to_grid(tmp_path, capsys):
+    """--sweep-beta/--sweep-lam without --seeds: the CLI defaults n_seeds to
+    the combo-grid size and the run records the sweep in ensemble.json."""
+    d, n_files, _ = ir.gen_cylinder(str(tmp_path), n=50, m=8)
+    out_dir = tmp_path / "runs"
+    rc = cli_main([
+        "run", "--preset", "cylinder", "--data-dir", d,
+        "--t-end", "8", "--epochs", "6",
+        "--sweep-beta", "1e-3,1e-2",
+        "--out-dir", str(out_dir), "--no-figures",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = json.loads(
+        [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert np.isfinite(summary["relative_error"])
+    run_dirs = list(out_dir.iterdir())
+    assert len(run_dirs) == 1
+    with open(run_dirs[0] / "ensemble.json") as fh:
+        rec = json.load(fh)
+    assert rec["n_seeds"] == 2  # defaulted to the grid size
+    assert rec["hypers"] is not None
+    np.testing.assert_allclose(rec["hypers"]["betas"], [1e-3, 1e-2], rtol=1e-6)

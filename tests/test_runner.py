@@ -568,3 +568,37 @@ def test_sr_pod_rebuild_matches_training_randomized():
     assert not np.allclose(
         np.asarray(direct.modes), np.asarray(p1.modes), atol=1e-5
     )
+
+
+def test_run_hyper_sweep(tmp_path):
+    """Hyperparameter multi-start through runner.run: cfg.sweep_* resolves to
+    per-seed (beta, lam, lr_scale), the winner (picked by REC) flows through
+    the post-pipeline, and ensemble.json records the combo grid + winner."""
+    import json
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), n_seeds=4, seed_phi_sigma=0.05, num_epochs=120,
+        sweep_beta=(1e-3, 1e-2), sweep_lam=(1e-4, 1e-5),
+    )
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    assert np.isfinite(art.relative_error)
+    with open(os.path.join(art.out_dir, "ensemble.json")) as fh:
+        rec = json.load(fh)
+    assert rec["n_seeds"] == 4
+    hyp = rec["hypers"]
+    assert hyp is not None and len(hyp["combos"]) == 4
+    np.testing.assert_allclose(hyp["betas"], [1e-3, 1e-3, 1e-2, 1e-2], rtol=1e-6)
+    np.testing.assert_allclose(hyp["lams"], [1e-4, 1e-5, 1e-4, 1e-5], rtol=1e-6)
+    assert hyp["best_combo"] == [
+        hyp["betas"][rec["best_seed"]],
+        hyp["lams"][rec["best_seed"]],
+        hyp["lr_scales"][rec["best_seed"]],
+    ]
+    # a sweep without seeds is a config error, not a silent single run
+    with pytest.raises(ValueError, match="sweep"):
+        runner.run(
+            dataclasses.replace(tiny_cfg(), sweep_beta=(1e-3, 1e-2)),
+            x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        )

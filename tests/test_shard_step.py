@@ -383,3 +383,55 @@ def test_sharded_ensemble_isolates_diverged_seed_metrics():
         row = np.asarray(m_sh[key])[0]  # step 0: only seed 1 is bad yet
         assert not np.isfinite(row[1]), key
         assert np.isfinite(row[0]) and np.isfinite(row[2]), (key, row)
+
+
+def test_sharded_ensemble_hyper_sweep_matches_single_chip():
+    """Hyperparameter multi-start composes with the mesh: the sharded
+    seed-packed megastep under HETEROGENEOUS per-seed (beta, lam, lr_scale)
+    must reproduce the single-chip packed kernel under the same sweep (the
+    per-seed weights ride geometry lane splats jax-side, svec rows in-kernel
+    — two independent implementations of the same per-seed contract)."""
+    from desmo_tpu import ensemble
+
+    n_space = 4
+    S = 3
+    mesh = make_mesh(n_space=n_space, n_time=2)
+    cfg, spec, params, batch = problem(n_space)
+    eparams = ensemble.init_params(spec, S, seed=1, phi_sigma=0.1)
+    betas = np.array([1e-3, 5e-3, 1e-2], np.float32)
+    lams = np.array([1e-4, 1e-5, 1e-3], np.float32)
+    scales = np.array([1.0, 0.5, 2.0], np.float32)  # powers of two: exact
+    sharded = shard_step.make_sharded_fused_ensemble_chunk(
+        spec, cfg, mesh, S, bt=16, betas=betas, lams=lams
+    )
+    s_sh = jax.tree.map(
+        jnp.array, ensemble.init_state(eparams, cfg, S, lr_scales=scales)
+    )
+    with jax.sharding.set_mesh(mesh):
+        s_sh, m_sh = sharded(s_sh, batch, num_steps=25)
+
+    single = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, S, bt=16, interpret=True, betas=betas, lams=lams
+    )
+    s_k = jax.tree.map(
+        jnp.array, ensemble.init_state(eparams, cfg, S, lr_scales=scales)
+    )
+    s_k, m_k = single(s_k, batch, num_steps=25)
+
+    np.testing.assert_allclose(
+        np.asarray(m_sh["total_s"]), np.asarray(m_k["total_s"]),
+        rtol=5e-4, atol=1e-6,
+    )
+    for key in s_k.params:
+        np.testing.assert_allclose(
+            np.asarray(s_sh.params[key]), np.asarray(s_k.params[key]),
+            rtol=5e-4, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_sh.sched.lrs), np.asarray(s_k.sched.lrs), rtol=1e-6
+    )
+    # the per-seed LR rows start at the scaled values
+    np.testing.assert_allclose(
+        np.asarray(s_sh.sched.lrs)[:, 0] > 0,
+        np.ones(S, bool),
+    )
