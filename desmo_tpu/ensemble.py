@@ -598,6 +598,7 @@ def fit(
     max_recoveries: int = 8,
     device_mesh=None,
     hypers: Optional[dict] = None,
+    report: Optional[dict] = None,
 ) -> tuple[train.TrainResult, int, np.ndarray]:
     """Train an S-seed packed ensemble; returns ``(result, best, final_totals)``
     where ``result.state`` is the BEST member's single-seed TrainState.
@@ -609,6 +610,10 @@ def fit(
     Under a sweep the winning seed is chosen by final REC error, not total —
     per-seed totals weight ortho/L1 differently and are not comparable
     (``final_totals`` still reports each seed's own total).
+
+    ``report``, when a dict is passed, is filled with per-seed diagnostics:
+    ``final_recs`` (each seed's last-step rec loss, inf for frozen seeds) —
+    the cross-seed comparable numbers a hyper sweep is judged by.
 
     Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
     sequentially; compiled chunks are CACHED per pack width, so groups of the
@@ -705,7 +710,8 @@ def fit(
 
     import time as _time
 
-    results = []  # (final_total, seed_index, single_state, history)
+    results = []  # (final_total, selection_metric, seed_index, state, local, hist)
+    rec_by_seed: dict[int, float] = {}
     start = 0
     gi = 0
     wall = 0.0
@@ -942,13 +948,10 @@ def fit(
                     )
                 break
         finals = np.where(frozen, np.inf, histories[-1]["total_s"][-1])
+        recs = np.where(frozen, np.inf, histories[-1]["rec"][-1])
         # the seed-selection metric: REC under a hyper sweep (totals weight
         # ortho/L1 differently and are not comparable), else the total
-        sels = (
-            np.where(frozen, np.inf, histories[-1]["rec"][-1])
-            if hypers is not None
-            else finals
-        )
+        sels = recs if hypers is not None else finals
         hist = {
             k: np.concatenate([h[k] for h in histories]) for k in histories[0]
         }
@@ -956,6 +959,7 @@ def fit(
             results.append(
                 (float(finals[s]), float(sels[s]), start + s, state, s, hist)
             )
+            rec_by_seed[start + s] = float(recs[s])
         start += S
         gi += 1
 
@@ -963,6 +967,10 @@ def fit(
         # consume the latch (same contract as train.fit): the request is
         # honored by this fit; later fits in the process start fresh
         train.clear_preemption()
+    if report is not None:
+        # trained seeds are contiguous from 0 (preemption only skips later
+        # groups), so this aligns with final_totals' ordering and length
+        report["final_recs"] = [rec_by_seed[i] for i in sorted(rec_by_seed)]
     final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[2])])
     best_total, best_sel, best_global, best_state, best_local, best_hist = min(
         results, key=lambda r: (r[1], r[0])

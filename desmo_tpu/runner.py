@@ -454,6 +454,7 @@ def run(
                     "using the factored (pure-XLA) loss"
                 )
             method = "factored"
+        ens_report: dict = {}
         with mesh_ctx:
             result, best_seed, finals = ensemble.fit(
                 cfg, spec, batch, n_seeds=cfg.n_seeds, num_epochs=n_epochs,
@@ -463,6 +464,7 @@ def run(
                 log=log_line if echo else None,
                 checkpoint_fn=ckpt,
                 device_mesh=device_mesh,
+                report=ens_report,
             )
         if echo:
             rate = (
@@ -485,6 +487,12 @@ def run(
                     # record them as null plus an explicit index list
                     "final_totals": [
                         float(v) if np.isfinite(v) else None for v in finals
+                    ],
+                    # per-seed final REC: the cross-seed comparable numbers
+                    # (totals are not comparable under a hyper sweep)
+                    "final_recs": [
+                        float(v) if np.isfinite(v) else None
+                        for v in ens_report.get("final_recs", [])
                     ],
                     "diverged_seeds": [
                         int(i) for i in np.nonzero(~np.isfinite(finals))[0]

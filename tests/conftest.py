@@ -136,6 +136,18 @@ _SLOW = {
     "tests/test_train.py::test_graceful_preemption_checkpoints_and_resumes_bit_exact",
     "tests/test_ensemble.py::test_fused_blocks_matches_factored",
     "tests/test_ae.py::test_warmup_loss_is_pure_ae_mse",
+    # --- hyperparameter multi-start (>= ~5.5 s each); the quick tier keeps
+    # test_resolve_hypers_grid + test_fit_hyper_sweep_selects_by_rec as the
+    # cheap representatives of the grid resolution and selection semantics
+    "tests/test_ensemble.py::test_hyper_loss_matches_per_seed_cfg",
+    "tests/test_ensemble.py::test_hyper_trajectory_matches_single_runs",
+    "tests/test_ensemble.py::test_fit_resolves_cfg_sweep_and_spans_groups",
+    "tests/test_ensemble_kernel.py::test_packed_kernel_hyper_sweep_matches_packed_scan",
+    "tests/test_ensemble_kernel.py::test_packed_fourier_kernel_hyper_sweep_matches_packed_scan",
+    "tests/test_ensemble_kernel.py::test_uniform_hypers_bitwise_equal_no_hypers",
+    "tests/test_shard_step.py::test_sharded_ensemble_hyper_sweep_matches_single_chip",
+    "tests/test_runner.py::test_run_hyper_sweep",
+    "tests/test_ingest_formats.py::test_cli_run_hyper_sweep_defaults_seeds_to_grid",
 }
 
 

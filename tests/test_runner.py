@@ -596,6 +596,10 @@ def test_run_hyper_sweep(tmp_path):
         hyp["lams"][rec["best_seed"]],
         hyp["lr_scales"][rec["best_seed"]],
     ]
+    # per-seed REC is the cross-seed comparable record; under a sweep the
+    # winner is its argmin (NOT the total argmin)
+    assert len(rec["final_recs"]) == 4
+    assert rec["best_seed"] == int(np.argmin(rec["final_recs"]))
     # a sweep without seeds is a config error, not a silent single run
     with pytest.raises(ValueError, match="sweep"):
         runner.run(
