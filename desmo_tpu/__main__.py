@@ -74,24 +74,29 @@ def cmd_run(args) -> int:
         overrides["seed_omega_spread"] = args.seed_omega_spread
     if getattr(args, "pod_method", None):
         overrides["pod_method"] = args.pod_method
-    for flag, field in (
-        ("sweep_beta", "sweep_beta"),
-        ("sweep_lam", "sweep_lam"),
-        ("sweep_lr_scale", "sweep_lr_scale"),
-    ):
+    for flag in ("sweep_beta", "sweep_lam", "sweep_lr_scale"):
         vals = getattr(args, flag, None)
         if vals:
-            overrides[field] = tuple(float(v) for v in vals.split(","))
+            parts = [s for s in vals.split(",") if s.strip()]
+            try:
+                overrides[flag] = tuple(float(v) for v in parts)
+            except ValueError:
+                print(
+                    f"error: --{flag.replace('_', '-')} expects a comma-"
+                    f"separated list of numbers, got {vals!r}",
+                    file=sys.stderr,
+                )
+                return 2
     if any(k.startswith("sweep_") for k in overrides):
         # the sweep needs one packed seed per combo: default n_seeds to the
-        # grid size when --seeds was not given
-        import math as _math
-
-        n_combo = _math.prod(
+        # grid size when --seeds was NOT given (an explicit --seeds — even
+        # --seeds 1 — is the user's resource choice and is respected;
+        # runner.run rejects impossible combinations loudly)
+        n_combo = math.prod(
             len(overrides.get(k) or (0,))
             for k in ("sweep_beta", "sweep_lam", "sweep_lr_scale")
         )
-        if overrides.get("n_seeds", cfg.n_seeds) <= 1 and n_combo > 1:
+        if getattr(args, "seeds", None) is None and cfg.n_seeds <= 1 and n_combo > 1:
             overrides["n_seeds"] = n_combo
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)

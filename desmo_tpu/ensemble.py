@@ -72,7 +72,7 @@ def max_seeds_packed(spec) -> int:
     return max(1, LANES // K)
 
 
-def resolve_hypers(cfg: RunConfig, n_seeds: int):
+def resolve_hypers(cfg: RunConfig, n_seeds: int, warn: bool = True):
     """Per-seed hyperparameters from the cfg sweep lists, or ``None``.
 
     HYPERPARAMETER MULTI-START (beyond reference — the reference hard-codes
@@ -102,7 +102,7 @@ def resolve_hypers(cfg: RunConfig, n_seeds: int):
 
     combos = list(itertools.product(bl, ll, sl))
     take = [combos[s % len(combos)] for s in range(n_seeds)]
-    if len(combos) > n_seeds:
+    if warn and len(combos) > n_seeds:
         import warnings
 
         warnings.warn(
@@ -662,6 +662,10 @@ def fit(
         method = "factored"
     if hypers is None:
         hypers = resolve_hypers(cfg, n_seeds)
+    if report is not None:
+        # provenance: the hypers fit ACTUALLY used (resolved or explicit),
+        # so callers persist the real grid instead of re-deriving it
+        report["hypers"] = hypers
     if hypers is not None and log is not None:
         log(
             f"[ensemble] hyperparameter multi-start: {len(hypers['combos'])} "
@@ -740,6 +744,13 @@ def fit(
         )
 
     def _get_chunk(kind: str, S: int, template_params=None, betas=None, lams=None):
+        if kind == "kernel" and chunk_cache.get(("kernel_failed", S)):
+            # a kernel compile failure is shape/code-driven, not
+            # weight-driven (betas/lams ride svec inputs into the same
+            # kernel) — one failed attempt at this pack width rules out
+            # every hyper slice, so don't re-pay the remote compile timeout
+            # per hyper-distinct group
+            return None
         key = _ckey(kind, S, betas, lams)
         if key not in chunk_cache:
             if kind == "kernel":
@@ -859,9 +870,9 @@ def fit(
                         "back to the packed scan chunk"
                     )
                 is_kernel = False
-                # cache the failure (None) so later same-width groups don't
-                # pay the failed compile attempt again
-                chunk_cache[_ckey("kernel", S, betas_g, lams_g)] = None
+                # cache the failure so later same-width groups (any hyper
+                # slice) don't pay the failed compile attempt again
+                chunk_cache[("kernel_failed", S)] = True
                 chunk = _get_chunk("scan", S, params, betas=betas_g, lams=lams_g)
                 state = _restore_with_frozen(snap, frozen)
                 continue

@@ -1809,6 +1809,13 @@ def make_fused_ensemble_chunk(
         raise ValueError(
             f"betas/lams must have shape ({S},), got {betas_arr.shape}/{lams_arr.shape}"
         )
+    if S == 1:
+        # the SEEDS==1 kernel branches use the compile-time scalars, not the
+        # svec lanes — a remainder group of a sweep (e.g. 3 seeds at cap 2)
+        # must still train under ITS combo, so the scalars take the per-seed
+        # values (f32 round trip: identical arithmetic to the lane read)
+        beta = float(betas_arr[0])
+        lam = float(lams_arr[0])
     augw = aug_width(r, S)
     fourier = getattr(cfg, "variant", "desmo") == "fourier"
     nf = int(getattr(spec, "n_fourier", 0)) if fourier else 0

@@ -261,6 +261,32 @@ def run(
     with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.
     """
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
+    if cfg.n_seeds <= 1:
+        from desmo_tpu import ensemble as _ens
+
+        # sweep lists without seeds, resolved BEFORE build_model bakes
+        # beta/lambda into the loss: a multi-combo grid is a config error
+        # (it needs one packed seed per combo); a SINGLE non-default combo
+        # is just an override — apply it directly so `--sweep-beta 5e-4`
+        # alone works instead of being silently ignored on the single-seed
+        # path. (Sweep lists AT the cfg defaults resolve to None = no sweep.)
+        hyp1 = _ens.resolve_hypers(cfg, 1, warn=False)
+        if hyp1 is not None and len(hyp1["combos"]) > 1:
+            raise ValueError(
+                "a hyperparameter sweep (sweep_beta/sweep_lam/sweep_lr_scale "
+                "with more than one combo) needs n_seeds > 1 — pass --seeds, "
+                "or omit it and the CLI defaults n_seeds to the combo-grid "
+                "size"
+            )
+        if hyp1 is not None:
+            b1, lm1, sc1 = hyp1["combos"][0]
+            cfg = dataclasses.replace(
+                cfg, beta=b1, l1_lambda=lm1,
+                lr_coef=cfg.lr_coef * sc1, lr_phi=cfg.lr_phi * sc1,
+                lr_z=cfg.lr_z * sc1, lr_omega=cfg.lr_omega * sc1,
+                lr_period=cfg.lr_period * sc1,
+                sweep_beta=(), sweep_lam=(), sweep_lr_scale=(),
+            )
     out_dir = os.path.join(out_dir, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     spec, params, loss_fn, groups = build_model(cfg)
@@ -424,15 +450,6 @@ def run(
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
-    if (
-        getattr(cfg, "sweep_beta", ()) or getattr(cfg, "sweep_lam", ())
-        or getattr(cfg, "sweep_lr_scale", ())
-    ) and cfg.n_seeds <= 1:
-        raise ValueError(
-            "a hyperparameter sweep (sweep_beta/sweep_lam/sweep_lr_scale) "
-            "needs n_seeds > 1 — pass --seeds (the CLI defaults it to the "
-            "combo-grid size when any --sweep-* flag is given)"
-        )
     if cfg.n_seeds > 1:
         if cfg.variant not in ("desmo", "fourier") or state is not None:
             raise ValueError(
@@ -506,11 +523,11 @@ def run(
                     "seed_omega_spread": float(cfg.seed_omega_spread),
                     # hyperparameter multi-start record (None when off):
                     # which (beta, l1_lambda, lr_scale) each seed trained
-                    # under, so the winning setting is reproducible
+                    # under, so the winning setting is reproducible — from
+                    # fit's report, i.e. the hypers it ACTUALLY used
                     "hypers": (
                         None
-                        if (hyp := ensemble.resolve_hypers(cfg, cfg.n_seeds))
-                        is None
+                        if (hyp := ens_report.get("hypers")) is None
                         else {
                             "combos": [list(c) for c in hyp["combos"]],
                             "betas": hyp["betas"].tolist(),

@@ -682,3 +682,34 @@ def test_uniform_hypers_bitwise_equal_no_hypers():
         np.testing.assert_array_equal(
             np.asarray(s0.params[k]), np.asarray(s1.params[k]), err_msg=k
         )
+
+
+def test_single_seed_remainder_group_honors_hypers():
+    """An S=1 packed-kernel group (a sweep's remainder, e.g. 3 seeds at pack
+    cap 2) must train under ITS combo, not cfg's scalars — regression for
+    the SEEDS==1 kernel branches reading the compile-time closure instead of
+    the per-seed values (review finding, reproduced live before the fix)."""
+    cfg, spec, params, batch = problem(1)
+    betas = np.array([7e-2], np.float32)  # far from cfg.beta = 1e-3
+    lams = np.array([3e-2], np.float32)  # far from cfg.l1_lambda = 1e-4
+    fused = train_chunk.make_fused_ensemble_chunk(
+        spec, cfg, 1, bt=32, interpret=True, betas=betas, lams=lams
+    )
+    s_k = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, 1))
+    s_k, m_k = fused(s_k, batch, num_steps=10)
+    loss = ensemble.build_loss(
+        spec, cfg, 1, method="factored", betas=betas, lams=lams
+    )
+    groups = desmo.param_groups(desmo.init_params(spec))
+    ref = ensemble.make_ensemble_chunk(loss, groups, cfg, 1)
+    s_r = jax.tree.map(jnp.array, ensemble.init_state(params, cfg, 1))
+    s_r, m_r = ref(s_r, batch, num_steps=10)
+    np.testing.assert_allclose(
+        np.asarray(m_k["total_s"]), np.asarray(m_r["total_s"]),
+        rtol=3e-4, atol=1e-6,
+    )
+    for k in s_r.params:
+        np.testing.assert_allclose(
+            np.asarray(s_k.params[k]), np.asarray(s_r.params[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )

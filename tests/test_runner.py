@@ -606,3 +606,30 @@ def test_run_hyper_sweep(tmp_path):
             dataclasses.replace(tiny_cfg(), sweep_beta=(1e-3, 1e-2)),
             x, out_dir=str(tmp_path), make_figures=False, echo=False,
         )
+
+
+def test_run_single_combo_sweep_is_an_override(tmp_path):
+    """A 1-combo sweep without seeds is applied as a direct cfg override
+    (beta/lambda/lr-scale), not silently ignored on the single-seed path —
+    and a multi-combo sweep without seeds still fails loudly."""
+    base = dataclasses.replace(tiny_cfg(), num_epochs=60)
+    x = synthetic.separable_rank_k(base.n, base.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+    a = runner.run(
+        dataclasses.replace(base, beta=5e-3),
+        x, out_dir=str(tmp_path / "a"), make_figures=False, echo=False,
+    )
+    b = runner.run(
+        dataclasses.replace(base, sweep_beta=(5e-3,)),
+        x, out_dir=str(tmp_path / "b"), make_figures=False, echo=False,
+    )
+    c = runner.run(
+        base, x, out_dir=str(tmp_path / "c"), make_figures=False, echo=False,
+    )
+    assert a.relative_error == b.relative_error  # same deterministic run
+    assert b.relative_error != c.relative_error  # the override took effect
+    with pytest.raises(ValueError, match="sweep"):
+        runner.run(
+            dataclasses.replace(base, sweep_beta=(1e-3, 1e-2)),
+            x, out_dir=str(tmp_path / "d"), make_figures=False, echo=False,
+        )
