@@ -52,7 +52,7 @@ MLP-dominated (no lane padding to recycle).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -523,6 +523,49 @@ def make_ensemble_chunk(
     return jax.jit(chunk_impl, static_argnames=("num_steps",), donate_argnames=("state",))
 
 
+def term_stability(
+    seed_params: Sequence[dict], spec, threshold: float = 1.0
+) -> dict:
+    """Cross-seed TERM-STABILITY report (beyond reference): which candidate
+    terms survive sparsification in EVERY multi-start member vs which are
+    init-sensitive artifacts.
+
+    DESMO's whole point is an interpretable sparse dictionary — but the
+    reference trains exactly one init per dataset, so a term's presence in
+    its final table may be an accident of the init rather than structure in
+    the data. With S trained members (free via the lane-packed ensemble),
+    selection frequency across seeds separates the two: frequency 1.0 under
+    the reference's energy threshold = a robust term, fractional frequency =
+    init-dependent.
+
+    ``seed_params``: the LIVE members' single-seed param dicts
+    (``extract_seed`` / ``fit``'s ``report['seed_states']``). Energies use
+    the reference's convention (``sparsify.term_energies``, raw phi masks).
+    Returns names (poly + interleaved trig, reference order), the (S,
+    n_terms) energy matrix, per-term selection ``frequency`` at ``threshold``
+    plus energy mean/std across seeds.
+    """
+    from desmo_tpu import sparsify
+
+    rows = []
+    for p in seed_params:
+        e = sparsify.term_energies(p, spec=spec)
+        rows.append(np.concatenate([np.asarray(e.poly), e.interleaved_trig()]))
+    E = np.stack(rows)  # (S, T + 3r)
+    names = library.poly_term_names(spec.r, spec.poly_order) + (
+        library.ref_interleaved_trig_names(spec.r)
+    )
+    sel = E >= threshold
+    return {
+        "names": names,
+        "energies": E,
+        "threshold": float(threshold),
+        "frequency": sel.mean(axis=0),
+        "mean": E.mean(axis=0),
+        "std": E.std(axis=0),
+    }
+
+
 def seed_state(state: train.TrainState, cfg: RunConfig, s: int) -> train.TrainState:
     """Single-seed ``TrainState`` view of ensemble member ``s`` — resumable by
     the standard scanned chunk / mega-kernel (same layouts, same semantics)."""
@@ -612,8 +655,11 @@ def fit(
     (``final_totals`` still reports each seed's own total).
 
     ``report``, when a dict is passed, is filled with per-seed diagnostics:
-    ``final_recs`` (each seed's last-step rec loss, inf for frozen seeds) —
-    the cross-seed comparable numbers a hyper sweep is judged by.
+    ``hypers`` (the resolved grid actually used, or None), ``final_recs``
+    (each seed's last-step rec loss, inf for frozen seeds — the cross-seed
+    comparable numbers a hyper sweep is judged by), and ``seed_states`` /
+    ``live_seeds`` (every NON-diverged member's single-seed TrainState with
+    its global seed index — the input to ``term_stability``).
 
     Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
     sequentially; compiled chunks are CACHED per pack width, so groups of the
@@ -716,6 +762,7 @@ def fit(
 
     results = []  # (final_total, selection_metric, seed_index, state, local, hist)
     rec_by_seed: dict[int, float] = {}
+    live_states: list[tuple[int, train.TrainState]] = []
     start = 0
     gi = 0
     wall = 0.0
@@ -971,6 +1018,8 @@ def fit(
                 (float(finals[s]), float(sels[s]), start + s, state, s, hist)
             )
             rec_by_seed[start + s] = float(recs[s])
+            if report is not None and not frozen[s]:
+                live_states.append((start + s, seed_state(state, cfg, s)))
         start += S
         gi += 1
 
@@ -982,6 +1031,8 @@ def fit(
         # trained seeds are contiguous from 0 (preemption only skips later
         # groups), so this aligns with final_totals' ordering and length
         report["final_recs"] = [rec_by_seed[i] for i in sorted(rec_by_seed)]
+        report["live_seeds"] = [i for i, _ in live_states]
+        report["seed_states"] = [st for _, st in live_states]
     final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[2])])
     best_total, best_sel, best_global, best_state, best_local, best_hist = min(
         results, key=lambda r: (r[1], r[0])

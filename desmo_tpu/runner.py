@@ -544,6 +544,45 @@ def run(
                 fh,
                 indent=1,
             )
+        if len(ens_report.get("seed_states", [])) >= 2:
+            # TERM-STABILITY report (beyond reference): selection frequency
+            # of every candidate term across the live multi-start members at
+            # the reference's energy-threshold convention — frequency 1.0 =
+            # robust structure, fractional = init-sensitive artifact
+            stab = ensemble.term_stability(
+                [st.params for st in ens_report["seed_states"]], spec
+            )
+            with open(os.path.join(out_dir, "term_stability.json"), "w") as fh:
+                json.dump(
+                    {
+                        "threshold": stab["threshold"],
+                        "live_seeds": ens_report["live_seeds"],
+                        "names": stab["names"],
+                        "frequency": stab["frequency"].tolist(),
+                        "energy_mean": stab["mean"].tolist(),
+                        "energy_std": stab["std"].tolist(),
+                    },
+                    fh,
+                    indent=1,
+                )
+            if echo:
+                unstable = [
+                    (n, f)
+                    for n, f in zip(stab["names"], stab["frequency"])
+                    if 0.0 < f < 1.0
+                ]
+                if unstable:
+                    print(
+                        "[ensemble] init-sensitive terms (selection "
+                        f"frequency < 1 at threshold {stab['threshold']:g}): "
+                        + ", ".join(f"{n}={f:.2f}" for n, f in unstable)
+                    )
+                else:
+                    print(
+                        "[ensemble] term selection is stable across all "
+                        f"{len(ens_report['live_seeds'])} seeds "
+                        f"(threshold {stab['threshold']:g})"
+                    )
         ckpt(result.state, int(result.state.epoch))
     else:
         with mesh_ctx:

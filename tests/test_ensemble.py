@@ -596,3 +596,46 @@ def test_fit_resolves_cfg_sweep_and_spans_groups():
     assert np.isfinite(finals).all()
     assert any("hyperparameter multi-start: 4" in line for line in logs)
     assert result.state.params["phi"].shape == (spec.r, spec.n)
+
+
+def test_term_stability_report():
+    """Cross-seed term-stability: a term active in every member has
+    frequency 1.0; a term zeroed in one member is flagged fractional; the
+    name row order is [poly terms, interleaved trig] (reference order)."""
+    spec = desmo.DesmoSpec(24, 12, 2, 2, omega_init=1.0)
+    params = ensemble.init_params(spec, 2, seed=0, phi_sigma=0.1)
+    a = ensemble.extract_seed(params, 0)
+    b = ensemble.extract_seed(params, 1)
+    # term 1 ('phi1') inactive in member b only; term 0 ('1') in both
+    b = dict(b, c=b["c"].at[1].set(0.0))
+    stab = ensemble.term_stability([a, b], spec, threshold=1e-12)
+    from desmo_tpu import library
+
+    T = spec.num_poly_terms
+    assert stab["names"][:2] == ["1", "phi1"]
+    assert stab["names"][T:T + 3] == ["sin(phi1)", "cos(phi1)", "tanh(phi1)"]
+    assert stab["energies"].shape == (2, T + 3 * spec.r)
+    assert stab["frequency"][0] == 1.0
+    assert stab["frequency"][1] == 0.5
+    np.testing.assert_allclose(
+        stab["mean"], stab["energies"].mean(axis=0), rtol=1e-6
+    )
+
+
+def test_fit_report_carries_live_seed_states():
+    """fit(report=...) exposes every non-diverged member as a single-seed
+    TrainState (the term_stability input); diverged seeds are excluded."""
+    spec, cfg, params, batch = _problem(3, lr_omega=0.1)
+    cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
+    report = {}
+    result, best, finals = ensemble.fit(
+        cfg, spec, batch, n_seeds=3, num_epochs=20, seed=0,
+        phi_sigma=1e200,  # jittered seeds 1,2 diverge; seed 0 survives
+        method="factored", log=None, report=report,
+    )
+    assert report["live_seeds"] == [0]
+    assert len(report["seed_states"]) == 1
+    st = report["seed_states"][0]
+    assert st.params["phi"].shape == (spec.r, spec.n)
+    stab = ensemble.term_stability([st.params], spec)
+    assert stab["energies"].shape[0] == 1

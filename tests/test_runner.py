@@ -264,6 +264,12 @@ def test_run_multiseed_ensemble(tmp_path):
         rec = json.load(fh)
     assert rec["n_seeds"] == 3 and len(rec["final_totals"]) == 3
     assert rec["best_seed"] == int(np.argmin(rec["final_totals"]))
+    # cross-seed term-stability artifact (selection frequency per term)
+    with open(os.path.join(art.out_dir, "term_stability.json")) as fh:
+        stab = json.load(fh)
+    assert stab["live_seeds"] == [0, 1, 2]
+    assert len(stab["names"]) == len(stab["frequency"]) > 0
+    assert all(0.0 <= f <= 1.0 for f in stab["frequency"])
     # rejected combinations fail loudly, not silently single-seed
     with pytest.raises(ValueError, match="n_seeds"):
         runner.run(
