@@ -134,6 +134,7 @@ def cmd_run(args) -> int:
             mesh=mesh,
             resume_from=args.resume,
             device_mesh=device_mesh,
+            holdout=getattr(args, "holdout", 0.0) or 0.0,
         )
     summary = {
         "preset": cfg.name,
@@ -148,6 +149,8 @@ def cmd_run(args) -> int:
         "out_dir": artifacts.out_dir,
         "preempted": artifacts.preempted,
     }
+    if artifacts.forecast is not None:
+        summary["forecast"] = artifacts.forecast
     print(json.dumps(summary))
     return 0
 
@@ -437,6 +440,14 @@ def main(argv=None) -> int:
         help="hyperparameter multi-start: per-seed LR-row scale factors "
         "(each seed's whole group-LR row is multiplied; its plateau "
         "scheduler then evolves the scaled row independently)",
+    )
+    p_run.add_argument(
+        "--holdout", type=float, default=0.0, metavar="F",
+        help="fourier variants: hold out the last F fraction of snapshots, "
+        "train on the rest, and score the trained time-continuous series at "
+        "the HELD-OUT times (honest forecast — re-centered on the train "
+        "mean; forecast.json + a 'forecast' summary field). Plain DESMO's "
+        "per-snapshot z(t) cannot do this",
     )
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",

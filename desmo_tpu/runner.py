@@ -35,6 +35,9 @@ class RunArtifacts:
     # the run was stopped early by graceful preemption (SIGTERM /
     # train.request_preemption); state_final.npz resumes it bit-exactly
     preempted: bool = False
+    # temporal-holdout forecast record (fourier variant, run(holdout=f)):
+    # {m_train, m_holdout, train_error, holdout_error} — None when off
+    forecast: Optional[dict] = None
 
 
 def load_data(
@@ -249,6 +252,7 @@ def run(
     resume_from: Optional[str] = None,
     echo: bool = True,
     device_mesh=None,
+    holdout: float = 0.0,
 ) -> RunArtifacts:
     """Train + sparsify + report, mirroring the reference pipeline end to end.
 
@@ -259,7 +263,35 @@ def run(
     sharded over 'space', reductions psum'd over ICI); other variants run the
     sharding-aware scanned chunk with ``parallel.param_shardings``. Build one
     with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.
+
+    ``holdout`` (fourier variant only; beyond reference): hold out the LAST
+    ``holdout`` fraction of snapshots, train on the rest, and score the
+    trained series at the held-out TIMES — a forecast the reference's
+    per-snapshot z(t) fundamentally cannot make (each z value is a free
+    parameter tied to one training snapshot; only the time-continuous
+    Fourier-series variant can extrapolate). Both splits are re-centered on
+    the TRAIN window's temporal mean so no held-out statistic leaks into
+    training. The held-out error lands in ``RunArtifacts.forecast`` and
+    ``forecast.json``.
     """
+    x_hold = None
+    if holdout:
+        if cfg.variant != "fourier":
+            raise ValueError(
+                "holdout forecasting needs the time-continuous fourier "
+                f"variant (got {cfg.variant!r}) — plain DESMO's z(t) are "
+                "free per-snapshot parameters with no value at unseen times"
+            )
+        if not 0.0 < holdout < 0.5:
+            raise ValueError(f"holdout must be in (0, 0.5), got {holdout}")
+        m_train = int(round(x.shape[1] * (1.0 - holdout)))
+        if m_train < 8 or m_train >= x.shape[1]:
+            raise ValueError(
+                f"holdout {holdout} leaves m_train={m_train} of {x.shape[1]}"
+            )
+        mu_train = x[:, :m_train].mean(axis=1, keepdims=True)
+        x_hold = np.asarray(x[:, m_train:] - mu_train)
+        x = np.asarray(x[:, :m_train] - mu_train)
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     if cfg.n_seeds <= 1:
         from desmo_tpu import ensemble as _ens
@@ -621,6 +653,39 @@ def run(
         print(f"POD error with {cfg.r} modes: {err_pod}")
         print(f"POD error with {2 * cfg.r} modes: {err_pod2}")
 
+    forecast = None
+    if x_hold is not None:
+        # score the trained series at the held-out times. The train grid is
+        # t_points(m_train) = linspace(0, m_train, m_train) (reference
+        # convention, spacing m/(m-1)), so physical snapshot j sits at
+        # t = j * m_train/(m_train - 1) — held-out j = m_train..m-1 continue
+        # that axis exactly.
+        h = x_hold.shape[1]
+        t_hold = (float(cfg.m) / (cfg.m - 1)) * np.arange(
+            cfg.m, cfg.m + h, dtype=np.float32
+        )
+        recon_h, _, _ = fourier_model.apply(
+            result.state.params, batch["pod_modes"], spec,
+            t=jnp.asarray(t_hold),
+        )
+        err_hold = float(
+            losses.relative_frobenius_error(jnp.asarray(x_hold), recon_h)
+        )
+        forecast = {
+            "m_train": int(cfg.m),
+            "m_holdout": int(h),
+            "train_error": err,
+            "holdout_error": err_hold,
+        }
+        with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
+            json.dump(forecast, fh, indent=1)
+        if echo:
+            print(
+                f"forecast: trained on {cfg.m} snapshots, held out {h}; "
+                f"train err {err:.6f}, HELD-OUT err {err_hold:.6f} "
+                "(POD/plain-DESMO cannot forecast unseen times at all)"
+            )
+
     if getattr(result, "preempted", False):
         # SIGTERM grace windows are short: write the resumable artifacts NOW
         # and skip the sweep/greedy/figure reports — SIGKILL mid-sweep must
@@ -639,6 +704,7 @@ def run(
             sweep=[],
             out_dir=out_dir,
             preempted=True,
+            forecast=forecast,
         )
 
     sweep = sparsify.threshold_sweep(
@@ -731,6 +797,7 @@ def run(
         sweep=sweep,
         out_dir=out_dir,
         preempted=getattr(result, "preempted", False),
+        forecast=forecast,
     )
 
 

@@ -148,6 +148,7 @@ _SLOW = {
     "tests/test_shard_step.py::test_sharded_ensemble_hyper_sweep_matches_single_chip",
     "tests/test_runner.py::test_run_hyper_sweep",
     "tests/test_runner.py::test_run_single_combo_sweep_is_an_override",
+    "tests/test_runner.py::test_run_fourier_holdout_forecast",
     "tests/test_ingest_formats.py::test_cli_run_hyper_sweep_defaults_seeds_to_grid",
 }
 

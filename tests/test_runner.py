@@ -639,3 +639,39 @@ def test_run_single_combo_sweep_is_an_override(tmp_path):
             dataclasses.replace(base, sweep_beta=(1e-3, 1e-2)),
             x, out_dir=str(tmp_path / "d"), make_figures=False, echo=False,
         )
+
+
+def test_run_fourier_holdout_forecast(tmp_path):
+    """Temporal-holdout forecasting (beyond reference): train the
+    time-continuous fourier variant on the first 75% of a periodic series,
+    score the trained series at the HELD-OUT times — the forecast must beat
+    the trivial zero predictor (rel err 1.0). Plain DESMO must refuse (its
+    z(t) are free per-snapshot parameters)."""
+    m = 48
+    x = synthetic.cylinder_wake(60, m, n_harmonics=2, seed=0, period_steps=16.0)
+    cfg = dataclasses.replace(
+        tiny_cfg("fourier"), num_epochs=800, period_init=16.0,
+    )
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        holdout=0.25,
+    )
+    f = art.forecast
+    assert f is not None
+    assert f["m_train"] == 36 and f["m_holdout"] == 12
+    assert np.isfinite(f["holdout_error"])
+    assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
+    assert f["train_error"] == art.relative_error
+    with open(os.path.join(art.out_dir, "forecast.json")) as fh:
+        assert json.load(fh) == f
+    # plain DESMO cannot forecast: refuse loudly, don't silently ignore
+    with pytest.raises(ValueError, match="fourier"):
+        runner.run(
+            tiny_cfg(), x, out_dir=str(tmp_path / "d"), make_figures=False,
+            echo=False, holdout=0.2,
+        )
+    with pytest.raises(ValueError, match="holdout"):
+        runner.run(
+            cfg, x, out_dir=str(tmp_path / "e"), make_figures=False,
+            echo=False, holdout=0.9,
+        )
