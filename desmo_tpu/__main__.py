@@ -214,8 +214,23 @@ def cmd_sr(args) -> int:
     # size the model from the checkpoint (the shipped SR checkpoint is r=2,
     # P=2 on cylinder data whose training preset is r=4, P=3)
     r, poly_order = checkpoint.infer_spec_dims(sd)
-    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
     params = checkpoint.params_from_state_dict(sd, "desmo")
+    x_future = None
+    if getattr(args, "forecast", False):
+        # the checkpoint was trained on the FIRST m_ckpt snapshots; the data
+        # columns beyond that window are the held-out forecast targets.
+        # Re-center everything on the TRAIN window's temporal mean so the
+        # held-out statistics never leak into the scored reconstruction.
+        m_ckpt = int(np.asarray(params["z"]).shape[1])
+        if x.shape[1] <= m_ckpt:
+            raise SystemExit(
+                f"--forecast needs data beyond the checkpoint's training "
+                f"window: checkpoint m={m_ckpt}, data m={x.shape[1]}"
+            )
+        mu = x[:, :m_ckpt].mean(axis=1, keepdims=True)
+        x_future = np.asarray(x[:, m_ckpt:] - mu)
+        x = np.asarray(x[:, :m_ckpt] - mu)
+    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
     import jax.numpy as jnp
 
     # POD must be rebuilt EXACTLY as training built it — same method (sign
@@ -230,10 +245,7 @@ def cmd_sr(args) -> int:
     )
     p, _p2 = runner.compute_pod(cfg_pod, x)
     batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
-    result = sr.identify_and_reinject(
-        params,
-        batch,
-        spec,
+    sr_kwargs = dict(
         energy_threshold=args.energy_threshold,
         degree=args.degree,
         engine=args.engine,
@@ -244,6 +256,12 @@ def cmd_sr(args) -> int:
         ),
         log=print,
     )
+    if x_future is not None:
+        rec = sr.forecast(params, batch, spec, x_future, **sr_kwargs)
+        print(f"channels: {rec['channels']}")
+        print(json.dumps({k: v for k, v in rec.items() if k != "z_future"}))
+        return 0
+    result = sr.identify_and_reinject(params, batch, spec, **sr_kwargs)
     print(f"channels: {result.channels}")
     return 0
 
@@ -556,6 +574,14 @@ def main(argv=None) -> int:
         choices=["host", "snapshots", "svd", "randomized"],
         help="rebuild POD with this method — MUST match the method the "
         "checkpoint was trained under (default 'host' = reference signs)",
+    )
+    p_sr.add_argument(
+        "--forecast", action="store_true",
+        help="reduced-order forecasting (beyond reference): the checkpoint "
+        "was trained on the FIRST m_ckpt snapshots of the given data; "
+        "integrate the identified dz/dt past that window and score the "
+        "reconstruction on the remaining held-out columns (train-mean "
+        "re-centered, no leakage)",
     )
 
     args = parser.parse_args(argv)

@@ -342,6 +342,9 @@ class SRResult:
     error_original: float
     error_simulated: float
     equations: list[str]
+    # the fitted dz/dt right-hand side (callable z -> dz/dt) — the handle
+    # `forecast` integrates past the training window
+    rhs: Optional[Callable] = None
 
 
 def identify_and_reinject(
@@ -452,7 +455,71 @@ def identify_and_reinject(
         error_original=err0,
         error_simulated=err1,
         equations=equations,
+        rhs=rhs,
     )
+
+
+def forecast(
+    params: dict,
+    batch: dict,
+    spec,
+    x_future: np.ndarray,
+    log: Optional[Callable[[str], None]] = None,
+    **identify_kwargs,
+) -> dict:
+    """Reduced-order FORECASTING via the identified dynamics (beyond
+    reference: the reference only re-simulates the training window,
+    ``DESMO-SR/...py:1228-1391``).
+
+    Runs :func:`identify_and_reinject` on the training window, then
+    integrates the fitted dz/dt from z(0) PAST the window and reconstructs
+    the flow at the held-out times: only the identified channels carry
+    signal there (the non-active channels' free z(t) have no value at unseen
+    times — exactly why they were sparsified away), so the future temporal
+    blocks are zero except the simulated channels.
+
+    ``x_future`` (n, h): the held-out snapshots, preprocessed consistently
+    with the TRAIN window (same magnitude/stride transforms, centered on the
+    train window's temporal mean). Returns the record dict
+    ``{m_train, horizon, error_train_simulated, error_forecast, channels,
+    equations, z_future}``.
+    """
+    import jax.numpy as jnp
+
+    from desmo_tpu import losses as losses_mod
+    from desmo_tpu.models import desmo as desmo_model
+
+    res = identify_and_reinject(params, batch, spec, log=log, **identify_kwargs)
+    m_train = res.z_data.shape[0]
+    h = int(np.asarray(x_future).shape[1])
+    t_full = np.arange(m_train + h, dtype=np.float64)
+    z_full = simulate(res.rhs, res.z_data[0], t_full)
+    z_future = z_full[m_train:]
+    zeroed = dict(
+        params,
+        z=jnp.zeros((spec.num_poly_terms, h), jnp.float32),
+        z_trig=jnp.zeros((3, spec.r, h), jnp.float32),
+    )
+    injected = inject_channels(zeroed, res.channels, z_future.astype(np.float32))
+    recon_f, _, _ = desmo_model.apply(injected, batch["pod_modes"], spec)
+    err_f = float(
+        losses_mod.relative_frobenius_error(jnp.asarray(x_future), recon_f)
+    )
+    if log is not None:
+        log(
+            f"forecast: identified dynamics integrated {h} steps past the "
+            f"{m_train}-snapshot training window; held-out rel err {err_f:.6f} "
+            f"(in-window simulated err {res.error_simulated:.6f})"
+        )
+    return {
+        "m_train": int(m_train),
+        "horizon": h,
+        "error_train_simulated": res.error_simulated,
+        "error_forecast": err_f,
+        "channels": list(res.channels),
+        "equations": res.equations,
+        "z_future": z_future,
+    }
 
 
 # ---------------------------------------------------------------------------

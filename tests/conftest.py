@@ -89,6 +89,8 @@ _SLOW = {
     "tests/test_ensemble.py::test_fit_mesh_kernel_path",
     "tests/test_shard_step.py::test_sharded_resume_roundtrip",
     "tests/test_sr.py::test_full_sr_pipeline_on_trained_model",
+    "tests/test_sr.py::test_sr_forecast_beats_zero_predictor",
+    "tests/test_sr.py::test_cli_sr_forecast",
     "tests/test_train.py::test_flat_chunk_matches_pytree_step",
     "tests/test_train_chunk_kernel.py::test_final_state_matches_reference_chunk",
     "tests/test_train_chunk_kernel.py::test_fourier_aneurysm_shape_regime",

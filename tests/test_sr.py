@@ -326,3 +326,121 @@ def test_unknown_engine_rejected():
         sr.identify_and_reinject(
             params, batch, spec, channels=[("poly", 0)], engine="genetic"
         )
+
+
+def test_sr_forecast_beats_zero_predictor():
+    """Reduced-order forecasting (beyond reference): train on the first 150
+    snapshots of an oscillatory field, identify dz/dt, integrate 50 steps
+    past the window — the held-out reconstruction must beat the trivial
+    zero forecast (rel err 1.0) and stay in the simulated error's regime."""
+    m_train, h = 150, 50
+    # full field, then truncate for training (periodic: forecastable)
+    n = 96
+    s = np.linspace(0, 2 * np.pi, n)
+    t_full = np.linspace(0, 8 * np.pi, m_train + h)
+    x_full = np.outer(np.sin(s), np.sin(t_full)) + 0.6 * np.outer(
+        np.cos(s), np.cos(t_full)
+    )
+    mu = x_full[:, :m_train].mean(axis=1, keepdims=True)
+    x_full = (x_full - mu).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    from desmo_tpu import configs, pod, train
+    from desmo_tpu.models import desmo as desmo_model
+    from desmo_tpu import sr as sr_mod
+
+    cfg = configs.RunConfig(
+        name="srf", variant="desmo", n=n, m=m_train, r=2, poly_order=2,
+        omega_init=1.0, lr_omega=1.0, beta=1e-3, l1_lambda=1e-4,
+        num_epochs=2500, patience=600, sched_every=10, log_every=1000,
+        checkpoint_every=10_000,
+    )
+    spec = desmo_model.DesmoSpec(n, m_train, 2, 2, 1.0)
+    x_train = x_full[:, :m_train]
+    p = pod.pod(x_train, 2)
+    params = desmo_model.init_params(spec)
+    loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    batch = {"x": jnp.asarray(x_train), "pod_modes": p.modes}
+    res = train.fit(
+        loss_fn, desmo_model.param_groups(params), cfg, params, batch,
+        log=None, chunk_size=500,
+    )
+    rec = sr_mod.forecast(
+        res.state.params, batch, spec, x_full[:, m_train:],
+        energy_threshold=0.5, degree=1, stlsq_threshold=1e-3,
+        stlsq_alpha=1e-6,
+    )
+    assert rec["m_train"] == m_train and rec["horizon"] == h
+    assert np.isfinite(rec["error_forecast"])
+    assert rec["error_forecast"] < 1.0  # beats predicting zero
+    assert rec["error_forecast"] < max(
+        3 * rec["error_train_simulated"], 0.5
+    ), rec
+    assert rec["z_future"].shape == (h, len(rec["channels"]))
+
+
+def test_cli_sr_forecast(tmp_path, capsys):
+    """`sr --forecast` end to end: a checkpoint trained on the data's first
+    m_ckpt columns + the full series -> held-out forecast record. The CLI
+    sizes the train window from the checkpoint and re-centers on the train
+    mean."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from desmo_tpu import checkpoint, configs, pod, runner, train
+    from desmo_tpu.__main__ import main as cli_main
+    from desmo_tpu.models import desmo as desmo_model
+    from desmo_tpu.runner import _to_state_dict
+
+    # raw 3-component field (u, v, w interleaved — the reference layout the
+    # CLI's dim=2 preprocessing expects: drop w, magnitude over (u, v),
+    # mean-subtract); periodic in time
+    npts, m_train, h = 32, 120, 30
+    s = np.linspace(0, 2 * np.pi, npts)
+    t = np.linspace(0, 6 * np.pi, m_train + h)
+    u = 2.0 + np.outer(np.sin(s), np.sin(t))
+    v = 2.0 + 0.5 * np.outer(np.cos(s), np.cos(t))
+    raw = np.zeros((3 * npts, m_train + h), np.float32)
+    raw[0::3] = u
+    raw[1::3] = v
+    np.savez(tmp_path / "x.npz", X=raw)
+
+    # train on the FIRST m_train columns, preprocessed exactly as the CLI
+    # will preprocess them (magnitude, then train-window mean)
+    from desmo_tpu import data as data_mod
+
+    x_all, _ = data_mod.preprocess(raw, dim=2, magnitude=True, mean_subtract=False)
+    assert x_all.shape[0] == npts
+    mu = x_all[:, :m_train].mean(axis=1, keepdims=True)
+    x_train = (x_all[:, :m_train] - mu).astype(np.float32)
+    cfg = configs.RunConfig(
+        name="clisrf", variant="desmo", n=x_train.shape[0], m=m_train, r=2,
+        poly_order=2, omega_init=1.0, lr_omega=1.0, num_epochs=2000,
+        patience=600, sched_every=10, log_every=1000, checkpoint_every=10_000,
+    )
+    spec = desmo_model.DesmoSpec(x_train.shape[0], m_train, 2, 2, 1.0)
+    p = pod.pod(x_train, 2)
+    params = desmo_model.init_params(spec)
+    loss_fn = desmo_model.build_loss(spec, cfg.beta, cfg.l1_lambda)
+    batch = {"x": jnp.asarray(x_train), "pod_modes": p.modes}
+    res = train.fit(
+        loss_fn, desmo_model.param_groups(params), cfg, params, batch,
+        log=None, chunk_size=500,
+    )
+    pt = tmp_path / "ckpt.pt"
+    checkpoint.save_pt(str(pt), _to_state_dict(res.state.params, "desmo"))
+
+    rc = cli_main([
+        "sr", "--preset", "cylinder", "--checkpoint", str(pt),
+        "--npz", str(tmp_path / "x.npz"), "--forecast",
+        "--energy-threshold", "0.5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rec = _json.loads(
+        [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["m_train"] == m_train and rec["horizon"] == h
+    assert np.isfinite(rec["error_forecast"]) and rec["error_forecast"] < 1.0
