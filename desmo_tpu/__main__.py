@@ -150,7 +150,13 @@ def cmd_run(args) -> int:
         "preempted": artifacts.preempted,
     }
     if artifacts.forecast is not None:
-        summary["forecast"] = artifacts.forecast
+        # headline scalars only — the per-snapshot vectors live in
+        # forecast.json (and figures/forecast.png), not the one-line summary
+        summary["forecast"] = {
+            k: v
+            for k, v in artifacts.forecast.items()
+            if not k.startswith("per_snapshot")
+        }
     print(json.dumps(summary))
     return 0
 

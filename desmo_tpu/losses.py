@@ -74,3 +74,15 @@ def sparsity_l1(params: dict) -> jnp.ndarray:
 def relative_frobenius_error(x_nm: jnp.ndarray, recon_nm: jnp.ndarray) -> jnp.ndarray:
     """``||X - Xhat||_F / ||X||_F`` — the reference's headline metric (``CYL:1029``)."""
     return jnp.linalg.norm(x_nm - recon_nm) / jnp.linalg.norm(x_nm)
+
+
+def per_snapshot_relative_error(
+    x_nm: jnp.ndarray, recon_nm: jnp.ndarray
+) -> jnp.ndarray:
+    """Column-wise ``||x_j - xhat_j|| / ||x_j||`` — the error at each snapshot
+    individually (length-m vector); :func:`relative_frobenius_error` is the
+    whole-matrix aggregate. Used by the holdout/forecast reports to show how
+    error grows with forecast horizon."""
+    num = jnp.linalg.norm(x_nm - recon_nm, axis=0)
+    den = jnp.linalg.norm(x_nm, axis=0)
+    return num / jnp.maximum(den, 1e-30)

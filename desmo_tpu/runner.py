@@ -482,6 +482,7 @@ def run(
 
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
+    stab = None  # cross-seed term-stability report (multi-seed runs only)
     if cfg.n_seeds > 1:
         if cfg.variant not in ("desmo", "fourier") or state is not None:
             raise ValueError(
@@ -671,11 +672,21 @@ def run(
         err_hold = float(
             losses.relative_frobenius_error(jnp.asarray(x_hold), recon_h)
         )
+        # per-snapshot errors make horizon-dependent growth visible (and feed
+        # figures/forecast.png); the scalars stay the headline metrics
+        per_train = np.asarray(
+            losses.per_snapshot_relative_error(xd, recon)
+        )
+        per_hold = np.asarray(
+            losses.per_snapshot_relative_error(jnp.asarray(x_hold), recon_h)
+        )
         forecast = {
             "m_train": int(cfg.m),
             "m_holdout": int(h),
             "train_error": err,
             "holdout_error": err_hold,
+            "per_snapshot_train_error": per_train.tolist(),
+            "per_snapshot_holdout_error": per_hold.tolist(),
         }
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
             json.dump(forecast, fh, indent=1)
@@ -781,6 +792,20 @@ def run(
         else:
             z_plot = result.state.params["z"]
         viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
+        if forecast is not None:
+            viz.forecast_errors(
+                np.concatenate([
+                    forecast["per_snapshot_train_error"],
+                    forecast["per_snapshot_holdout_error"],
+                ]),
+                forecast["m_train"],
+                os.path.join(fig_dir, "forecast.png"),
+            )
+        if stab is not None:
+            viz.term_stability_bars(
+                stab["names"], stab["frequency"],
+                os.path.join(fig_dir, "term_stability.png"),
+            )
 
     final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
     checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))

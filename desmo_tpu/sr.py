@@ -481,8 +481,8 @@ def forecast(
     ``x_future`` (n, h): the held-out snapshots, preprocessed consistently
     with the TRAIN window (same magnitude/stride transforms, centered on the
     train window's temporal mean). Returns the record dict
-    ``{m_train, horizon, error_train_simulated, error_forecast, channels,
-    equations, z_future}``.
+    ``{m_train, horizon, error_train_simulated, error_forecast,
+    per_snapshot_error, channels, equations, z_future}``.
     """
     import jax.numpy as jnp
 
@@ -505,6 +505,9 @@ def forecast(
     err_f = float(
         losses_mod.relative_frobenius_error(jnp.asarray(x_future), recon_f)
     )
+    per_f = np.asarray(
+        losses_mod.per_snapshot_relative_error(jnp.asarray(x_future), recon_f)
+    )
     if log is not None:
         log(
             f"forecast: identified dynamics integrated {h} steps past the "
@@ -516,6 +519,9 @@ def forecast(
         "horizon": h,
         "error_train_simulated": res.error_simulated,
         "error_forecast": err_f,
+        # error at each forecast step — horizon-dependent growth of the
+        # integrated dynamics (feeds viz.forecast_errors)
+        "per_snapshot_error": per_f.tolist(),
         "channels": list(res.channels),
         "equations": res.equations,
         "z_future": z_future,

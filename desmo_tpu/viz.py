@@ -271,3 +271,59 @@ def sweep_curve(entries, path: str) -> str:
     ax.set_ylabel("relative error")
     ax.set_yscale("log")
     return _save(fig, path)
+
+
+def forecast_errors(per_err: np.ndarray, m_train: int, path: str) -> str:
+    """Per-snapshot relative error across the train window AND the held-out
+    horizon (temporal-holdout forecasting — beyond reference: the reference
+    never scores unseen times). One log-y series; the dashed rule at
+    ``m_train`` marks where training data ends and genuine forecasting
+    begins, so horizon-dependent error growth is visible at a glance."""
+    e = np.asarray(per_err, dtype=float)
+    fig, ax = plt.subplots(figsize=(6.5, 3.8))
+    ax.plot(np.arange(len(e)), e, lw=1.2, color="#2a6f97")
+    ax.axvline(m_train - 0.5, color="0.45", lw=1.0, ls="--")
+    ymax = float(np.nanmax(e)) if len(e) else 1.0
+    ax.text(m_train * 0.5, ymax, "train", ha="center", va="bottom",
+            fontsize=8, color="0.35")
+    ax.text((m_train + len(e)) * 0.5, ymax, "held out", ha="center",
+            va="bottom", fontsize=8, color="0.35")
+    ax.set_xlabel("snapshot")
+    ax.set_ylabel("relative error")
+    ax.set_yscale("log")
+    ax.grid(True, which="major", lw=0.4, color="0.9")
+    ax.set_axisbelow(True)
+    return _save(fig, path)
+
+
+def term_stability_bars(names: Sequence[str], frequency: np.ndarray, path: str) -> str:
+    """Selection frequency of each candidate term across multi-start seeds
+    (``ensemble.term_stability`` — beyond reference: the reference trains one
+    init per dataset, so it cannot distinguish robust terms from
+    init-sensitive artifacts). Terms never selected are omitted; bars stay in
+    the reference's candidate-library order; fractional (init-sensitive)
+    bars are direct-labeled."""
+    freq = np.asarray(frequency, dtype=float)
+    keep = freq > 0.0
+    kept = [(n, f) for n, f, k in zip(names, freq, keep) if k]
+    fig, ax = plt.subplots(figsize=(6, max(2.2, 0.3 * len(kept) + 1.2)))
+    if not kept:
+        ax.text(0.5, 0.5, "no terms selected in any seed", ha="center",
+                va="center", transform=ax.transAxes, color="0.35")
+        ax.set_axis_off()
+        return _save(fig, path)
+    y = np.arange(len(kept))[::-1]
+    vals = np.array([f for _, f in kept])
+    ax.barh(y, vals, color="#2a6f97", height=0.62)
+    ax.set_yticks(y)
+    ax.set_yticklabels([n for n, _ in kept], fontsize=7)
+    ax.axvline(1.0, color="0.6", lw=0.8)
+    ax.set_xlim(0, 1.08)
+    ax.set_xlabel("selection frequency across seeds")
+    for yi, fi in zip(y, vals):
+        if fi < 1.0:
+            ax.text(fi + 0.015, yi, f"{fi:.2f}", va="center", fontsize=7,
+                    color="0.25")
+    ax.grid(True, axis="x", lw=0.4, color="0.9")
+    ax.set_axisbelow(True)
+    return _save(fig, path)

@@ -252,11 +252,13 @@ def test_run_multiseed_ensemble(tmp_path):
     )
     x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
     x -= x.mean(axis=1, keepdims=True)
-    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
+    art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False)
     assert np.isfinite(art.relative_error)
     assert art.relative_error < 1.0
     files = os.listdir(art.out_dir)
     assert any(f.endswith("_final.pt") for f in files)
+    # cross-seed stability figure rendered alongside the JSON artifact
+    assert os.path.exists(os.path.join(art.out_dir, "figures", "term_stability.png"))
     # the multi-start outcome is persisted as a run artifact
     import json
 
@@ -653,15 +655,20 @@ def test_run_fourier_holdout_forecast(tmp_path):
         tiny_cfg("fourier"), num_epochs=800, period_init=16.0,
     )
     art = runner.run(
-        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False,
         holdout=0.25,
     )
     f = art.forecast
+    assert os.path.exists(os.path.join(art.out_dir, "figures", "forecast.png"))
     assert f is not None
     assert f["m_train"] == 36 and f["m_holdout"] == 12
     assert np.isfinite(f["holdout_error"])
     assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
     assert f["train_error"] == art.relative_error
+    # per-snapshot error vectors cover both windows (horizon growth report)
+    assert len(f["per_snapshot_train_error"]) == 36
+    assert len(f["per_snapshot_holdout_error"]) == 12
+    assert all(np.isfinite(v) for v in f["per_snapshot_holdout_error"])
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
     # plain DESMO cannot forecast: refuse loudly, don't silently ignore

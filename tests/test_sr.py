@@ -378,6 +378,9 @@ def test_sr_forecast_beats_zero_predictor():
         3 * rec["error_train_simulated"], 0.5
     ), rec
     assert rec["z_future"].shape == (h, len(rec["channels"]))
+    # per-step horizon errors: one per forecast snapshot, all finite
+    assert len(rec["per_snapshot_error"]) == h
+    assert np.all(np.isfinite(rec["per_snapshot_error"]))
 
 
 def test_cli_sr_forecast(tmp_path, capsys):

@@ -156,3 +156,18 @@ def test_render_mesh_field_fallback_without_pyvista(tmp_path):
     out = str(tmp_path / "fb.png")
     assert viz.render_mesh_field(mesh, field, out) == out
     assert os.path.exists(out)
+
+
+def test_forecast_and_stability_reports(tmp_path):
+    """The beyond-reference reports render: per-horizon forecast error and
+    cross-seed term-stability bars (incl. the nothing-selected edge)."""
+    e = np.concatenate([np.full(30, 1e-3), np.geomspace(1e-3, 1e-1, 10)])
+    paths = [
+        viz.forecast_errors(e, 30, str(tmp_path / "fc.png")),
+        viz.term_stability_bars(
+            ["z0", "z1", "zsin0"], [1.0, 0.5, 0.0], str(tmp_path / "stab.png")
+        ),
+        viz.term_stability_bars(["z0"], [0.0], str(tmp_path / "empty.png")),
+    ]
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
