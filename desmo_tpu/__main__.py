@@ -189,14 +189,17 @@ def cmd_evaluate(args) -> int:
     cfg = configs.get(args.preset)
     if getattr(args, "pod_method", None):
         cfg = dataclasses.replace(cfg, pod_method=args.pod_method)
-    x, _mesh = runner.load_data(
+    x, data_mesh = runner.load_data(
         cfg,
         data_dir=args.data_dir,
         npz_path=args.npz,
         synthetic=args.synthetic,
     )
     out = runner.evaluate(
-        cfg, x, args.checkpoint, device_mesh=_parse_mesh(getattr(args, "mesh", None))
+        cfg, x, args.checkpoint,
+        device_mesh=_parse_mesh(getattr(args, "mesh", None)),
+        figures_dir=getattr(args, "figures", None),
+        mesh=data_mesh,
     )
     print(_json.dumps({k: v for k, v in out.items() if k != "sweep"}))
     return 0
@@ -553,6 +556,13 @@ def main(argv=None) -> int:
         "--mesh", default=None, metavar="SPEC",
         help="row-shard inference over a device mesh, e.g. 'space=4' — for "
         "spatial sizes one device can't hold (same sharding story as run)",
+    )
+    p_ev.add_argument(
+        "--figures", default=None, metavar="DIR",
+        help="render the full visual report set (modes, per-term fields, "
+        "true-vs-predicted, POD spectrum, sweep, temporal coefficients) on "
+        "the imported checkpoint into DIR — the reference's ReadAndInference "
+        "figures",
     )
 
     p_sr = sub.add_parser(

@@ -734,78 +734,11 @@ def run(
         )
 
     if make_figures:
-        from desmo_tpu import viz
-
-        fig_dir = os.path.join(out_dir, "figures")
-        points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
-        # voxel/structured detection covers both legacy rectilinear files
-        # (explicit dimensions) and the aneurysm-style .vtu with CellData on a
-        # voxel lattice (DESMO_ICA_norm.py:654-769): mid-plane imshow slices
-        grid_shape = viz.infer_voxel_grid(mesh, x.shape[0])
-        plane = None
-        if grid_shape is not None:
-            dims = tuple(d for d in grid_shape if d > 1)
-            grid_shape = dims
-            plane = dims[-1] // 2 if len(dims) == 3 else None
-            points = None
-        elif points is not None and len(points) != x.shape[0]:
-            points = None  # cell-located field on an unstructured mesh
-        viz.loss_curve(result.history, os.path.join(fig_dir, "loss.png"))
-        if cfg.variant == "ae":
-            latent, _ = ae_model.encode_decode(result.state.params, xd)
-        else:
-            latent = desmo_model.effective_modes(result.state.params, batch["pod_modes"])
-        viz.mode_fields(
-            np.asarray(latent),
-            np.asarray(result.state.params["omega"]),
-            os.path.join(fig_dir, "modes.png"),
-            points=points,
-            grid_shape=grid_shape,
-            plane=plane,
+        _figure_reports(
+            os.path.join(out_dir, "figures"), cfg, spec,
+            result.state.params, x, xd, recon, batch, p, p2, sweep,
+            mesh=mesh, history=result.history, forecast=forecast, stab=stab,
         )
-        if "c" in result.state.params:
-            # per-term poly-mode report (plot_poly_modes, CYL:820-849)
-            viz.term_fields(
-                np.asarray(latent),
-                np.asarray(result.state.params["c"]),
-                spec,
-                os.path.join(fig_dir, "poly_terms.png"),
-                points=points,
-                grid_shape=grid_shape,
-                plane=plane,
-            )
-        viz.true_vs_predicted(
-            x,
-            np.asarray(recon),
-            timestep=min(300, cfg.m - 1),
-            path=os.path.join(fig_dir, "reconstruction.png"),
-            points=points,
-            grid_shape=grid_shape,
-            plane=plane,
-            pod_recon=np.asarray(p.reconstruction),
-        )
-        viz.pod_spectrum(np.asarray(p2.singular_values), os.path.join(fig_dir, "pod_spectrum.png"))
-        viz.sweep_curve(sweep, os.path.join(fig_dir, "sweep.png"))
-        if cfg.variant == "fourier":
-            t = jnp.asarray(fourier_model.t_points(cfg.m))
-            z_plot, _ = fourier_model.temporal_values(result.state.params, t)
-        else:
-            z_plot = result.state.params["z"]
-        viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
-        if forecast is not None:
-            viz.forecast_errors(
-                np.concatenate([
-                    forecast["per_snapshot_train_error"],
-                    forecast["per_snapshot_holdout_error"],
-                ]),
-                forecast["m_train"],
-                os.path.join(fig_dir, "forecast.png"),
-            )
-        if stab is not None:
-            viz.term_stability_bars(
-                stab["names"], stab["frequency"],
-                os.path.join(fig_dir, "term_stability.png"),
-            )
 
     final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
     checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))
@@ -835,12 +768,109 @@ def _to_state_dict(params: dict, variant: str) -> dict:
     return checkpoint.state_dict_from_params(params, variant)
 
 
+def _figure_reports(
+    fig_dir: str,
+    cfg,
+    spec,
+    params: dict,
+    x: np.ndarray,
+    xd,
+    recon,
+    batch: dict,
+    p,
+    p2,
+    sweep,
+    mesh=None,
+    history: Optional[dict] = None,
+    forecast: Optional[dict] = None,
+    stab: Optional[dict] = None,
+) -> None:
+    """Render the full visual report set (reference L8, SURVEY §2.8) — shared
+    by ``run`` (post-training) and ``evaluate`` (imported checkpoints: the
+    reference's ReadAndInference scripts render the same mode/reconstruction
+    panels on loaded ``.pt`` files, ``DESMO-SR/...py:775-861``)."""
+    from desmo_tpu import viz
+
+    points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
+    # voxel/structured detection covers both legacy rectilinear files
+    # (explicit dimensions) and the aneurysm-style .vtu with CellData on a
+    # voxel lattice (DESMO_ICA_norm.py:654-769): mid-plane imshow slices
+    grid_shape = viz.infer_voxel_grid(mesh, x.shape[0])
+    plane = None
+    if grid_shape is not None:
+        dims = tuple(d for d in grid_shape if d > 1)
+        grid_shape = dims
+        plane = dims[-1] // 2 if len(dims) == 3 else None
+        points = None
+    elif points is not None and len(points) != x.shape[0]:
+        points = None  # cell-located field on an unstructured mesh
+    if history is not None:
+        viz.loss_curve(history, os.path.join(fig_dir, "loss.png"))
+    if cfg.variant == "ae":
+        latent, _ = ae_model.encode_decode(params, xd)
+    else:
+        latent = desmo_model.effective_modes(params, batch["pod_modes"])
+    viz.mode_fields(
+        np.asarray(latent),
+        np.asarray(params["omega"]),
+        os.path.join(fig_dir, "modes.png"),
+        points=points,
+        grid_shape=grid_shape,
+        plane=plane,
+    )
+    if "c" in params:
+        # per-term poly-mode report (plot_poly_modes, CYL:820-849)
+        viz.term_fields(
+            np.asarray(latent),
+            np.asarray(params["c"]),
+            spec,
+            os.path.join(fig_dir, "poly_terms.png"),
+            points=points,
+            grid_shape=grid_shape,
+            plane=plane,
+        )
+    viz.true_vs_predicted(
+        x,
+        np.asarray(recon),
+        timestep=min(300, cfg.m - 1),
+        path=os.path.join(fig_dir, "reconstruction.png"),
+        points=points,
+        grid_shape=grid_shape,
+        plane=plane,
+        pod_recon=np.asarray(p.reconstruction),
+    )
+    viz.pod_spectrum(np.asarray(p2.singular_values), os.path.join(fig_dir, "pod_spectrum.png"))
+    viz.sweep_curve(sweep, os.path.join(fig_dir, "sweep.png"))
+    if cfg.variant == "fourier":
+        t = jnp.asarray(fourier_model.t_points(cfg.m))
+        z_plot, _ = fourier_model.temporal_values(params, t)
+    else:
+        z_plot = params["z"]
+    viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
+    if forecast is not None:
+        viz.forecast_errors(
+            np.concatenate([
+                forecast["per_snapshot_train_error"],
+                forecast["per_snapshot_holdout_error"],
+            ]),
+            forecast["m_train"],
+            os.path.join(fig_dir, "forecast.png"),
+        )
+    if stab is not None:
+        viz.term_stability_bars(
+            stab["names"], stab["frequency"],
+            os.path.join(fig_dir, "term_stability.png"),
+        )
+
+
 def evaluate(
     cfg: configs.RunConfig,
     x: np.ndarray,
     checkpoint_path: str,
     echo: bool = True,
     device_mesh=None,
+    figures_dir: Optional[str] = None,
+    mesh=None,
 ) -> dict:
     """Load a ``.pt`` checkpoint (ours or the reference's), run inference, and
     report error + POD baselines + sparsification table — the reference's
@@ -849,7 +879,13 @@ def evaluate(
     ``device_mesh`` (a ('space','time') mesh) row-shards X, the POD modes and
     therefore the (n, m) reconstruction over 'space' — inference at spatial
     sizes one device can't hold, same sharding story as ``run`` (the error /
-    sweep reductions are psum'd by XLA's sharding propagation)."""
+    sweep reductions are psum'd by XLA's sharding propagation).
+
+    ``figures_dir`` renders the same visual report set ``run`` produces
+    (modes, per-term fields, true-vs-predicted, POD spectrum, sweep curve,
+    temporal coefficients) on the IMPORTED checkpoint — the reference's
+    ReadAndInference figures (``DESMO-SR/...py:775-861``); ``mesh`` (the
+    snapshot mesh from ``load_data``) enables point/voxel-located rendering."""
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     sd = checkpoint.load_pt(checkpoint_path)
     if cfg.variant != "ae":
@@ -898,6 +934,11 @@ def evaluate(
     sweep = sparsify.threshold_sweep(
         params, batch, spec, variant=cfg.variant, log=print if echo else None
     )
+    if figures_dir is not None:
+        _figure_reports(
+            figures_dir, cfg, spec, params, x, batch["x"], recon, batch,
+            p, p2, sweep, mesh=mesh,
+        )
     return {
         "relative_error": err,
         "pod_error_r": pod.pod_relative_error(x, p),

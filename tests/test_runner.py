@@ -334,11 +334,22 @@ def test_run_evaluate_roundtrip_device_pod(tmp_path, method):
     x -= x.mean(axis=1, keepdims=True)
     art = runner.run(cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False)
     pt = next(f for f in os.listdir(art.out_dir) if f.endswith("_final.pt"))
-    rep = runner.evaluate(cfg, x, os.path.join(art.out_dir, pt), echo=False)
+    fig_dir = str(tmp_path / "evfigs") if method == "snapshots" else None
+    rep = runner.evaluate(
+        cfg, x, os.path.join(art.out_dir, pt), echo=False,
+        figures_dir=fig_dir,
+    )
     assert np.isfinite(rep["relative_error"])
     assert abs(rep["relative_error"] - art.relative_error) < 2e-3, (
         rep["relative_error"], art.relative_error,
     )
+    if fig_dir is not None:
+        # evaluate renders the ReadAndInference report set (no loss curve —
+        # there is no training history on an imported checkpoint)
+        figs = set(os.listdir(fig_dir))
+        assert {"modes.png", "reconstruction.png", "sweep.png",
+                "temporal.png", "pod_spectrum.png"} <= figs
+        assert "loss.png" not in figs
 
 
 def test_compute_pod_host_matches_pod_host():
