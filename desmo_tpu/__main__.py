@@ -265,12 +265,42 @@ def cmd_sr(args) -> int:
         ),
         log=print,
     )
+    fig_dir = getattr(args, "figures", None)
+    if fig_dir is not None:
+        import os
+
+        from desmo_tpu import viz
     if x_future is not None:
         rec = sr.forecast(params, batch, spec, x_future, **sr_kwargs)
+        if fig_dir is not None:
+            viz.sr_trajectories(
+                rec["z_data"],
+                np.concatenate([rec["z_sim"], rec["z_future"]]),
+                sr.channel_names(rec["channels"], spec),
+                os.path.join(fig_dir, "sr_trajectories.png"),
+                m_train=rec["m_train"],
+            )
+            viz.forecast_errors(
+                np.concatenate([
+                    rec["per_snapshot_train_error"], rec["per_snapshot_error"]
+                ]),
+                rec["m_train"],
+                os.path.join(fig_dir, "forecast.png"),
+            )
         print(f"channels: {rec['channels']}")
-        print(json.dumps({k: v for k, v in rec.items() if k != "z_future"}))
+        print(json.dumps(
+            {k: v for k, v in rec.items() if not isinstance(v, np.ndarray)}
+        ))
         return 0
     result = sr.identify_and_reinject(params, batch, spec, **sr_kwargs)
+    if fig_dir is not None:
+        # the reference's DynSysFit comparison figure (trained z solid,
+        # discovered dashed, DESMO-SR/...py:1306-1327)
+        viz.sr_trajectories(
+            result.z_data, result.z_sim,
+            sr.channel_names(result.channels, spec),
+            os.path.join(fig_dir, "sr_trajectories.png"),
+        )
     print(f"channels: {result.channels}")
     return 0
 
@@ -590,6 +620,12 @@ def main(argv=None) -> int:
         choices=["host", "snapshots", "svd", "randomized"],
         help="rebuild POD with this method — MUST match the method the "
         "checkpoint was trained under (default 'host' = reference signs)",
+    )
+    p_sr.add_argument(
+        "--figures", default=None, metavar="DIR",
+        help="render the DynSysFit comparison figure (trained z vs identified "
+        "dynamics per channel) into DIR; with --forecast also the "
+        "error-vs-horizon curve",
     )
     p_sr.add_argument(
         "--forecast", action="store_true",

@@ -508,6 +508,15 @@ def forecast(
     per_f = np.asarray(
         losses_mod.per_snapshot_relative_error(jnp.asarray(x_future), recon_f)
     )
+    # in-window per-snapshot error of the SIMULATED dynamics (res.error_
+    # simulated is its aggregate) — together with per_f this is the full
+    # error-vs-horizon curve across the train/forecast boundary
+    recon_t, _, _ = desmo_model.apply(
+        res.params_injected, batch["pod_modes"], spec
+    )
+    per_t = np.asarray(
+        losses_mod.per_snapshot_relative_error(jnp.asarray(batch["x"]), recon_t)
+    )
     if log is not None:
         log(
             f"forecast: identified dynamics integrated {h} steps past the "
@@ -522,9 +531,12 @@ def forecast(
         # error at each forecast step — horizon-dependent growth of the
         # integrated dynamics (feeds viz.forecast_errors)
         "per_snapshot_error": per_f.tolist(),
+        "per_snapshot_train_error": per_t.tolist(),
         "channels": list(res.channels),
         "equations": res.equations,
         "z_future": z_future,
+        "z_data": res.z_data,
+        "z_sim": res.z_sim,
     }
 
 

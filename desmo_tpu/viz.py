@@ -327,3 +327,44 @@ def term_stability_bars(names: Sequence[str], frequency: np.ndarray, path: str) 
     ax.grid(True, axis="x", lw=0.4, color="0.9")
     ax.set_axisbelow(True)
     return _save(fig, path)
+
+
+def sr_trajectories(
+    z_data: np.ndarray,
+    z_sim: np.ndarray,
+    names: Sequence[str],
+    path: str,
+    m_train: Optional[int] = None,
+) -> str:
+    """Trained z(t) vs the identified system's simulated trajectory, one
+    panel per channel — the reference's DynSysFit comparison figure
+    (``DESMO-SR/...ReadAndInference-DynamicalSystemsFit.py:1306-1327``:
+    small multiples, trained solid / discovered dashed, one shared legend).
+
+    ``z_sim`` may extend PAST ``z_data`` (forecasting); ``m_train`` then
+    draws the train/forecast boundary."""
+    z_data = np.asarray(z_data)
+    z_sim = np.asarray(z_sim)
+    c = z_data.shape[1]
+    ncols = 2 if c > 1 else 1
+    nrows = (c + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(5.0 * ncols, 2.4 * nrows), squeeze=False
+    )
+    for i in range(c):
+        ax = axes[i // ncols][i % ncols]
+        ax.plot(np.arange(z_data.shape[0]), z_data[:, i], lw=1.2,
+                color="#2a6f97", label="trained z(t)" if i == 0 else None)
+        ax.plot(np.arange(z_sim.shape[0]), z_sim[:, i], lw=1.2, ls="--",
+                color="#c4541c", label="identified dynamics" if i == 0 else None)
+        if m_train is not None and z_sim.shape[0] > z_data.shape[0]:
+            ax.axvline(m_train - 0.5, color="0.45", lw=0.8, ls=":")
+        ax.set_ylabel(names[i] if i < len(names) else f"z{i}", fontsize=8)
+        ax.tick_params(labelsize=7)
+    for j in range(c, nrows * ncols):
+        axes[j // ncols][j % ncols].set_axis_off()
+    axes[-1][0].set_xlabel("time")
+    fig.legend(loc="lower center", bbox_to_anchor=(0.5, 1.0), ncol=2,
+               fontsize=8, frameon=False)
+    fig.tight_layout()
+    return _save(fig, path)

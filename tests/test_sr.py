@@ -1,5 +1,6 @@
 """DESMO-SR: STLSQ identification, simulation, channel extraction/injection."""
 
+import os
 import numpy as np
 import pytest
 
@@ -438,7 +439,7 @@ def test_cli_sr_forecast(tmp_path, capsys):
     rc = cli_main([
         "sr", "--preset", "cylinder", "--checkpoint", str(pt),
         "--npz", str(tmp_path / "x.npz"), "--forecast",
-        "--energy-threshold", "0.5",
+        "--energy-threshold", "0.5", "--figures", str(tmp_path / "figs"),
     ])
     assert rc == 0
     out = capsys.readouterr().out
@@ -447,3 +448,8 @@ def test_cli_sr_forecast(tmp_path, capsys):
     )
     assert rec["m_train"] == m_train and rec["horizon"] == h
     assert np.isfinite(rec["error_forecast"]) and rec["error_forecast"] < 1.0
+    # per-snapshot curves for both windows + the two figures
+    assert len(rec["per_snapshot_error"]) == h
+    assert len(rec["per_snapshot_train_error"]) == m_train
+    assert os.path.exists(tmp_path / "figs" / "sr_trajectories.png")
+    assert os.path.exists(tmp_path / "figs" / "forecast.png")

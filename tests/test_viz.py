@@ -171,3 +171,20 @@ def test_forecast_and_stability_reports(tmp_path):
     ]
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_sr_trajectories_report(tmp_path):
+    """DynSysFit comparison panels render, incl. the forecast-extended case."""
+    m, h, c = 50, 10, 3
+    t = np.linspace(0, 4 * np.pi, m + h)
+    z_full = np.stack([np.sin(t * (i + 1)) for i in range(c)], axis=1)
+    p1 = viz.sr_trajectories(
+        z_full[:m], z_full[:m] + 0.05, ["z1", "zsin0", "ztanh0"],
+        str(tmp_path / "sr.png"),
+    )
+    p2 = viz.sr_trajectories(  # simulated past the data: boundary drawn
+        z_full[:m], z_full, ["z1", "zsin0", "ztanh0"],
+        str(tmp_path / "srf.png"), m_train=m,
+    )
+    for p in (p1, p2):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
