@@ -281,10 +281,8 @@ def cmd_sr(args) -> int:
                 m_train=rec["m_train"],
             )
             viz.forecast_errors(
-                np.concatenate([
-                    rec["per_snapshot_train_error"], rec["per_snapshot_error"]
-                ]),
-                rec["m_train"],
+                rec["per_snapshot_train_error"],
+                rec["per_snapshot_error"],
                 os.path.join(fig_dir, "forecast.png"),
             )
         print(f"channels: {rec['channels']}")

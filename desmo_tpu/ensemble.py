@@ -539,7 +539,7 @@ def term_stability(
     init-dependent.
 
     ``seed_params``: the LIVE members' single-seed param dicts
-    (``extract_seed`` / ``fit``'s ``report['seed_states']``). Energies use
+    (``extract_seed`` / ``fit``'s ``report['seed_params']``). Energies use
     the reference's convention (``sparsify.term_energies``, raw phi masks).
     Returns names (poly + interleaved trig, reference order), the (S,
     n_terms) energy matrix, per-term selection ``frequency`` at ``threshold``
@@ -657,9 +657,12 @@ def fit(
     ``report``, when a dict is passed, is filled with per-seed diagnostics:
     ``hypers`` (the resolved grid actually used, or None), ``final_recs``
     (each seed's last-step rec loss, inf for frozen seeds — the cross-seed
-    comparable numbers a hyper sweep is judged by), and ``seed_states`` /
-    ``live_seeds`` (every NON-diverged member's single-seed TrainState with
-    its global seed index — the input to ``term_stability``).
+    comparable numbers a hyper sweep is judged by), and ``seed_params`` /
+    ``live_seeds`` (every NON-diverged member's single-seed param dict with
+    its global seed index — the input to ``term_stability``; params only,
+    not the whole TrainState, so the report doesn't pin the Adamax moments
+    of every member in device memory — ``seed_state`` rebuilds a resumable
+    state from the returned packed ``result.state`` when one is needed).
 
     Seeds beyond ``max_seeds_packed(spec)`` run in additional packed groups
     sequentially; compiled chunks are CACHED per pack width, so groups of the
@@ -762,7 +765,7 @@ def fit(
 
     results = []  # (final_total, selection_metric, seed_index, state, local, hist)
     rec_by_seed: dict[int, float] = {}
-    live_states: list[tuple[int, train.TrainState]] = []
+    live_states: list[tuple[int, dict]] = []  # (global seed index, params)
     start = 0
     gi = 0
     wall = 0.0
@@ -1019,7 +1022,7 @@ def fit(
             )
             rec_by_seed[start + s] = float(recs[s])
             if report is not None and not frozen[s]:
-                live_states.append((start + s, seed_state(state, cfg, s)))
+                live_states.append((start + s, extract_seed(state.params, s)))
         start += S
         gi += 1
 
@@ -1032,7 +1035,7 @@ def fit(
         # groups), so this aligns with final_totals' ordering and length
         report["final_recs"] = [rec_by_seed[i] for i in sorted(rec_by_seed)]
         report["live_seeds"] = [i for i, _ in live_states]
-        report["seed_states"] = [st for _, st in live_states]
+        report["seed_params"] = [p for _, p in live_states]
     final_totals = np.asarray([r[0] for r in sorted(results, key=lambda r: r[2])])
     best_total, best_sel, best_global, best_state, best_local, best_hist = min(
         results, key=lambda r: (r[1], r[0])

@@ -577,19 +577,37 @@ def run(
                 fh,
                 indent=1,
             )
-        if len(ens_report.get("seed_states", [])) >= 2:
+        live_params = ens_report.get("seed_params", [])
+        live_idx = list(ens_report.get("live_seeds", []))
+        hyper_group = None
+        if (hyp := ens_report.get("hypers")) is not None and live_params:
+            # Under a hyper sweep the seeds train with DIFFERENT (beta,
+            # l1_lambda): selection differences across those members measure
+            # regularization strength, not init sensitivity. Restrict the
+            # stability report to live seeds sharing the winning seed's
+            # objective (lr_scale only changes optimization, so it stays
+            # pooled); the JSON records which group the frequencies are over.
+            bw = float(hyp["betas"][best_seed])
+            lw = float(hyp["lams"][best_seed])
+            keep = [
+                k for k, i in enumerate(live_idx)
+                if float(hyp["betas"][i]) == bw and float(hyp["lams"][i]) == lw
+            ]
+            live_params = [live_params[k] for k in keep]
+            live_idx = [live_idx[k] for k in keep]
+            hyper_group = {"beta": bw, "l1_lambda": lw}
+        if len(live_params) >= 2:
             # TERM-STABILITY report (beyond reference): selection frequency
             # of every candidate term across the live multi-start members at
             # the reference's energy-threshold convention — frequency 1.0 =
             # robust structure, fractional = init-sensitive artifact
-            stab = ensemble.term_stability(
-                [st.params for st in ens_report["seed_states"]], spec
-            )
+            stab = ensemble.term_stability(live_params, spec)
             with open(os.path.join(out_dir, "term_stability.json"), "w") as fh:
                 json.dump(
                     {
                         "threshold": stab["threshold"],
-                        "live_seeds": ens_report["live_seeds"],
+                        "live_seeds": live_idx,
+                        "hyper_group": hyper_group,
                         "names": stab["names"],
                         "frequency": stab["frequency"].tolist(),
                         "energy_mean": stab["mean"].tolist(),
@@ -599,6 +617,12 @@ def run(
                     indent=1,
                 )
             if echo:
+                grp = (
+                    f" (winning hyper group beta={hyper_group['beta']:g}, "
+                    f"lambda={hyper_group['l1_lambda']:g})"
+                    if hyper_group is not None
+                    else ""
+                )
                 unstable = [
                     (n, f)
                     for n, f in zip(stab["names"], stab["frequency"])
@@ -607,14 +631,15 @@ def run(
                 if unstable:
                     print(
                         "[ensemble] init-sensitive terms (selection "
-                        f"frequency < 1 at threshold {stab['threshold']:g}): "
+                        f"frequency < 1 at threshold {stab['threshold']:g}"
+                        f"{grp}): "
                         + ", ".join(f"{n}={f:.2f}" for n, f in unstable)
                     )
                 else:
                     print(
                         "[ensemble] term selection is stable across all "
-                        f"{len(ens_report['live_seeds'])} seeds "
-                        f"(threshold {stab['threshold']:g})"
+                        f"{len(live_idx)} seeds "
+                        f"(threshold {stab['threshold']:g}{grp})"
                     )
         ckpt(result.state, int(result.state.epoch))
     else:
@@ -655,6 +680,28 @@ def run(
         print(f"POD error with {2 * cfg.r} modes: {err_pod2}")
 
     forecast = None
+    if getattr(result, "preempted", False):
+        # SIGTERM grace windows are short: write the resumable artifacts NOW
+        # and skip everything else — holdout scoring, sweeps, greedy and
+        # figure reports all cost device round trips a SIGKILL can preempt
+        # (run `evaluate` on the .pt offline instead)
+        final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
+        checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))
+        checkpoint.save_state(os.path.join(out_dir, "state_final.npz"), result.state)
+        return RunArtifacts(
+            config=cfg,
+            state=result.state,
+            history=result.history,
+            relative_error=err,
+            pod_error_r=err_pod,
+            pod_error_2r=err_pod2,
+            steps_per_sec=result.steps_per_sec,
+            sweep=[],
+            out_dir=out_dir,
+            preempted=True,
+            forecast=None,
+        )
+
     if x_hold is not None:
         # score the trained series at the held-out times. The train grid is
         # t_points(m_train) = linspace(0, m_train, m_train) (reference
@@ -696,27 +743,6 @@ def run(
                 f"train err {err:.6f}, HELD-OUT err {err_hold:.6f} "
                 "(POD/plain-DESMO cannot forecast unseen times at all)"
             )
-
-    if getattr(result, "preempted", False):
-        # SIGTERM grace windows are short: write the resumable artifacts NOW
-        # and skip the sweep/greedy/figure reports — SIGKILL mid-sweep must
-        # not cost the checkpoint (run `evaluate` on the .pt offline instead)
-        final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
-        checkpoint.save_pt(final_pt, _to_state_dict(result.state.params, cfg.variant))
-        checkpoint.save_state(os.path.join(out_dir, "state_final.npz"), result.state)
-        return RunArtifacts(
-            config=cfg,
-            state=result.state,
-            history=result.history,
-            relative_error=err,
-            pod_error_r=err_pod,
-            pod_error_2r=err_pod2,
-            steps_per_sec=result.steps_per_sec,
-            sweep=[],
-            out_dir=out_dir,
-            preempted=True,
-            forecast=forecast,
-        )
 
     sweep = sparsify.threshold_sweep(
         result.state.params,
@@ -849,11 +875,8 @@ def _figure_reports(
     viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
     if forecast is not None:
         viz.forecast_errors(
-            np.concatenate([
-                forecast["per_snapshot_train_error"],
-                forecast["per_snapshot_holdout_error"],
-            ]),
-            forecast["m_train"],
+            forecast["per_snapshot_train_error"],
+            forecast["per_snapshot_holdout_error"],
             os.path.join(fig_dir, "forecast.png"),
         )
     if stab is not None:

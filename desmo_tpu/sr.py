@@ -508,12 +508,22 @@ def forecast(
     per_f = np.asarray(
         losses_mod.per_snapshot_relative_error(jnp.asarray(x_future), recon_f)
     )
-    # in-window per-snapshot error of the SIMULATED dynamics (res.error_
-    # simulated is its aggregate) — together with per_f this is the full
-    # error-vs-horizon curve across the train/forecast boundary
-    recon_t, _, _ = desmo_model.apply(
-        res.params_injected, batch["pod_modes"], spec
+    # in-window per-snapshot error of the SAME model class the future window
+    # is scored with (active channels carry the simulated dynamics, all other
+    # channels zeroed — at unseen times their values are unknown, so keeping
+    # their trained in-window values would make the two halves of the
+    # error-vs-horizon curve incomparable and render a spurious jump at the
+    # boundary). res.error_simulated stays the reference-parity aggregate
+    # (simulated dynamics reinjected into the FULL trained model).
+    zeroed_t = dict(
+        params,
+        z=jnp.zeros_like(params["z"]),
+        z_trig=jnp.zeros_like(params["z_trig"]),
     )
+    injected_t = inject_channels(
+        zeroed_t, res.channels, res.z_sim.astype(np.float32)
+    )
+    recon_t, _, _ = desmo_model.apply(injected_t, batch["pod_modes"], spec)
     per_t = np.asarray(
         losses_mod.per_snapshot_relative_error(jnp.asarray(batch["x"]), recon_t)
     )

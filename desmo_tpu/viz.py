@@ -273,13 +273,19 @@ def sweep_curve(entries, path: str) -> str:
     return _save(fig, path)
 
 
-def forecast_errors(per_err: np.ndarray, m_train: int, path: str) -> str:
+def forecast_errors(
+    per_train: np.ndarray, per_hold: np.ndarray, path: str
+) -> str:
     """Per-snapshot relative error across the train window AND the held-out
     horizon (temporal-holdout forecasting — beyond reference: the reference
-    never scores unseen times). One log-y series; the dashed rule at
-    ``m_train`` marks where training data ends and genuine forecasting
-    begins, so horizon-dependent error growth is visible at a glance."""
-    e = np.asarray(per_err, dtype=float)
+    never scores unseen times). One log-y series; the dashed rule where
+    training data ends marks where genuine forecasting begins, so
+    horizon-dependent error growth is visible at a glance. The two vectors
+    must be scored with the same model class to be comparable."""
+    m_train = len(per_train)
+    e = np.concatenate([
+        np.asarray(per_train, dtype=float), np.asarray(per_hold, dtype=float)
+    ])
     fig, ax = plt.subplots(figsize=(6.5, 3.8))
     ax.plot(np.arange(len(e)), e, lw=1.2, color="#2a6f97")
     ax.axvline(m_train - 0.5, color="0.45", lw=1.0, ls="--")

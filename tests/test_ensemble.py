@@ -623,8 +623,9 @@ def test_term_stability_report():
 
 
 def test_fit_report_carries_live_seed_states():
-    """fit(report=...) exposes every non-diverged member as a single-seed
-    TrainState (the term_stability input); diverged seeds are excluded."""
+    """fit(report=...) exposes every non-diverged member's params (the
+    term_stability input — params only, so the report doesn't pin every
+    member's Adamax moments); diverged seeds are excluded."""
     spec, cfg, params, batch = _problem(3, lr_omega=0.1)
     cfg = dataclasses.replace(cfg, checkpoint_every=10, log_every=1000)
     report = {}
@@ -634,8 +635,8 @@ def test_fit_report_carries_live_seed_states():
         method="factored", log=None, report=report,
     )
     assert report["live_seeds"] == [0]
-    assert len(report["seed_states"]) == 1
-    st = report["seed_states"][0]
-    assert st.params["phi"].shape == (spec.r, spec.n)
-    stab = ensemble.term_stability([st.params], spec)
+    assert len(report["seed_params"]) == 1
+    p0 = report["seed_params"][0]
+    assert p0["phi"].shape == (spec.r, spec.n)
+    stab = ensemble.term_stability([p0], spec)
     assert stab["energies"].shape[0] == 1

@@ -619,6 +619,34 @@ def test_run_hyper_sweep(tmp_path):
     # winner is its argmin (NOT the total argmin)
     assert len(rec["final_recs"]) == 4
     assert rec["best_seed"] == int(np.argmin(rec["final_recs"]))
+    # every hyper group here has exactly ONE seed: term stability across
+    # seeds with DIFFERENT (beta, lambda) would measure regularization, not
+    # init sensitivity — no cross-seed report is possible
+    assert not os.path.exists(os.path.join(art.out_dir, "term_stability.json"))
+
+    # 2 combos x 4 seeds = 2 differently-initialized seeds per combo: the
+    # stability report restricts to the WINNING (beta, lambda) group
+    cfg2 = dataclasses.replace(
+        tiny_cfg(), n_seeds=4, seed_phi_sigma=0.05, num_epochs=120,
+        sweep_beta=(1e-3, 1e-2),
+    )
+    art2 = runner.run(
+        cfg2, x, out_dir=str(tmp_path / "g"), make_figures=False, echo=False
+    )
+    with open(os.path.join(art2.out_dir, "ensemble.json")) as fh:
+        rec2 = json.load(fh)
+    with open(os.path.join(art2.out_dir, "term_stability.json")) as fh:
+        stab2 = json.load(fh)
+    bw = rec2["hypers"]["betas"][rec2["best_seed"]]
+    assert stab2["hyper_group"]["beta"] == bw
+    # hypers are stored as float32 lanes — compare accordingly
+    assert stab2["hyper_group"]["l1_lambda"] == pytest.approx(
+        cfg2.l1_lambda, rel=1e-6
+    )
+    # the group members are exactly the live seeds that trained under bw
+    assert stab2["live_seeds"] == [
+        s for s in range(4) if rec2["hypers"]["betas"][s] == bw
+    ]
     # a sweep without seeds is a config error, not a silent single run
     with pytest.raises(ValueError, match="sweep"):
         runner.run(

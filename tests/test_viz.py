@@ -161,9 +161,11 @@ def test_render_mesh_field_fallback_without_pyvista(tmp_path):
 def test_forecast_and_stability_reports(tmp_path):
     """The beyond-reference reports render: per-horizon forecast error and
     cross-seed term-stability bars (incl. the nothing-selected edge)."""
-    e = np.concatenate([np.full(30, 1e-3), np.geomspace(1e-3, 1e-1, 10)])
     paths = [
-        viz.forecast_errors(e, 30, str(tmp_path / "fc.png")),
+        viz.forecast_errors(
+            np.full(30, 1e-3), np.geomspace(1e-3, 1e-1, 10),
+            str(tmp_path / "fc.png"),
+        ),
         viz.term_stability_bars(
             ["z0", "z1", "zsin0"], [1.0, 0.5, 0.0], str(tmp_path / "stab.png")
         ),
