@@ -345,8 +345,9 @@ def cmd_pod(args) -> int:
         )
         # exact within the captured subspace: ||X - QQ^T X|| via the energy tail
         err = float(np.sqrt(max(0.0, 1.0 - float(np.sum(np.asarray(res.energy)[:r])))))
+        data_mesh = None  # streamed column blocks never materialize the mesh
     else:
-        x, _mesh = runner.load_data(
+        x, data_mesh = runner.load_data(
             cfg,
             data_dir=args.data_dir,
             filename=args.filename,
@@ -370,6 +371,29 @@ def cmd_pod(args) -> int:
                 )
             )
         err = pod.pod_relative_error(x, res)
+    if getattr(args, "figures", None):
+        # the reference POD_analysis reports (CYL:214-236: singular values,
+        # cumulative energy, temporal coefficients) + the spatial mode panels
+        # (CYL:241-276, PyVista there; scatter/voxel fallback here)
+        import os
+
+        from desmo_tpu import viz
+
+        modes = np.asarray(res.modes)
+        points, grid_shape, plane = viz.field_layout(data_mesh, modes.shape[0])
+        viz.pod_spectrum(
+            np.asarray(res.singular_values),
+            os.path.join(args.figures, "pod_spectrum.png"),
+        )
+        viz.temporal_coefficients(
+            np.asarray(res.temporal),
+            os.path.join(args.figures, "temporal.png"),
+            labels=[str(i + 1) for i in range(r)],
+        )
+        viz.mode_fields(
+            modes, None, os.path.join(args.figures, "modes.png"),
+            points=points, grid_shape=grid_shape, plane=plane,
+        )
     if args.save:
         np.savez(
             args.save,
@@ -557,6 +581,11 @@ def main(argv=None) -> int:
     p_pod.add_argument("--oversample", type=int, default=8, help="randomized/streaming sketch oversampling")
     p_pod.add_argument("--iters", type=int, default=2, help="randomized/streaming power iterations")
     p_pod.add_argument("--save", default=None, metavar="NPZ", help="write modes/temporal/spectrum to an npz")
+    p_pod.add_argument(
+        "--figures", default=None, metavar="DIR",
+        help="render the POD_analysis reports into DIR: singular values + "
+        "cumulative energy, temporal coefficients, spatial mode panels",
+    )
     p_pod.add_argument(
         "--mesh", default=None, metavar="SPEC",
         help="'randomized' only: run the factorization 'space'-sharded over "

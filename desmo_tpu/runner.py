@@ -817,19 +817,7 @@ def _figure_reports(
     panels on loaded ``.pt`` files, ``DESMO-SR/...py:775-861``)."""
     from desmo_tpu import viz
 
-    points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
-    # voxel/structured detection covers both legacy rectilinear files
-    # (explicit dimensions) and the aneurysm-style .vtu with CellData on a
-    # voxel lattice (DESMO_ICA_norm.py:654-769): mid-plane imshow slices
-    grid_shape = viz.infer_voxel_grid(mesh, x.shape[0])
-    plane = None
-    if grid_shape is not None:
-        dims = tuple(d for d in grid_shape if d > 1)
-        grid_shape = dims
-        plane = dims[-1] // 2 if len(dims) == 3 else None
-        points = None
-    elif points is not None and len(points) != x.shape[0]:
-        points = None  # cell-located field on an unstructured mesh
+    points, grid_shape, plane = viz.field_layout(mesh, x.shape[0])
     if history is not None:
         viz.loss_curve(history, os.path.join(fig_dir, "loss.png"))
     if cfg.variant == "ae":

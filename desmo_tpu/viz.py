@@ -142,27 +142,50 @@ def _render_field(ax, field: np.ndarray, points=None, grid_shape=None, plane=Non
     return h
 
 
+def field_layout(mesh, field_len: int):
+    """``(points, grid_shape, plane)`` for rendering a length-``field_len``
+    field from a snapshot mesh: voxel/structured meshes get mid-plane imshow
+    slices (legacy rectilinear files with explicit dimensions AND the
+    aneurysm-style .vtu with CellData on a voxel lattice,
+    ``DESMO_ICA_norm.py:654-769``); point-located unstructured meshes get a
+    2D scatter; anything else renders index-ordered."""
+    points = mesh.points[:, :2] if mesh is not None and mesh.points is not None else None
+    grid_shape = infer_voxel_grid(mesh, field_len)
+    plane = None
+    if grid_shape is not None:
+        dims = tuple(d for d in grid_shape if d > 1)
+        grid_shape = dims
+        plane = dims[-1] // 2 if len(dims) == 3 else None
+        points = None
+    elif points is not None and len(points) != field_len:
+        points = None  # cell-located field on an unstructured mesh
+    return points, grid_shape, plane
+
+
 def mode_fields(
     latent: np.ndarray,
-    omega: np.ndarray,
+    omega: Optional[np.ndarray],
     path: str,
     points=None,
     grid_shape=None,
     plane=None,
 ) -> str:
     """Per-mode panels: phi_i plus sin/cos/tanh(omega * phi_i) — the
-    ``modes.pdf`` / ``more_modes.pdf`` report (``CYL:931-1165``)."""
+    ``modes.pdf`` / ``more_modes.pdf`` report (``CYL:931-1165``). With
+    ``omega=None`` only the raw mode row is rendered (the POD-analysis
+    spatial-mode panels, ``CYL:241-276``, where no frequencies exist)."""
     latent = np.asarray(latent)
-    omega = np.asarray(omega)
+    if omega is not None:
+        omega = np.asarray(omega)
     r = latent.shape[1]
-    rows = 1 + 3
+    rows = 1 if omega is None else 4
     fig, axes = plt.subplots(rows, r, figsize=(3.2 * r, 2.6 * rows), squeeze=False)
     funcs = [np.sin, np.cos, np.tanh]
     names = ["phi", "sin", "cos", "tanh"]
     for i in range(r):
-        fields = [latent[:, i]] + [
-            funcs[k](omega[k, i] * latent[:, i]) for k in range(3)
-        ]
+        fields = [latent[:, i]]
+        if omega is not None:
+            fields += [funcs[k](omega[k, i] * latent[:, i]) for k in range(3)]
         for rix, (name, f) in enumerate(zip(names, fields)):
             ax = axes[rix][i]
             _render_field(ax, f, points, grid_shape, plane)

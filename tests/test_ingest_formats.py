@@ -77,6 +77,17 @@ def test_cli_pod_streaming_matches_in_memory(tmp_path, capsys):
     saved = np.load(out)
     assert saved["modes"].shape == (60, 3)
     assert saved["temporal"].shape[0] == 3
+    # POD_analysis figures render on both paths (streaming has no mesh:
+    # spatial panels fall back to index-ordered rendering)
+    import os
+
+    for method, sub in [("svd", "f1"), ("streaming", "f2")]:
+        figs = str(tmp_path / sub)
+        assert cli_main(common + ["--method", method, "--figures", figs]) == 0
+        capsys.readouterr()
+        assert {"pod_spectrum.png", "temporal.png", "modes.png"} <= set(
+            os.listdir(figs)
+        )
 
 
 def test_cli_run_hyper_sweep_defaults_seeds_to_grid(tmp_path, capsys):
