@@ -200,8 +200,18 @@ def cmd_evaluate(args) -> int:
         device_mesh=_parse_mesh(getattr(args, "mesh", None)),
         figures_dir=getattr(args, "figures", None),
         mesh=data_mesh,
+        forecast_after=getattr(args, "forecast_after", None),
     )
-    print(_json.dumps({k: v for k, v in out.items() if k != "sweep"}))
+    summary = {k: v for k, v in out.items() if k != "sweep"}
+    if "forecast" in summary:
+        # headline scalars only in the one-line summary (figures/--save for
+        # the vectors)
+        summary["forecast"] = {
+            k: v
+            for k, v in summary["forecast"].items()
+            if not k.startswith("per_snapshot")
+        }
+    print(_json.dumps(summary))
     return 0
 
 
@@ -620,6 +630,14 @@ def main(argv=None) -> int:
         "true-vs-predicted, POD spectrum, sweep, temporal coefficients) on "
         "the imported checkpoint into DIR — the reference's ReadAndInference "
         "figures",
+    )
+    p_ev.add_argument(
+        "--forecast-after", type=int, default=None, metavar="M",
+        help="fourier checkpoints (beyond reference): the checkpoint was "
+        "trained on the data's first M snapshots — score the trained "
+        "time-continuous series at the held-out times beyond M, no "
+        "retraining (train-mean re-centered, no leakage); adds a 'forecast' "
+        "record and, with --figures, the error-vs-horizon curve",
     )
 
     p_sr = sub.add_parser(

@@ -703,44 +703,17 @@ def run(
         )
 
     if x_hold is not None:
-        # score the trained series at the held-out times. The train grid is
-        # t_points(m_train) = linspace(0, m_train, m_train) (reference
-        # convention, spacing m/(m-1)), so physical snapshot j sits at
-        # t = j * m_train/(m_train - 1) — held-out j = m_train..m-1 continue
-        # that axis exactly.
-        h = x_hold.shape[1]
-        t_hold = (float(cfg.m) / (cfg.m - 1)) * np.arange(
-            cfg.m, cfg.m + h, dtype=np.float32
+        forecast = _fourier_forecast_record(
+            result.state.params, batch["pod_modes"], spec, cfg.m,
+            xd, recon, err, x_hold,
         )
-        recon_h, _, _ = fourier_model.apply(
-            result.state.params, batch["pod_modes"], spec,
-            t=jnp.asarray(t_hold),
-        )
-        err_hold = float(
-            losses.relative_frobenius_error(jnp.asarray(x_hold), recon_h)
-        )
-        # per-snapshot errors make horizon-dependent growth visible (and feed
-        # figures/forecast.png); the scalars stay the headline metrics
-        per_train = np.asarray(
-            losses.per_snapshot_relative_error(xd, recon)
-        )
-        per_hold = np.asarray(
-            losses.per_snapshot_relative_error(jnp.asarray(x_hold), recon_h)
-        )
-        forecast = {
-            "m_train": int(cfg.m),
-            "m_holdout": int(h),
-            "train_error": err,
-            "holdout_error": err_hold,
-            "per_snapshot_train_error": per_train.tolist(),
-            "per_snapshot_holdout_error": per_hold.tolist(),
-        }
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
             json.dump(forecast, fh, indent=1)
         if echo:
             print(
-                f"forecast: trained on {cfg.m} snapshots, held out {h}; "
-                f"train err {err:.6f}, HELD-OUT err {err_hold:.6f} "
+                f"forecast: trained on {cfg.m} snapshots, held out "
+                f"{forecast['m_holdout']}; train err {err:.6f}, HELD-OUT err "
+                f"{forecast['holdout_error']:.6f} "
                 "(POD/plain-DESMO cannot forecast unseen times at all)"
             )
 
@@ -792,6 +765,49 @@ def _to_state_dict(params: dict, variant: str) -> dict:
     if variant == "ae":
         return ae_model.state_dict_from_params(params)
     return checkpoint.state_dict_from_params(params, variant)
+
+
+def _fourier_forecast_record(
+    params: dict,
+    pod_modes,
+    spec,
+    m_train: int,
+    xd,
+    recon,
+    err: float,
+    x_hold: np.ndarray,
+) -> dict:
+    """Score a trained fourier series at the held-out times — shared by
+    ``run(holdout=...)`` and ``evaluate(forecast_after=...)``.
+
+    The train grid is ``t_points(m_train) = linspace(0, m_train, m_train)``
+    (reference convention, spacing m/(m-1)), so physical snapshot j sits at
+    ``t = j * m_train/(m_train - 1)`` — held-out j = m_train..m-1 continue
+    that axis exactly. Per-snapshot error vectors for both windows make
+    horizon-dependent growth visible (and feed ``viz.forecast_errors``);
+    the scalars stay the headline metrics."""
+    h = int(np.asarray(x_hold).shape[1])
+    t_hold = (float(m_train) / (m_train - 1)) * np.arange(
+        m_train, m_train + h, dtype=np.float32
+    )
+    recon_h, _, _ = fourier_model.apply(
+        params, pod_modes, spec, t=jnp.asarray(t_hold)
+    )
+    err_hold = float(
+        losses.relative_frobenius_error(jnp.asarray(x_hold), recon_h)
+    )
+    per_train = np.asarray(losses.per_snapshot_relative_error(xd, recon))
+    per_hold = np.asarray(
+        losses.per_snapshot_relative_error(jnp.asarray(x_hold), recon_h)
+    )
+    return {
+        "m_train": int(m_train),
+        "m_holdout": h,
+        "train_error": err,
+        "holdout_error": err_hold,
+        "per_snapshot_train_error": per_train.tolist(),
+        "per_snapshot_holdout_error": per_hold.tolist(),
+    }
 
 
 def _figure_reports(
@@ -882,6 +898,7 @@ def evaluate(
     device_mesh=None,
     figures_dir: Optional[str] = None,
     mesh=None,
+    forecast_after: Optional[int] = None,
 ) -> dict:
     """Load a ``.pt`` checkpoint (ours or the reference's), run inference, and
     report error + POD baselines + sparsification table — the reference's
@@ -896,7 +913,32 @@ def evaluate(
     (modes, per-term fields, true-vs-predicted, POD spectrum, sweep curve,
     temporal coefficients) on the IMPORTED checkpoint — the reference's
     ReadAndInference figures (``DESMO-SR/...py:775-861``); ``mesh`` (the
-    snapshot mesh from ``load_data``) enables point/voxel-located rendering."""
+    snapshot mesh from ``load_data``) enables point/voxel-located rendering.
+
+    ``forecast_after`` (fourier checkpoints only; beyond reference): the
+    checkpoint was trained on the FIRST ``forecast_after`` snapshots of the
+    given series — score the trained time-continuous series at the held-out
+    times beyond that window, no retraining (the evaluate-side counterpart
+    of ``run(holdout=...)``; both splits re-centered on the train mean so no
+    held-out statistic leaks). Adds a ``forecast`` record to the result."""
+    x_hold = None
+    if forecast_after:
+        if cfg.variant != "fourier":
+            raise ValueError(
+                "forecast_after needs the time-continuous fourier variant "
+                f"(got {cfg.variant!r}) — plain DESMO's z(t) are free "
+                "per-snapshot parameters with no value at unseen times "
+                "(use `sr --forecast` for identified-dynamics forecasting)"
+            )
+        m_tr = int(forecast_after)
+        if not 1 < m_tr < x.shape[1]:
+            raise ValueError(
+                f"forecast_after={m_tr} must split the series: data has "
+                f"{x.shape[1]} snapshots and the held-out window needs >= 1"
+            )
+        mu_train = x[:, :m_tr].mean(axis=1, keepdims=True)
+        x_hold = np.asarray(x[:, m_tr:] - mu_train)
+        x = np.asarray(x[:, :m_tr] - mu_train)
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     sd = checkpoint.load_pt(checkpoint_path)
     if cfg.variant != "ae":
@@ -942,17 +984,32 @@ def evaluate(
         print(f"DESMO error with {cfg.r} modes: {err}")
         print(f"POD error with {cfg.r} modes: {pod.pod_relative_error(x, p)}")
         print(f"POD error with {2 * cfg.r} modes: {pod.pod_relative_error(x, p2)}")
+    forecast = None
+    if x_hold is not None:
+        forecast = _fourier_forecast_record(
+            params, batch["pod_modes"], spec, cfg.m,
+            batch["x"], recon, err, x_hold,
+        )
+        if echo:
+            print(
+                f"forecast: checkpoint trained on {cfg.m} snapshots, held "
+                f"out {forecast['m_holdout']}; train err {err:.6f}, HELD-OUT "
+                f"err {forecast['holdout_error']:.6f}"
+            )
     sweep = sparsify.threshold_sweep(
         params, batch, spec, variant=cfg.variant, log=print if echo else None
     )
     if figures_dir is not None:
         _figure_reports(
             figures_dir, cfg, spec, params, x, batch["x"], recon, batch,
-            p, p2, sweep, mesh=mesh,
+            p, p2, sweep, mesh=mesh, forecast=forecast,
         )
-    return {
+    out = {
         "relative_error": err,
         "pod_error_r": pod.pod_relative_error(x, p),
         "pod_error_2r": pod.pod_relative_error(x, p2),
         "sweep": [(e.threshold, e.error, e.nonzero_terms) for e in sweep],
     }
+    if forecast is not None:
+        out["forecast"] = forecast
+    return out

@@ -710,6 +710,22 @@ def test_run_fourier_holdout_forecast(tmp_path):
     assert all(np.isfinite(v) for v in f["per_snapshot_holdout_error"])
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
+    # evaluate-side forecast from the SAVED checkpoint (no retraining) must
+    # reproduce the run-side holdout scoring: same split, same recentering,
+    # same POD rebuild — the forecast-from-checkpoint production workflow
+    pt = next(n for n in os.listdir(art.out_dir) if n.endswith("_final.pt"))
+    rep = runner.evaluate(
+        cfg, x, os.path.join(art.out_dir, pt), echo=False, forecast_after=36,
+    )
+    assert np.isclose(
+        rep["forecast"]["holdout_error"], f["holdout_error"], rtol=1e-5
+    )
+    assert rep["forecast"]["m_train"] == 36
+    with pytest.raises(ValueError, match="fourier"):
+        runner.evaluate(
+            tiny_cfg(), x, os.path.join(art.out_dir, pt), echo=False,
+            forecast_after=36,
+        )
     # plain DESMO cannot forecast: refuse loudly, don't silently ignore
     with pytest.raises(ValueError, match="fourier"):
         runner.run(
