@@ -483,6 +483,7 @@ def run(
     n_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
 
     stab = None  # cross-seed term-stability report (multi-seed runs only)
+    seed_rec_fig = None  # (labels, recs, best) for viz.seed_recs
     if cfg.n_seeds > 1:
         if cfg.variant not in ("desmo", "fourier") or state is not None:
             raise ValueError(
@@ -577,6 +578,23 @@ def run(
                 fh,
                 indent=1,
             )
+        recs_list = list(ens_report.get("final_recs", []))
+        if len(recs_list) >= 2:
+            # per-member outcome chart: REC per seed (labeled with the hyper
+            # combo under a sweep), winner marked — viz.seed_recs
+            if (hyp := ens_report.get("hypers")) is not None:
+                labels = []
+                for s in range(len(recs_list)):
+                    lbl = (
+                        f"seed {s}: beta={float(hyp['betas'][s]):g} "
+                        f"lam={float(hyp['lams'][s]):g}"
+                    )
+                    if float(hyp["lr_scales"][s]) != 1.0:
+                        lbl += f" lr x{float(hyp['lr_scales'][s]):g}"
+                    labels.append(lbl)
+            else:
+                labels = [f"seed {s}" for s in range(len(recs_list))]
+            seed_rec_fig = (labels, recs_list, int(best_seed))
         live_params = ens_report.get("seed_params", [])
         live_idx = list(ens_report.get("live_seeds", []))
         hyper_group = None
@@ -737,6 +755,7 @@ def run(
             os.path.join(out_dir, "figures"), cfg, spec,
             result.state.params, x, xd, recon, batch, p, p2, sweep,
             mesh=mesh, history=result.history, forecast=forecast, stab=stab,
+            seed_rec_fig=seed_rec_fig,
         )
 
     final_pt = os.path.join(out_dir, f"{cfg.name}_r{cfg.r}_final.pt")
@@ -826,6 +845,7 @@ def _figure_reports(
     history: Optional[dict] = None,
     forecast: Optional[dict] = None,
     stab: Optional[dict] = None,
+    seed_rec_fig: Optional[tuple] = None,
 ) -> None:
     """Render the full visual report set (reference L8, SURVEY §2.8) — shared
     by ``run`` (post-training) and ``evaluate`` (imported checkpoints: the
@@ -887,6 +907,11 @@ def _figure_reports(
         viz.term_stability_bars(
             stab["names"], stab["frequency"],
             os.path.join(fig_dir, "term_stability.png"),
+        )
+    if seed_rec_fig is not None:
+        labels, recs_list, best = seed_rec_fig
+        viz.seed_recs(
+            labels, recs_list, best, os.path.join(fig_dir, "seed_recs.png")
         )
 
 

@@ -397,3 +397,40 @@ def sr_trajectories(
                fontsize=8, frameon=False)
     fig.tight_layout()
     return _save(fig, path)
+
+
+def seed_recs(
+    labels: Sequence[str],
+    recs: Sequence[float],
+    best: int,
+    path: str,
+) -> str:
+    """Final per-member REC error of a multi-start run, one bar per seed
+    with the winner marked (beyond reference — one init per dataset there).
+    Under a hyperparameter sweep the labels carry each member's combo, so
+    this doubles as the sweep outcome chart. Diverged members (non-finite
+    REC) render as annotated gaps, not bars."""
+    recs = np.asarray([float(v) for v in recs])
+    n = len(recs)
+    fig, ax = plt.subplots(figsize=(6, max(2.0, 0.42 * n + 1.0)))
+    y = np.arange(n)[::-1]
+    finite = np.isfinite(recs)
+    vals = np.where(finite, recs, 0.0)
+    ax.barh(y[finite], vals[finite], color="#2a6f97", height=0.62)
+    for yi, ok, v in zip(y, finite, recs):
+        if not ok:
+            ax.text(0.0, yi, " diverged", va="center", fontsize=7,
+                    color="0.35", style="italic")
+    if finite.any() and finite[best]:
+        ax.text(recs[best], y[best], " winner", va="center", fontsize=7,
+                color="0.25", fontweight="bold")
+        mx = np.nanmax(np.where(finite, recs, np.nan))
+        mn = np.nanmin(np.where(finite, recs, np.nan))
+        if mn > 0 and mx / max(mn, 1e-300) > 10:
+            ax.set_xscale("log")
+    ax.set_yticks(y)
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("final REC error")
+    ax.grid(True, axis="x", lw=0.4, color="0.9")
+    ax.set_axisbelow(True)
+    return _save(fig, path)

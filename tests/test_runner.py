@@ -259,6 +259,8 @@ def test_run_multiseed_ensemble(tmp_path):
     assert any(f.endswith("_final.pt") for f in files)
     # cross-seed stability figure rendered alongside the JSON artifact
     assert os.path.exists(os.path.join(art.out_dir, "figures", "term_stability.png"))
+    # per-member REC outcome chart (winner marked)
+    assert os.path.exists(os.path.join(art.out_dir, "figures", "seed_recs.png"))
     # the multi-start outcome is persisted as a run artifact
     import json
 

@@ -190,3 +190,17 @@ def test_sr_trajectories_report(tmp_path):
     )
     for p in (p1, p2):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_seed_recs_report(tmp_path):
+    """Per-member REC chart: finite bars, diverged gap, winner mark; also
+    the wide-range case that flips to a log axis."""
+    p1 = viz.seed_recs(
+        ["seed 0", "seed 1: beta=0.01", "seed 2"],
+        [0.12, float("inf"), 0.08], 2, str(tmp_path / "r.png"),
+    )
+    p2 = viz.seed_recs(  # >10x spread -> log x
+        ["a", "b"], [1e-4, 0.5], 0, str(tmp_path / "rlog.png"),
+    )
+    for p in (p1, p2):
+        assert os.path.exists(p) and os.path.getsize(p) > 0
