@@ -532,11 +532,12 @@ def main(argv=None) -> int:
     )
     p_run.add_argument(
         "--holdout", type=float, default=0.0, metavar="F",
-        help="fourier variants: hold out the last F fraction of snapshots, "
-        "train on the rest, and score the trained time-continuous series at "
-        "the HELD-OUT times (honest forecast — re-centered on the train "
-        "mean; forecast.json + a 'forecast' summary field). Plain DESMO's "
-        "per-snapshot z(t) cannot do this",
+        help="hold out the last F fraction of snapshots, train on the rest, "
+        "and score an honest forecast at the HELD-OUT times (re-centered on "
+        "the train mean; forecast.json + a 'forecast' summary field). "
+        "Fourier variants evaluate the trained time-continuous series "
+        "there; plain DESMO chains the DESMO-SR leg (STLSQ-identified "
+        "dz/dt integrated past the window). AE has no forecasting leg",
     )
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",

@@ -264,23 +264,26 @@ def run(
     sharding-aware scanned chunk with ``parallel.param_shardings``. Build one
     with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.
 
-    ``holdout`` (fourier variant only; beyond reference): hold out the LAST
-    ``holdout`` fraction of snapshots, train on the rest, and score the
-    trained series at the held-out TIMES — a forecast the reference's
-    per-snapshot z(t) fundamentally cannot make (each z value is a free
-    parameter tied to one training snapshot; only the time-continuous
-    Fourier-series variant can extrapolate). Both splits are re-centered on
-    the TRAIN window's temporal mean so no held-out statistic leaks into
-    training. The held-out error lands in ``RunArtifacts.forecast`` and
-    ``forecast.json``.
+    ``holdout`` (fourier + desmo variants; beyond reference): hold out the
+    LAST ``holdout`` fraction of snapshots, train on the rest, and score a
+    genuine forecast at the held-out TIMES. The fourier variant evaluates
+    its trained time-continuous series there directly; the plain desmo
+    variant — whose z(t) are free per-snapshot parameters with no value at
+    unseen times — chains the DESMO-SR leg (``sr.forecast``: identify
+    dz/dt = f(z) on the training window with STLSQ at reference defaults,
+    integrate past it, reconstruct through the active channels). Both splits
+    are re-centered on the TRAIN window's temporal mean so no held-out
+    statistic leaks into training. The held-out error lands in
+    ``RunArtifacts.forecast`` and ``forecast.json`` (with per-snapshot
+    error vectors and, for desmo, the identified equations).
     """
     x_hold = None
     if holdout:
-        if cfg.variant != "fourier":
+        if cfg.variant not in ("fourier", "desmo"):
             raise ValueError(
-                "holdout forecasting needs the time-continuous fourier "
-                f"variant (got {cfg.variant!r}) — plain DESMO's z(t) are "
-                "free per-snapshot parameters with no value at unseen times"
+                "holdout forecasting needs the fourier variant (scores the "
+                "time-continuous series at held-out times) or the desmo "
+                f"variant (identified-dynamics forecast) — got {cfg.variant!r}"
             )
         if not 0.0 < holdout < 0.5:
             raise ValueError(f"holdout must be in (0, 0.5), got {holdout}")
@@ -721,18 +724,46 @@ def run(
         )
 
     if x_hold is not None:
-        forecast = _fourier_forecast_record(
-            result.state.params, batch["pod_modes"], spec, cfg.m,
-            xd, recon, err, x_hold,
-        )
+        if cfg.variant == "fourier":
+            forecast = _fourier_forecast_record(
+                result.state.params, batch["pod_modes"], spec, cfg.m,
+                xd, recon, err, x_hold,
+            )
+        else:
+            # plain desmo: the trained z(t) cannot extrapolate — forecast via
+            # the identified dynamics (the DESMO-SR leg, chained in-run)
+            from desmo_tpu import sr as sr_mod
+
+            rec = sr_mod.forecast(
+                checkpoint.device_fetch_tree(result.state.params),
+                {"x": jnp.asarray(x), "pod_modes": batch["pod_modes"]},
+                spec, x_hold, log=print if echo else None,
+            )
+            forecast = {
+                "m_train": int(cfg.m),
+                "m_holdout": int(x_hold.shape[1]),
+                "train_error": err,
+                "holdout_error": rec["error_forecast"],
+                "engine": "stlsq",
+                "error_train_simulated": rec["error_train_simulated"],
+                "channels": [list(c) for c in rec["channels"]],
+                "equations": rec["equations"],
+                "per_snapshot_train_error": rec["per_snapshot_train_error"],
+                "per_snapshot_holdout_error": rec["per_snapshot_error"],
+            }
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
             json.dump(forecast, fh, indent=1)
         if echo:
+            how = (
+                "trained series at held-out times"
+                if cfg.variant == "fourier"
+                else "identified dynamics integrated past the window"
+            )
             print(
-                f"forecast: trained on {cfg.m} snapshots, held out "
+                f"forecast ({how}): trained on {cfg.m} snapshots, held out "
                 f"{forecast['m_holdout']}; train err {err:.6f}, HELD-OUT err "
                 f"{forecast['holdout_error']:.6f} "
-                "(POD/plain-DESMO cannot forecast unseen times at all)"
+                "(POD alone cannot forecast unseen times at all)"
             )
 
     sweep = sparsify.threshold_sweep(

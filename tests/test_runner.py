@@ -728,10 +728,10 @@ def test_run_fourier_holdout_forecast(tmp_path):
             tiny_cfg(), x, os.path.join(art.out_dir, pt), echo=False,
             forecast_after=36,
         )
-    # plain DESMO cannot forecast: refuse loudly, don't silently ignore
-    with pytest.raises(ValueError, match="fourier"):
+    # the AE variant has no forecasting leg: refuse loudly
+    with pytest.raises(ValueError, match="forecast"):
         runner.run(
-            tiny_cfg(), x, out_dir=str(tmp_path / "d"), make_figures=False,
+            tiny_cfg("ae"), x, out_dir=str(tmp_path / "d"), make_figures=False,
             echo=False, holdout=0.2,
         )
     with pytest.raises(ValueError, match="holdout"):
@@ -739,3 +739,33 @@ def test_run_fourier_holdout_forecast(tmp_path):
             cfg, x, out_dir=str(tmp_path / "e"), make_figures=False,
             echo=False, holdout=0.9,
         )
+
+
+def test_run_desmo_holdout_forecast(tmp_path):
+    """--holdout on plain DESMO chains the DESMO-SR leg in-run: train on the
+    first 75%, STLSQ-identify dz/dt on the training z(t), integrate past the
+    window, reconstruct through the active channels. The record carries the
+    engine, equations and comparable per-step error curves."""
+    n, m = 64, 160
+    s = np.linspace(0, 2 * np.pi, n)
+    t = np.linspace(0, 6 * np.pi, m)
+    x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
+    x = x.astype(np.float32)
+    cfg = dataclasses.replace(
+        tiny_cfg(), n=n, m=m, num_epochs=2500, patience=600,
+    )
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False,
+        holdout=0.25,
+    )
+    f = art.forecast
+    assert f is not None and f["engine"] == "stlsq"
+    assert f["m_train"] == 120 and f["m_holdout"] == 40
+    assert np.isfinite(f["holdout_error"])
+    assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
+    assert len(f["equations"]) == len(f["channels"]) > 0
+    assert len(f["per_snapshot_train_error"]) == 120
+    assert len(f["per_snapshot_holdout_error"]) == 40
+    assert os.path.exists(os.path.join(art.out_dir, "figures", "forecast.png"))
+    with open(os.path.join(art.out_dir, "forecast.json")) as fh:
+        assert json.load(fh) == f
