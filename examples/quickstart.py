@@ -1,16 +1,17 @@
 """End-to-end DESMO workflow in one script — the framework equivalent of a
-full reference run (train -> sparsify -> identify dynamics -> export), on
-synthetic data so it works out of the box:
+full reference run (train -> sparsify -> identify dynamics -> FORECAST ->
+export), on synthetic data so it works out of the box:
 
     python examples/quickstart.py [--epochs 20000] [--out /tmp/desmo_quickstart]
 
 Steps:
 1.  train the cylinder preset (resident mega-kernel on TPU, scanned chunk
-    elsewhere) and report error vs the POD baselines;
+    elsewhere) on the first 90% of the series and report error vs the POD
+    baselines;
 2.  threshold-sweep the term energies (the reference's sparsification table);
-3.  fit explicit dynamics dz/dt = f(z) to the surviving temporal
-    coefficients with the built-in STLSQ engine and reinject the simulated
-    trajectories (the DESMO-SR stage);
+3.  the DESMO-SR stage, chained in-run by ``holdout``: STLSQ-identified
+    dz/dt = f(z) integrated PAST the training window and scored on the
+    held-out 10% — an honest forecast no reference script makes;
 4.  export a torch-loadable ``.pt`` checkpoint and re-import it, proving the
     reference-interchange round trip.
 
@@ -43,15 +44,15 @@ def main() -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from desmo_tpu import checkpoint, configs, runner, sr
+    from desmo_tpu import checkpoint, configs, runner
     from desmo_tpu.io import synthetic
 
-    # -- 1. train ----------------------------------------------------------
+    # -- 1. train (on the first 90% — the last 10% is the forecast target) --
     cfg = configs.get("cylinder")
     x = synthetic.cylinder_wake(cfg.n, cfg.m, n_harmonics=4, noise=0.002, seed=0)
     art = runner.run(
         cfg, x, out_dir=args.out, num_epochs=args.epochs,
-        make_figures=True, echo=False,
+        make_figures=True, echo=False, holdout=0.1,
     )
     print(f"DESMO({cfg.r}) error {art.relative_error:.4f}  "
           f"[POD({cfg.r}) {art.pod_error_r:.4f}, POD({2*cfg.r}) {art.pod_error_2r:.4f}]")
@@ -63,20 +64,14 @@ def main() -> int:
     print(f"sweep: best error {best.error:.4f} at threshold "
           f"{best.threshold:.1e} with {best.nonzero_terms} surviving terms")
 
-    # -- 3. DESMO-SR: explicit dynamics for the surviving coefficients -----
-    import jax.numpy as jnp
-
-    from desmo_tpu import pod
-    from desmo_tpu.models import desmo as desmo_model
-
-    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], cfg.r, cfg.poly_order,
-                                 cfg.omega_init)
-    p = pod.pod_host(x, cfg.r)
-    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
-    result = sr.identify_and_reinject(
-        dict(art.state.params), batch, spec, engine="stlsq", log=print,
-    )
-    print(f"identified dynamics for channels: {result.channels}")
+    # -- 3. DESMO-SR, chained by holdout: identified dynamics + forecast ---
+    f = art.forecast
+    for eq in f["equations"]:
+        print(eq)
+    print(f"held-out FORECAST ({f['m_holdout']} unseen snapshots, engine "
+          f"{f['engine']}): rel err {f['holdout_error']:.4f} "
+          f"(in-window simulated err {f['error_train_simulated']:.4f}; "
+          "figures/forecast.png has the horizon curve)")
 
     # -- 4. torch interchange round trip -----------------------------------
     pt = os.path.join(art.out_dir, "quickstart_export.pt")
