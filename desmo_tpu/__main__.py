@@ -281,7 +281,10 @@ def cmd_sr(args) -> int:
 
         from desmo_tpu import viz
     if x_future is not None:
-        rec = sr.forecast(params, batch, spec, x_future, **sr_kwargs)
+        rec = sr.forecast(
+            params, batch, spec, x_future,
+            stabilize=getattr(args, "stabilize", False), **sr_kwargs,
+        )
         if fig_dir is not None:
             viz.sr_trajectories(
                 rec["z_data"],
@@ -666,6 +669,14 @@ def main(argv=None) -> int:
         choices=["host", "snapshots", "svd", "randomized"],
         help="rebuild POD with this method — MUST match the method the "
         "checkpoint was trained under (default 'host' = reference signs)",
+    )
+    p_sr.add_argument(
+        "--stabilize", action="store_true",
+        help="with --forecast (stlsq degree-1): project unstable eigenvalues "
+        "of the identified linear system onto the stable half-plane before "
+        "integrating the forecast (stabilized-DMD-style) — a marginally "
+        "unstable fit otherwise grows exponentially over a long horizon; "
+        "identification reports keep the raw fit",
     )
     p_sr.add_argument(
         "--figures", default=None, metavar="DIR",

@@ -731,13 +731,22 @@ def run(
             )
         else:
             # plain desmo: the trained z(t) cannot extrapolate — forecast via
-            # the identified dynamics (the DESMO-SR leg, chained in-run)
+            # the identified dynamics (the DESMO-SR leg, chained in-run).
+            # Cap the identified system at the 3r highest-energy channels:
+            # rich models pass dozens of threshold-survivors whose fitted
+            # system is unstable under integration (sr.top_channels)
             from desmo_tpu import sr as sr_mod
 
+            params_host = checkpoint.device_fetch_tree(result.state.params)
+            channels = sr_mod.top_channels(
+                sparsify.term_energies(params_host, spec=spec),
+                max_channels=3 * spec.r,
+            )
             rec = sr_mod.forecast(
-                checkpoint.device_fetch_tree(result.state.params),
+                params_host,
                 {"x": jnp.asarray(x), "pod_modes": batch["pod_modes"]},
-                spec, x_hold, log=print if echo else None,
+                spec, x_hold, channels=channels, stabilize=True,
+                log=print if echo else None,
             )
             forecast = {
                 "m_train": int(cfg.m),
@@ -745,6 +754,7 @@ def run(
                 "train_error": err,
                 "holdout_error": rec["error_forecast"],
                 "engine": "stlsq",
+                "stabilized": rec["stabilized"],
                 "error_train_simulated": rec["error_train_simulated"],
                 "channels": [list(c) for c in rec["channels"]],
                 "equations": rec["equations"],

@@ -205,6 +205,62 @@ def active_channels(energies, threshold: float) -> list[Channel]:
     return out
 
 
+def stabilize_linear(model: SINDyModel) -> SINDyModel:
+    """Project a degree-1 system's linear part onto the stable half-plane
+    (stabilized-DMD-style): eigenvalues with Re > 0 are clamped to Re = 0,
+    frequencies (Im) untouched.
+
+    A marginally-unstable STLSQ fit — common when the trained z(t) are not
+    perfect oscillations — grows exp(Re·t) over a long forecast horizon and
+    lands at inf. Forecasting is the only consumer that integrates far past
+    the data, so only the forecasting path applies this; identification
+    reports keep the raw fit. Returns the model unchanged when it is already
+    stable or the eigenbasis is too ill-conditioned to project through."""
+    if model.degree != 1:
+        raise ValueError("stabilize_linear needs a degree-1 (linear) system")
+    A = model.coefficients[:, 1:]
+    lam, V = np.linalg.eig(A)
+    clamped = np.where(lam.real > 0.0, 1j * lam.imag, lam)
+    if np.allclose(clamped, lam):
+        return model
+    try:
+        A_stab = np.real(V @ np.diag(clamped) @ np.linalg.inv(V))
+    except np.linalg.LinAlgError:  # defective eigenbasis: keep the raw fit
+        return model
+    if not np.all(np.isfinite(A_stab)):
+        return model
+    coef = model.coefficients.copy()
+    coef[:, 1:] = A_stab
+    return SINDyModel(
+        coefficients=coef, degree=1, feature_names=list(model.feature_names)
+    )
+
+
+def top_channels(
+    energies, max_channels: int, threshold: float = 1.0
+) -> list[Channel]:
+    """The threshold-surviving channels, capped at the ``max_channels``
+    HIGHEST-ENERGY ones (canonical channel order preserved).
+
+    The identified system's dimensionality is its stability frontier: the
+    reference's SR leg works on 5 of 12 channels at r=2 (``...py:986-990``),
+    while an uncapped rich model can pass dozens of channels whose fitted
+    system is numerically unstable under integration (runaway trajectories,
+    inf forecast error). Used by ``runner.run(holdout=...)``'s chained
+    desmo forecast with ``max_channels = 3r``."""
+    ch = active_channels(energies, threshold)
+    if len(ch) <= max_channels:
+        return ch
+    kinds = ("sin", "cos", "tanh")
+    flat = {("poly", t): float(e) for t, e in enumerate(np.asarray(energies.poly))}
+    trig = np.asarray(energies.trig)
+    for i in range(trig.shape[1]):
+        for k in range(3):
+            flat[(kinds[k], i)] = float(trig[k, i])
+    keep = set(sorted(ch, key=lambda c: -flat[c])[:max_channels])
+    return [c for c in ch if c in keep]
+
+
 def inject_channels(
     params: dict, channels: Sequence[Channel], z_sim: np.ndarray
 ) -> dict:
@@ -465,6 +521,7 @@ def forecast(
     spec,
     x_future: np.ndarray,
     log: Optional[Callable[[str], None]] = None,
+    stabilize: bool = False,
     **identify_kwargs,
 ) -> dict:
     """Reduced-order FORECASTING via the identified dynamics (beyond
@@ -490,10 +547,24 @@ def forecast(
     from desmo_tpu.models import desmo as desmo_model
 
     res = identify_and_reinject(params, batch, spec, log=log, **identify_kwargs)
+    rhs = res.rhs
+    stabilized = False
+    if stabilize and res.model is not None and res.model.degree == 1:
+        # long-horizon integration: clamp unstable eigenvalues of the linear
+        # part (stabilize_linear) — identification reports keep the raw fit
+        m2 = stabilize_linear(res.model)
+        if m2 is not res.model:
+            rhs = m2
+            stabilized = True
+            if log is not None:
+                log(
+                    "forecast: linear part had unstable eigenvalues — "
+                    "projected onto the stable half-plane for integration"
+                )
     m_train = res.z_data.shape[0]
     h = int(np.asarray(x_future).shape[1])
     t_full = np.arange(m_train + h, dtype=np.float64)
-    z_full = simulate(res.rhs, res.z_data[0], t_full)
+    z_full = simulate(rhs, res.z_data[0], t_full)
     z_future = z_full[m_train:]
     zeroed = dict(
         params,
@@ -520,8 +591,10 @@ def forecast(
         z=jnp.zeros_like(params["z"]),
         z_trig=jnp.zeros_like(params["z_trig"]),
     )
+    # the SAME trajectory the future window was integrated with (incl. any
+    # stabilization) — both halves of the curve come from one model
     injected_t = inject_channels(
-        zeroed_t, res.channels, res.z_sim.astype(np.float32)
+        zeroed_t, res.channels, z_full[:m_train].astype(np.float32)
     )
     recon_t, _, _ = desmo_model.apply(injected_t, batch["pod_modes"], spec)
     per_t = np.asarray(
@@ -542,11 +615,12 @@ def forecast(
         # integrated dynamics (feeds viz.forecast_errors)
         "per_snapshot_error": per_f.tolist(),
         "per_snapshot_train_error": per_t.tolist(),
+        "stabilized": stabilized,
         "channels": list(res.channels),
         "equations": res.equations,
         "z_future": z_future,
         "z_data": res.z_data,
-        "z_sim": res.z_sim,
+        "z_sim": z_full[:m_train],
     }
 
 

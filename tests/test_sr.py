@@ -453,3 +453,47 @@ def test_cli_sr_forecast(tmp_path, capsys):
     assert len(rec["per_snapshot_train_error"]) == m_train
     assert os.path.exists(tmp_path / "figs" / "sr_trajectories.png")
     assert os.path.exists(tmp_path / "figs" / "forecast.png")
+
+
+def test_top_channels_caps_by_energy():
+    """top_channels keeps the threshold-survivors when few, else the
+    max_channels highest-energy ones — canonical order preserved."""
+    from desmo_tpu.sparsify import TermEnergies
+
+    e = TermEnergies(
+        poly=np.array([5.0, 0.1, 3.0, 2.0]),
+        trig=np.array([[4.0, 0.2], [0.5, 6.0], [1.5, 0.3]]),
+    )
+    # threshold 1.0 survivors: poly0, poly2, poly3, sin0, cos1, tanh0 (6)
+    assert len(sr.active_channels(e, 1.0)) == 6
+    assert sr.top_channels(e, max_channels=10) == sr.active_channels(e, 1.0)
+    top = sr.top_channels(e, max_channels=3)
+    # the 3 highest energies: poly0 (5), cos1 (6), sin0 (4) — canonical order
+    assert top == [("poly", 0), ("sin", 0), ("cos", 1)]
+
+
+def test_stabilize_linear_clamps_unstable_eigenvalues():
+    """An unstable spiral (Re lambda = +0.05) projects to a pure rotation;
+    a stable system is returned unchanged (same object)."""
+    A = np.array([[0.05, 1.0], [-1.0, 0.05]])
+    coef = np.hstack([np.zeros((2, 1)), A])
+    m = sr.SINDyModel(coefficients=coef, degree=1, feature_names=["1", "z1", "z2"])
+    m2 = sr.stabilize_linear(m)
+    assert m2 is not m
+    lam = np.linalg.eigvals(m2.coefficients[:, 1:])
+    assert np.all(lam.real <= 1e-10)
+    np.testing.assert_allclose(np.sort(np.abs(lam.imag)), [1.0, 1.0], atol=1e-8)
+    # integrating the stabilized system stays bounded over a long horizon
+    t = np.arange(2000, dtype=np.float64)
+    z = sr.simulate(m2, np.array([1.0, 0.0]), t)
+    assert np.all(np.isfinite(z)) and np.max(np.abs(z)) < 2.0
+    # already-stable fit: untouched
+    stable = sr.SINDyModel(
+        coefficients=np.hstack([np.zeros((2, 1)), -np.eye(2)]),
+        degree=1, feature_names=["1", "z1", "z2"],
+    )
+    assert sr.stabilize_linear(stable) is stable
+    with pytest.raises(ValueError, match="degree-1"):
+        sr.stabilize_linear(
+            sr.SINDyModel(coefficients=coef, degree=2, feature_names=[])
+        )
