@@ -539,8 +539,9 @@ def main(argv=None) -> int:
         "and score an honest forecast at the HELD-OUT times (re-centered on "
         "the train mean; forecast.json + a 'forecast' summary field). "
         "Fourier variants evaluate the trained time-continuous series "
-        "there; plain DESMO chains the DESMO-SR leg (STLSQ-identified "
-        "dz/dt integrated past the window). AE has no forecasting leg",
+        "there; DESMO and AE chain the DESMO-SR leg (STLSQ-identified "
+        "dz/dt integrated past the window; AE reconstructs through its "
+        "frozen encoder latent)",
     )
     p_run.add_argument(
         "--profile", default=None, metavar="DIR",

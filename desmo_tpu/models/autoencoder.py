@@ -205,6 +205,29 @@ def apply(
     return recon, latent, params["z"], ae_rec
 
 
+def frozen_latent_recon(params: Params, x_nm: jnp.ndarray, spec: AESpec):
+    """``(latent, recon_fn)`` for the SR/forecast chain on a trained AE model.
+
+    Encodes the TRAINING window once (the latent is a spatial map ``(n, r)``
+    — the encoder consumes each point's m-length time series, so it is only
+    defined on the window it was trained on) and returns a forward that
+    rebuilds only the temporal side: ``recon_fn(p) = A(latent) @ B(p)``,
+    where ``A`` is the dictionary on the frozen latent (reads ``p['c']`` /
+    ``p['c_trig']`` so channel zeroing applies) and ``B`` the temporal
+    matrix of ``p['z']`` / ``p['z_trig']`` — any column count, including a
+    forecast horizon past the window. Consumed by ``runner.run(holdout=...)``
+    via ``sr.forecast(recon_fn=...)``."""
+    factors = spec.factor_table()
+    latent, _ = encode_decode(params, jnp.asarray(x_nm))
+
+    def recon_fn(p: Params) -> jnp.ndarray:
+        A = _dictionary(p, latent, spec, factors)
+        B = desmo_model.temporal_matrix(p)
+        return jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST)
+
+    return latent, recon_fn
+
+
 def ae_orthogonality(latent: jnp.ndarray) -> jnp.ndarray:
     """``MSE(phi1 @ phi2^T, 0) = ||phi1||^2 ||phi2||^2 / n^2`` (``...py:861``)."""
     n = latent.shape[0]

@@ -264,14 +264,16 @@ def run(
     sharding-aware scanned chunk with ``parallel.param_shardings``. Build one
     with ``parallel.make_mesh`` or via the CLI's ``--mesh space=4,time=2``.
 
-    ``holdout`` (fourier + desmo variants; beyond reference): hold out the
+    ``holdout`` (all variants; beyond reference): hold out the
     LAST ``holdout`` fraction of snapshots, train on the rest, and score a
     genuine forecast at the held-out TIMES. The fourier variant evaluates
-    its trained time-continuous series there directly; the plain desmo
-    variant — whose z(t) are free per-snapshot parameters with no value at
-    unseen times — chains the DESMO-SR leg (``sr.forecast``: identify
+    its trained time-continuous series there directly; the desmo and ae
+    variants — whose z(t) are free per-snapshot parameters with no value at
+    unseen times — chain the DESMO-SR leg (``sr.forecast``: identify
     dz/dt = f(z) on the training window with STLSQ at reference defaults,
-    integrate past it, reconstruct through the active channels). Both splits
+    integrate past it, reconstruct through the active channels; the ae
+    variant reconstructs through its frozen encoder latent,
+    ``autoencoder.frozen_latent_recon``). Both splits
     are re-centered on the TRAIN window's temporal mean so no held-out
     statistic leaks into training. The held-out error lands in
     ``RunArtifacts.forecast`` and ``forecast.json`` (with per-snapshot
@@ -279,11 +281,11 @@ def run(
     """
     x_hold = None
     if holdout:
-        if cfg.variant not in ("fourier", "desmo"):
+        if cfg.variant not in ("fourier", "desmo", "ae"):
             raise ValueError(
                 "holdout forecasting needs the fourier variant (scores the "
-                "time-continuous series at held-out times) or the desmo "
-                f"variant (identified-dynamics forecast) — got {cfg.variant!r}"
+                "time-continuous series at held-out times) or the desmo/ae "
+                f"variants (identified-dynamics forecast) — got {cfg.variant!r}"
             )
         if not 0.0 < holdout < 0.5:
             raise ValueError(f"holdout must be in (0, 0.5), got {holdout}")
@@ -730,7 +732,7 @@ def run(
                 xd, recon, err, x_hold,
             )
         else:
-            # plain desmo: the trained z(t) cannot extrapolate — forecast via
+            # desmo/ae: the trained z(t) cannot extrapolate — forecast via
             # the identified dynamics (the DESMO-SR leg, chained in-run).
             # Cap the identified system at the 3r highest-energy channels:
             # rich models pass dozens of threshold-survivors whose fitted
@@ -738,14 +740,29 @@ def run(
             from desmo_tpu import sr as sr_mod
 
             params_host = checkpoint.device_fetch_tree(result.state.params)
+            sr_batch = {"x": jnp.asarray(x)}
+            if "pod_modes" in batch:  # absent for the AE variant
+                sr_batch["pod_modes"] = batch["pod_modes"]
+            recon_fn = None
+            latent_override = None
+            if cfg.variant == "ae":
+                # AE: freeze the encoder latent from the training window —
+                # the dictionary A(latent) is time-independent, only the
+                # temporal matrix changes under channel injection
+                from desmo_tpu.models import autoencoder as _ae
+
+                latent_override, recon_fn = _ae.frozen_latent_recon(
+                    params_host, sr_batch["x"], spec
+                )
             channels = sr_mod.top_channels(
-                sparsify.term_energies(params_host, spec=spec),
+                sparsify.term_energies(
+                    params_host, latent_override=latent_override, spec=spec
+                ),
                 max_channels=3 * spec.r,
             )
             rec = sr_mod.forecast(
-                params_host,
-                {"x": jnp.asarray(x), "pod_modes": batch["pod_modes"]},
-                spec, x_hold, channels=channels, stabilize=True,
+                params_host, sr_batch, spec, x_hold,
+                channels=channels, stabilize=True, recon_fn=recon_fn,
                 log=print if echo else None,
             )
             forecast = {

@@ -419,6 +419,7 @@ def identify_and_reinject(
     second_best_for: Sequence[int] = (),
     pysr_kwargs: Optional[dict] = None,
     gp_kwargs: Optional[dict] = None,
+    recon_fn: Optional[Callable] = None,
 ) -> SRResult:
     """The DESMO-SR pipeline on a trained (plain-variant) model:
 
@@ -437,6 +438,15 @@ def identify_and_reinject(
     3. integrate from z(0) with RK45 (...py:1228-1280);
     4. inject the simulated trajectories back into the model and report the
        reconstruction error before/after (...py:1350-1391).
+
+    ``recon_fn`` (optional): ``params -> (n, m') reconstruction`` — the
+    model's forward pass on an (injected) parameter dict, where ``m'``
+    follows the temporal blocks' column count. Defaults to the plain-desmo
+    forward (``desmo_model.apply`` on ``batch['pod_modes']``); the AE
+    variant passes a closure over its FROZEN encoder latent (the latent is
+    a spatial map computed from the training window — the dictionary
+    ``A(latent)`` is time-independent, so only the temporal matrix changes
+    under injection; see ``runner.run(holdout=...)``).
     """
     import jax.numpy as jnp
 
@@ -493,10 +503,12 @@ def identify_and_reinject(
             log(eq)
     z_sim = simulate(rhs, z_data[0], t)
 
+    if recon_fn is None:
+        recon_fn = lambda p: desmo_model.apply(p, batch["pod_modes"], spec)[0]
     injected = inject_channels(params, channels, z_sim.astype(np.float32))
     x = jnp.asarray(batch["x"])
-    recon0, _, _ = desmo_model.apply(params, batch["pod_modes"], spec)
-    recon1, _, _ = desmo_model.apply(injected, batch["pod_modes"], spec)
+    recon0 = recon_fn(params)
+    recon1 = recon_fn(injected)
     err0 = float(losses_mod.relative_frobenius_error(x, recon0))
     err1 = float(losses_mod.relative_frobenius_error(x, recon1))
     if log is not None:
@@ -522,6 +534,7 @@ def forecast(
     x_future: np.ndarray,
     log: Optional[Callable[[str], None]] = None,
     stabilize: bool = False,
+    recon_fn: Optional[Callable] = None,
     **identify_kwargs,
 ) -> dict:
     """Reduced-order FORECASTING via the identified dynamics (beyond
@@ -546,7 +559,11 @@ def forecast(
     from desmo_tpu import losses as losses_mod
     from desmo_tpu.models import desmo as desmo_model
 
-    res = identify_and_reinject(params, batch, spec, log=log, **identify_kwargs)
+    res = identify_and_reinject(
+        params, batch, spec, log=log, recon_fn=recon_fn, **identify_kwargs
+    )
+    if recon_fn is None:
+        recon_fn = lambda p: desmo_model.apply(p, batch["pod_modes"], spec)[0]
     rhs = res.rhs
     stabilized = False
     if stabilize and res.model is not None and res.model.degree == 1:
@@ -572,7 +589,7 @@ def forecast(
         z_trig=jnp.zeros((3, spec.r, h), jnp.float32),
     )
     injected = inject_channels(zeroed, res.channels, z_future.astype(np.float32))
-    recon_f, _, _ = desmo_model.apply(injected, batch["pod_modes"], spec)
+    recon_f = recon_fn(injected)
     err_f = float(
         losses_mod.relative_frobenius_error(jnp.asarray(x_future), recon_f)
     )
@@ -596,7 +613,7 @@ def forecast(
     injected_t = inject_channels(
         zeroed_t, res.channels, z_full[:m_train].astype(np.float32)
     )
-    recon_t, _, _ = desmo_model.apply(injected_t, batch["pod_modes"], spec)
+    recon_t = recon_fn(injected_t)
     per_t = np.asarray(
         losses_mod.per_snapshot_relative_error(jnp.asarray(batch["x"]), recon_t)
     )

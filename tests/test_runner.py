@@ -728,12 +728,6 @@ def test_run_fourier_holdout_forecast(tmp_path):
             tiny_cfg(), x, os.path.join(art.out_dir, pt), echo=False,
             forecast_after=36,
         )
-    # the AE variant has no forecasting leg: refuse loudly
-    with pytest.raises(ValueError, match="forecast"):
-        runner.run(
-            tiny_cfg("ae"), x, out_dir=str(tmp_path / "d"), make_figures=False,
-            echo=False, holdout=0.2,
-        )
     with pytest.raises(ValueError, match="holdout"):
         runner.run(
             cfg, x, out_dir=str(tmp_path / "e"), make_figures=False,
@@ -767,5 +761,36 @@ def test_run_desmo_holdout_forecast(tmp_path):
     assert len(f["per_snapshot_train_error"]) == 120
     assert len(f["per_snapshot_holdout_error"]) == 40
     assert os.path.exists(os.path.join(art.out_dir, "figures", "forecast.png"))
+    with open(os.path.join(art.out_dir, "forecast.json")) as fh:
+        assert json.load(fh) == f
+
+
+def test_run_ae_holdout_forecast(tmp_path):
+    """--holdout on the AE variant chains the same SR leg through the FROZEN
+    encoder latent (autoencoder.frozen_latent_recon): the dictionary on the
+    training-window latent is time-independent, so only the temporal blocks
+    change under channel injection/integration."""
+    n, m = 64, 160
+    s = np.linspace(0, 2 * np.pi, n)
+    t = np.linspace(0, 6 * np.pi, m)
+    x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
+    x = x.astype(np.float32)
+    cfg = dataclasses.replace(
+        tiny_cfg("ae"), n=n, m=m, num_epochs=2500, patience=600,
+        ae_recipe=True, ae_warmup_epochs=50,
+    )
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        holdout=0.25,
+    )
+    f = art.forecast
+    assert f is not None and f["engine"] == "stlsq"
+    assert f["m_train"] == 120 and f["m_holdout"] == 40
+    assert np.isfinite(f["holdout_error"])
+    assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
+    assert len(f["equations"]) == len(f["channels"]) > 0
+    # the cap holds: at r=2 the identified system has at most 6 channels
+    assert len(f["channels"]) <= 6
+    assert len(f["per_snapshot_holdout_error"]) == 40
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
