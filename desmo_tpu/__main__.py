@@ -638,10 +638,12 @@ def main(argv=None) -> int:
     )
     p_ev.add_argument(
         "--forecast-after", type=int, default=None, metavar="M",
-        help="fourier checkpoints (beyond reference): the checkpoint was "
-        "trained on the data's first M snapshots — score the trained "
-        "time-continuous series at the held-out times beyond M, no "
-        "retraining (train-mean re-centered, no leakage); adds a 'forecast' "
+        help="beyond reference: the checkpoint was trained on the data's "
+        "first M snapshots — score a forecast at the held-out times beyond "
+        "M, no retraining (train-mean re-centered, no leakage). Fourier "
+        "checkpoints evaluate the trained time-continuous series there; "
+        "desmo/ae checkpoints chain the DESMO-SR leg (STLSQ-identified "
+        "dz/dt integrated past the window, stabilized). Adds a 'forecast' "
         "record and, with --figures, the error-vs-horizon curve",
     )
 

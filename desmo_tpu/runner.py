@@ -732,52 +732,13 @@ def run(
                 xd, recon, err, x_hold,
             )
         else:
-            # desmo/ae: the trained z(t) cannot extrapolate — forecast via
-            # the identified dynamics (the DESMO-SR leg, chained in-run).
-            # Cap the identified system at the 3r highest-energy channels:
-            # rich models pass dozens of threshold-survivors whose fitted
-            # system is unstable under integration (sr.top_channels)
-            from desmo_tpu import sr as sr_mod
-
-            params_host = checkpoint.device_fetch_tree(result.state.params)
-            sr_batch = {"x": jnp.asarray(x)}
-            if "pod_modes" in batch:  # absent for the AE variant
-                sr_batch["pod_modes"] = batch["pod_modes"]
-            recon_fn = None
-            latent_override = None
-            if cfg.variant == "ae":
-                # AE: freeze the encoder latent from the training window —
-                # the dictionary A(latent) is time-independent, only the
-                # temporal matrix changes under channel injection
-                from desmo_tpu.models import autoencoder as _ae
-
-                latent_override, recon_fn = _ae.frozen_latent_recon(
-                    params_host, sr_batch["x"], spec
-                )
-            channels = sr_mod.top_channels(
-                sparsify.term_energies(
-                    params_host, latent_override=latent_override, spec=spec
-                ),
-                max_channels=3 * spec.r,
-            )
-            rec = sr_mod.forecast(
-                params_host, sr_batch, spec, x_hold,
-                channels=channels, stabilize=True, recon_fn=recon_fn,
+            # desmo/ae: the trained z(t) cannot extrapolate — chain the
+            # DESMO-SR leg in-run (_chained_forecast_record)
+            forecast = _chained_forecast_record(
+                cfg, spec, checkpoint.device_fetch_tree(result.state.params),
+                x, batch.get("pod_modes"), err, x_hold,
                 log=print if echo else None,
             )
-            forecast = {
-                "m_train": int(cfg.m),
-                "m_holdout": int(x_hold.shape[1]),
-                "train_error": err,
-                "holdout_error": rec["error_forecast"],
-                "engine": "stlsq",
-                "stabilized": rec["stabilized"],
-                "error_train_simulated": rec["error_train_simulated"],
-                "channels": [list(c) for c in rec["channels"]],
-                "equations": rec["equations"],
-                "per_snapshot_train_error": rec["per_snapshot_train_error"],
-                "per_snapshot_holdout_error": rec["per_snapshot_error"],
-            }
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
             json.dump(forecast, fh, indent=1)
         if echo:
@@ -884,6 +845,64 @@ def _fourier_forecast_record(
         "holdout_error": err_hold,
         "per_snapshot_train_error": per_train.tolist(),
         "per_snapshot_holdout_error": per_hold.tolist(),
+    }
+
+
+def _chained_forecast_record(
+    cfg,
+    spec,
+    params_host: dict,
+    x,
+    pod_modes,
+    err: float,
+    x_hold: np.ndarray,
+    log=None,
+) -> dict:
+    """Identified-dynamics forecast for the desmo/ae variants — shared by
+    ``run(holdout=...)`` and ``evaluate(forecast_after=...)``.
+
+    The trained z(t) are free per-snapshot parameters with no value at
+    unseen times, so the chain runs the DESMO-SR leg: STLSQ-identify
+    dz/dt = f(z) on the training window, integrate past it, reconstruct
+    through the active channels (``sr.forecast``, stabilized). The
+    identified system is capped at the 3r highest-energy channels
+    (``sr.top_channels``): rich models pass dozens of threshold-survivors
+    whose fitted system is unstable under integration. The AE variant
+    reconstructs through its FROZEN encoder latent
+    (``autoencoder.frozen_latent_recon``)."""
+    from desmo_tpu import sr as sr_mod
+
+    sr_batch = {"x": jnp.asarray(x)}
+    if pod_modes is not None:
+        sr_batch["pod_modes"] = pod_modes
+    recon_fn = None
+    latent_override = None
+    if cfg.variant == "ae":
+        latent_override, recon_fn = ae_model.frozen_latent_recon(
+            params_host, sr_batch["x"], spec
+        )
+    channels = sr_mod.top_channels(
+        sparsify.term_energies(
+            params_host, latent_override=latent_override, spec=spec
+        ),
+        max_channels=3 * spec.r,
+    )
+    rec = sr_mod.forecast(
+        params_host, sr_batch, spec, x_hold,
+        channels=channels, stabilize=True, recon_fn=recon_fn, log=log,
+    )
+    return {
+        "m_train": int(cfg.m),
+        "m_holdout": int(x_hold.shape[1]),
+        "train_error": err,
+        "holdout_error": rec["error_forecast"],
+        "engine": "stlsq",
+        "stabilized": rec["stabilized"],
+        "error_train_simulated": rec["error_train_simulated"],
+        "channels": [list(c) for c in rec["channels"]],
+        "equations": rec["equations"],
+        "per_snapshot_train_error": rec["per_snapshot_train_error"],
+        "per_snapshot_holdout_error": rec["per_snapshot_error"],
     }
 
 
@@ -998,21 +1017,17 @@ def evaluate(
     ReadAndInference figures (``DESMO-SR/...py:775-861``); ``mesh`` (the
     snapshot mesh from ``load_data``) enables point/voxel-located rendering.
 
-    ``forecast_after`` (fourier checkpoints only; beyond reference): the
+    ``forecast_after`` (all variants; beyond reference): the
     checkpoint was trained on the FIRST ``forecast_after`` snapshots of the
-    given series — score the trained time-continuous series at the held-out
-    times beyond that window, no retraining (the evaluate-side counterpart
-    of ``run(holdout=...)``; both splits re-centered on the train mean so no
-    held-out statistic leaks). Adds a ``forecast`` record to the result."""
+    given series — score a forecast at the held-out times beyond that
+    window, no retraining (the evaluate-side counterpart of
+    ``run(holdout=...)``; both splits re-centered on the train mean so no
+    held-out statistic leaks). Fourier checkpoints evaluate the trained
+    time-continuous series there; desmo/ae checkpoints chain the DESMO-SR
+    leg (``_chained_forecast_record``: STLSQ-identified dz/dt integrated
+    past the window). Adds a ``forecast`` record to the result."""
     x_hold = None
     if forecast_after:
-        if cfg.variant != "fourier":
-            raise ValueError(
-                "forecast_after needs the time-continuous fourier variant "
-                f"(got {cfg.variant!r}) — plain DESMO's z(t) are free "
-                "per-snapshot parameters with no value at unseen times "
-                "(use `sr --forecast` for identified-dynamics forecasting)"
-            )
         m_tr = int(forecast_after)
         if not 1 < m_tr < x.shape[1]:
             raise ValueError(
@@ -1069,10 +1084,17 @@ def evaluate(
         print(f"POD error with {2 * cfg.r} modes: {pod.pod_relative_error(x, p2)}")
     forecast = None
     if x_hold is not None:
-        forecast = _fourier_forecast_record(
-            params, batch["pod_modes"], spec, cfg.m,
-            batch["x"], recon, err, x_hold,
-        )
+        if cfg.variant == "fourier":
+            forecast = _fourier_forecast_record(
+                params, batch["pod_modes"], spec, cfg.m,
+                batch["x"], recon, err, x_hold,
+            )
+        else:
+            forecast = _chained_forecast_record(
+                cfg, spec, checkpoint.device_fetch_tree(params),
+                x, batch.get("pod_modes"), err, x_hold,
+                log=print if echo else None,
+            )
         if echo:
             print(
                 f"forecast: checkpoint trained on {cfg.m} snapshots, held "

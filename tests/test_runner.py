@@ -723,11 +723,6 @@ def test_run_fourier_holdout_forecast(tmp_path):
         rep["forecast"]["holdout_error"], f["holdout_error"], rtol=1e-5
     )
     assert rep["forecast"]["m_train"] == 36
-    with pytest.raises(ValueError, match="fourier"):
-        runner.evaluate(
-            tiny_cfg(), x, os.path.join(art.out_dir, pt), echo=False,
-            forecast_after=36,
-        )
     with pytest.raises(ValueError, match="holdout"):
         runner.run(
             cfg, x, out_dir=str(tmp_path / "e"), make_figures=False,
@@ -763,6 +758,18 @@ def test_run_desmo_holdout_forecast(tmp_path):
     assert os.path.exists(os.path.join(art.out_dir, "figures", "forecast.png"))
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
+    # evaluate-side chained forecast from the SAVED checkpoint (no
+    # retraining) reproduces the run-side scoring: same split/recentering,
+    # same POD rebuild, same STLSQ fit on the checkpointed z(t)
+    pt = next(n for n in os.listdir(art.out_dir) if n.endswith("_final.pt"))
+    rep = runner.evaluate(
+        cfg, x, os.path.join(art.out_dir, pt), echo=False, forecast_after=120,
+    )
+    assert rep["forecast"]["engine"] == "stlsq"
+    assert np.isclose(
+        rep["forecast"]["holdout_error"], f["holdout_error"], rtol=1e-4
+    )
+    assert rep["forecast"]["channels"] == f["channels"]
 
 
 def test_run_ae_holdout_forecast(tmp_path):
@@ -794,3 +801,14 @@ def test_run_ae_holdout_forecast(tmp_path):
     assert len(f["per_snapshot_holdout_error"]) == 40
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
+    # evaluate-side chained forecast from the SAVED AE checkpoint: the
+    # encoder weights round-trip through the .pt, so the frozen-latent
+    # reconstruction (and therefore the forecast) reproduces the run side
+    pt = next(n for n in os.listdir(art.out_dir) if n.endswith("_final.pt"))
+    rep = runner.evaluate(
+        cfg, x, os.path.join(art.out_dir, pt), echo=False, forecast_after=120,
+    )
+    assert np.isclose(
+        rep["forecast"]["holdout_error"], f["holdout_error"], rtol=1e-4
+    )
+    assert rep["forecast"]["channels"] == f["channels"]
