@@ -231,9 +231,18 @@ def cmd_sr(args) -> int:
     )
     sd = checkpoint.load_pt(args.checkpoint)
     # size the model from the checkpoint (the shipped SR checkpoint is r=2,
-    # P=2 on cylinder data whose training preset is r=4, P=3)
-    r, poly_order = checkpoint.infer_spec_dims(sd)
-    params = checkpoint.params_from_state_dict(sd, "desmo")
+    # P=2 on cylinder data whose training preset is r=4, P=3). AE checkpoints
+    # (detected by their MLP keys) run the SAME pipeline through the frozen
+    # encoder latent instead of POD modes.
+    from desmo_tpu.models import autoencoder as ae_model
+
+    is_ae = ae_model.is_ae_state_dict(sd)
+    if is_ae:
+        r, poly_order = ae_model.infer_spec_dims(sd)
+        params = ae_model.params_from_state_dict(sd, None)
+    else:
+        r, poly_order = checkpoint.infer_spec_dims(sd)
+        params = checkpoint.params_from_state_dict(sd, "desmo")
     x_future = None
     if getattr(args, "forecast", False):
         # the checkpoint was trained on the FIRST m_ckpt snapshots; the data
@@ -249,25 +258,48 @@ def cmd_sr(args) -> int:
         mu = x[:, :m_ckpt].mean(axis=1, keepdims=True)
         x_future = np.asarray(x[:, m_ckpt:] - mu)
         x = np.asarray(x[:, :m_ckpt] - mu)
-    spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
     import jax.numpy as jnp
 
-    # POD must be rebuilt EXACTLY as training built it — same method (sign
-    # convention) AND same construction (compute_pod factorizes at rank 2r
-    # then truncates; for 'randomized' a direct rank-r sketch would be a
-    # DIFFERENT random subspace, not just different signs). Default 'host' =
-    # the reference's np.linalg.svd (all imported .pt checkpoints); a
-    # checkpoint from `run --pod-method X` analyzes with `sr --pod-method X`.
-    cfg_pod = dataclasses.replace(
-        cfg, n=x.shape[0], m=x.shape[1], r=r, poly_order=poly_order,
-        pod_method=getattr(args, "pod_method", None) or "host",
-    )
-    p, _p2 = runner.compute_pod(cfg_pod, x)
-    batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
+    extra_kwargs = {}
+    if is_ae:
+        m_ckpt = int(np.asarray(params["z"]).shape[1])
+        if x.shape[1] != m_ckpt:
+            raise SystemExit(
+                f"AE checkpoint encoder expects m={m_ckpt} snapshots, data "
+                f"has {x.shape[1]} (use --forecast to score the columns "
+                "beyond the training window)"
+            )
+        spec = ae_model.AESpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
+        # no POD: the dictionary lives on the FROZEN encoder latent, and
+        # channel selection uses the latent-override term energies
+        from desmo_tpu import sparsify
+
+        latent, recon_fn = ae_model.frozen_latent_recon(params, jnp.asarray(x), spec)
+        energies = sparsify.term_energies(params, latent_override=latent, spec=spec)
+        extra_kwargs = dict(
+            channels=sr.active_channels(energies, args.energy_threshold),
+            recon_fn=recon_fn,
+        )
+        batch = {"x": jnp.asarray(x)}
+    else:
+        spec = desmo_model.DesmoSpec(x.shape[0], x.shape[1], r, poly_order, cfg.omega_init)
+        # POD must be rebuilt EXACTLY as training built it — same method (sign
+        # convention) AND same construction (compute_pod factorizes at rank 2r
+        # then truncates; for 'randomized' a direct rank-r sketch would be a
+        # DIFFERENT random subspace, not just different signs). Default 'host' =
+        # the reference's np.linalg.svd (all imported .pt checkpoints); a
+        # checkpoint from `run --pod-method X` analyzes with `sr --pod-method X`.
+        cfg_pod = dataclasses.replace(
+            cfg, n=x.shape[0], m=x.shape[1], r=r, poly_order=poly_order,
+            pod_method=getattr(args, "pod_method", None) or "host",
+        )
+        p, _p2 = runner.compute_pod(cfg_pod, x)
+        batch = {"x": jnp.asarray(x), "pod_modes": p.modes}
     sr_kwargs = dict(
         energy_threshold=args.energy_threshold,
         degree=args.degree,
         engine=args.engine,
+        **extra_kwargs,
         gp_kwargs=(
             {"niterations": args.gp_iters}
             if getattr(args, "gp_iters", None) is not None
@@ -652,7 +684,12 @@ def main(argv=None) -> int:
         parents=[backend],
     )
     p_sr.add_argument("--preset", required=True)
-    p_sr.add_argument("--checkpoint", required=True, help=".pt state_dict to analyze")
+    p_sr.add_argument(
+        "--checkpoint", required=True,
+        help=".pt state_dict to analyze (desmo or AE; AE checkpoints are "
+        "detected by their MLP keys and run through the frozen encoder "
+        "latent — no POD rebuild)",
+    )
     p_sr.add_argument("--data-dir", default=None)
     p_sr.add_argument("--npz", default=None)
     p_sr.add_argument("--synthetic", action="store_true")

@@ -375,6 +375,25 @@ _VECTOR_KEYS = {
 }
 
 
+def is_ae_state_dict(sd) -> bool:
+    """True when the state dict carries the ``SINDyAutoencoder`` MLP keys."""
+    return any(k.startswith("temporal_ae.") for k in sd)
+
+
+def infer_spec_dims(sd) -> tuple[int, int]:
+    """(r, poly_order) of an AE state dict — the read-and-infer counterpart
+    of ``checkpoint.infer_spec_dims`` (which keys off ``phi_list.*``; AE
+    checkpoints have no phi masks): r = latent width of the last encoder
+    layer, poly_order recovered from ``len(c_coef)`` = C(r + P, P)."""
+    last = 2 * len(ENCODER_WIDTHS)
+    r = int(np.asarray(sd[f"temporal_ae.encoder.{last}.weight"]).shape[0])
+    T = int(np.asarray(sd["c_coef"]).reshape(-1).shape[0])
+    for P in range(1, 13):
+        if library.num_poly_terms(r, P) == T:
+            return r, P
+    raise ValueError(f"no poly_order matches r={r}, len(c_coef)={T}")
+
+
 def params_from_state_dict(sd, spec: AESpec) -> Params:
     """Import a reference ``SINDyAutoencoder`` state_dict.
 

@@ -455,6 +455,72 @@ def test_cli_sr_forecast(tmp_path, capsys):
     assert os.path.exists(tmp_path / "figs" / "forecast.png")
 
 
+def test_cli_sr_ae_checkpoint_forecast(tmp_path, capsys):
+    """`sr --forecast` on an AE checkpoint: the CLI detects the MLP keys,
+    sizes (r, P) from the encoder/c_coef, and runs the identified-dynamics
+    chain through the FROZEN encoder latent (no POD rebuild)."""
+    import json as _json
+
+    from desmo_tpu import configs, runner
+    from desmo_tpu.__main__ import main as cli_main
+    from desmo_tpu.models import autoencoder as ae_model
+
+    npts, m_train, h = 48, 120, 30
+    s = np.linspace(0, 2 * np.pi, npts)
+    t = np.linspace(0, 6 * np.pi, m_train + h)
+    u = 2.0 + np.outer(np.sin(s), np.sin(t))
+    v = 2.0 + 0.5 * np.outer(np.cos(s), np.cos(t))
+    raw = np.zeros((3 * npts, m_train + h), np.float32)
+    raw[0::3] = u
+    raw[1::3] = v
+    np.savez(tmp_path / "x.npz", X=raw)
+
+    from desmo_tpu import data as data_mod
+
+    x_all, _ = data_mod.preprocess(raw, dim=2, magnitude=True, mean_subtract=False)
+    mu = x_all[:, :m_train].mean(axis=1, keepdims=True)
+    x_train = (x_all[:, :m_train] - mu).astype(np.float32)
+    cfg = configs.RunConfig(
+        name="clisrae", variant="ae", n=npts, m=m_train, r=2, poly_order=2,
+        omega_init=1.0, lr_omega=1.0, ae_beta=1e-3, num_epochs=2500,
+        patience=600, sched_every=10, log_every=1000, checkpoint_every=10_000,
+        ae_recipe=True, ae_warmup_epochs=50,
+    )
+    art = runner.run(
+        cfg, x_train, out_dir=str(tmp_path / "run"), make_figures=False,
+        echo=False,
+    )
+    pt = next(
+        os.path.join(art.out_dir, f)
+        for f in os.listdir(art.out_dir) if f.endswith("_final.pt")
+    )
+    # the saved state dict round-trips the MLP keys the CLI keys off
+    from desmo_tpu import checkpoint as ckpt_mod
+
+    assert ae_model.is_ae_state_dict(ckpt_mod.load_pt(pt))
+    assert ae_model.infer_spec_dims(ckpt_mod.load_pt(pt)) == (2, 2)
+
+    rc = cli_main([
+        "sr", "--preset", "cylinder", "--checkpoint", pt,
+        "--npz", str(tmp_path / "x.npz"), "--forecast", "--stabilize",
+        "--energy-threshold", "0.5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rec = _json.loads(
+        [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["m_train"] == m_train and rec["horizon"] == h
+    assert np.isfinite(rec["error_forecast"]) and rec["error_forecast"] < 1.0
+    assert len(rec["per_snapshot_error"]) == h
+    # without --forecast, mismatched data is refused with a clear message
+    with pytest.raises(SystemExit, match="encoder expects"):
+        cli_main([
+            "sr", "--preset", "cylinder", "--checkpoint", pt,
+            "--npz", str(tmp_path / "x.npz"),
+        ])
+
+
 def test_top_channels_caps_by_energy():
     """top_channels keeps the threshold-survivors when few, else the
     max_channels highest-energy ones — canonical order preserved."""
