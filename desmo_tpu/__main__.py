@@ -135,6 +135,7 @@ def cmd_run(args) -> int:
             resume_from=args.resume,
             device_mesh=device_mesh,
             holdout=getattr(args, "holdout", 0.0) or 0.0,
+            holdout_engine=getattr(args, "holdout_engine", None) or "stlsq",
         )
     summary = {
         "preset": cfg.name,
@@ -201,6 +202,7 @@ def cmd_evaluate(args) -> int:
         figures_dir=getattr(args, "figures", None),
         mesh=data_mesh,
         forecast_after=getattr(args, "forecast_after", None),
+        forecast_engine=getattr(args, "forecast_engine", None) or "stlsq",
     )
     summary = {k: v for k, v in out.items() if k != "sweep"}
     if "forecast" in summary:
@@ -576,6 +578,13 @@ def main(argv=None) -> int:
         "frozen encoder latent)",
     )
     p_run.add_argument(
+        "--holdout-engine", choices=("stlsq", "gp"), default="stlsq",
+        help="identification engine for the chained --holdout forecast "
+        "(desmo/ae variants): 'stlsq' (reference defaults) or 'gp' (the "
+        "built-in genetic symbolic regression — slower, but discovers "
+        "non-polynomial right-hand sides STLSQ cannot)",
+    )
+    p_run.add_argument(
         "--profile", default=None, metavar="DIR",
         help="capture a TensorBoard-compatible jax.profiler device trace of "
         "the whole run into DIR (use a small --epochs; traces grow with "
@@ -677,6 +686,11 @@ def main(argv=None) -> int:
         "desmo/ae checkpoints chain the DESMO-SR leg (STLSQ-identified "
         "dz/dt integrated past the window, stabilized). Adds a 'forecast' "
         "record and, with --figures, the error-vs-horizon curve",
+    )
+    p_ev.add_argument(
+        "--forecast-engine", choices=("stlsq", "gp"), default="stlsq",
+        help="identification engine for the chained --forecast-after "
+        "forecast on desmo/ae checkpoints (see run --holdout-engine)",
     )
 
     p_sr = sub.add_parser(

@@ -253,6 +253,7 @@ def run(
     echo: bool = True,
     device_mesh=None,
     holdout: float = 0.0,
+    holdout_engine: str = "stlsq",
 ) -> RunArtifacts:
     """Train + sparsify + report, mirroring the reference pipeline end to end.
 
@@ -278,6 +279,9 @@ def run(
     statistic leaks into training. The held-out error lands in
     ``RunArtifacts.forecast`` and ``forecast.json`` (with per-snapshot
     error vectors and, for desmo, the identified equations).
+    ``holdout_engine`` picks the identification engine for the chained leg
+    ('stlsq' default; 'gp' = the built-in genetic symbolic regression —
+    slower, but discovers non-polynomial right-hand sides STLSQ cannot).
     """
     x_hold = None
     if holdout:
@@ -737,7 +741,7 @@ def run(
             forecast = _chained_forecast_record(
                 cfg, spec, checkpoint.device_fetch_tree(result.state.params),
                 x, batch.get("pod_modes"), err, x_hold,
-                log=print if echo else None,
+                log=print if echo else None, engine=holdout_engine,
             )
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
             json.dump(forecast, fh, indent=1)
@@ -857,6 +861,8 @@ def _chained_forecast_record(
     err: float,
     x_hold: np.ndarray,
     log=None,
+    engine: str = "stlsq",
+    gp_kwargs: Optional[dict] = None,
 ) -> dict:
     """Identified-dynamics forecast for the desmo/ae variants — shared by
     ``run(holdout=...)`` and ``evaluate(forecast_after=...)``.
@@ -890,13 +896,14 @@ def _chained_forecast_record(
     rec = sr_mod.forecast(
         params_host, sr_batch, spec, x_hold,
         channels=channels, stabilize=True, recon_fn=recon_fn, log=log,
+        engine=engine, gp_kwargs=gp_kwargs,
     )
     return {
         "m_train": int(cfg.m),
         "m_holdout": int(x_hold.shape[1]),
         "train_error": err,
         "holdout_error": rec["error_forecast"],
-        "engine": "stlsq",
+        "engine": engine,
         "stabilized": rec["stabilized"],
         "error_train_simulated": rec["error_train_simulated"],
         "channels": [list(c) for c in rec["channels"]],
@@ -1001,6 +1008,7 @@ def evaluate(
     figures_dir: Optional[str] = None,
     mesh=None,
     forecast_after: Optional[int] = None,
+    forecast_engine: str = "stlsq",
 ) -> dict:
     """Load a ``.pt`` checkpoint (ours or the reference's), run inference, and
     report error + POD baselines + sparsification table — the reference's
@@ -1093,7 +1101,7 @@ def evaluate(
             forecast = _chained_forecast_record(
                 cfg, spec, checkpoint.device_fetch_tree(params),
                 x, batch.get("pod_modes"), err, x_hold,
-                log=print if echo else None,
+                log=print if echo else None, engine=forecast_engine,
             )
         if echo:
             print(

@@ -153,6 +153,7 @@ _SLOW = {
     "tests/test_runner.py::test_run_fourier_holdout_forecast",
     "tests/test_runner.py::test_run_desmo_holdout_forecast",
     "tests/test_runner.py::test_run_ae_holdout_forecast",
+    "tests/test_runner.py::test_run_desmo_holdout_forecast_gp_engine",
     "tests/test_sr.py::test_cli_sr_ae_checkpoint_forecast",
     "tests/test_ingest_formats.py::test_cli_run_hyper_sweep_defaults_seeds_to_grid",
 }

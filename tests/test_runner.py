@@ -772,6 +772,29 @@ def test_run_desmo_holdout_forecast(tmp_path):
     assert rep["forecast"]["channels"] == f["channels"]
 
 
+def test_run_desmo_holdout_forecast_gp_engine(tmp_path):
+    """--holdout-engine gp: the chained leg identifies dz/dt with the
+    built-in genetic symbolic regression instead of STLSQ (non-polynomial
+    right-hand sides become reachable); the record carries the engine."""
+    n, m = 64, 120
+    s = np.linspace(0, 2 * np.pi, n)
+    t = np.linspace(0, 6 * np.pi, m)
+    x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
+    x = x.astype(np.float32)
+    cfg = dataclasses.replace(
+        tiny_cfg(), n=n, m=m, num_epochs=2000, patience=600,
+    )
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
+        holdout=0.25, holdout_engine="gp",
+    )
+    f = art.forecast
+    assert f is not None and f["engine"] == "gp"
+    assert np.isfinite(f["holdout_error"])
+    assert len(f["equations"]) == len(f["channels"]) > 0
+    assert len(f["per_snapshot_holdout_error"]) == 30
+
+
 def test_run_ae_holdout_forecast(tmp_path):
     """--holdout on the AE variant chains the same SR leg through the FROZEN
     encoder latent (autoencoder.frozen_latent_recon): the dictionary on the
