@@ -31,6 +31,18 @@ def cmd_presets(_args) -> int:
     return 0
 
 
+def _forecast_summary(record: dict) -> dict:
+    """Headline scalars of a forecast record for the one-line CLI summary —
+    the per-snapshot vectors live in forecast.json / figures, and non-finite
+    errors (diverged integration) become null so the line stays valid JSON
+    (shared by cmd_run and cmd_evaluate)."""
+    from desmo_tpu import runner
+
+    return runner.json_finite(
+        {k: v for k, v in record.items() if not k.startswith("per_snapshot")}
+    )
+
+
 def _parse_mesh(spec_str):
     """'space=4[,time=2]' -> a ('space','time') jax.sharding.Mesh (or None)."""
     if not spec_str:
@@ -151,13 +163,7 @@ def cmd_run(args) -> int:
         "preempted": artifacts.preempted,
     }
     if artifacts.forecast is not None:
-        # headline scalars only — the per-snapshot vectors live in
-        # forecast.json (and figures/forecast.png), not the one-line summary
-        summary["forecast"] = {
-            k: v
-            for k, v in artifacts.forecast.items()
-            if not k.startswith("per_snapshot")
-        }
+        summary["forecast"] = _forecast_summary(artifacts.forecast)
     print(json.dumps(summary))
     return 0
 
@@ -206,13 +212,7 @@ def cmd_evaluate(args) -> int:
     )
     summary = {k: v for k, v in out.items() if k != "sweep"}
     if "forecast" in summary:
-        # headline scalars only in the one-line summary (figures/--save for
-        # the vectors)
-        summary["forecast"] = {
-            k: v
-            for k, v in summary["forecast"].items()
-            if not k.startswith("per_snapshot")
-        }
+        summary["forecast"] = _forecast_summary(summary["forecast"])
     print(_json.dumps(summary))
     return 0
 
@@ -241,7 +241,7 @@ def cmd_sr(args) -> int:
     is_ae = ae_model.is_ae_state_dict(sd)
     if is_ae:
         r, poly_order = ae_model.infer_spec_dims(sd)
-        params = ae_model.params_from_state_dict(sd, None)
+        params = ae_model.params_from_state_dict(sd)
     else:
         r, poly_order = checkpoint.infer_spec_dims(sd)
         params = checkpoint.params_from_state_dict(sd, "desmo")
@@ -277,7 +277,12 @@ def cmd_sr(args) -> int:
         from desmo_tpu import sparsify
 
         latent, recon_fn = ae_model.frozen_latent_recon(params, jnp.asarray(x), spec)
-        energies = sparsify.term_energies(params, latent_override=latent, spec=spec)
+        # mask_inactive_trig: tanh is masked out of the AE recon, so its
+        # untrained init-ones energies must not pass channel selection
+        energies = sparsify.mask_inactive_trig(
+            sparsify.term_energies(params, latent_override=latent, spec=spec),
+            spec,
+        )
         extra_kwargs = dict(
             channels=sr.active_channels(energies, args.energy_threshold),
             recon_fn=recon_fn,
@@ -333,9 +338,9 @@ def cmd_sr(args) -> int:
                 os.path.join(fig_dir, "forecast.png"),
             )
         print(f"channels: {rec['channels']}")
-        print(json.dumps(
+        print(json.dumps(runner.json_finite(
             {k: v for k, v in rec.items() if not isinstance(v, np.ndarray)}
-        ))
+        )))
         return 0
     result = sr.identify_and_reinject(params, batch, spec, **sr_kwargs)
     if fig_dir is not None:

@@ -394,11 +394,13 @@ def infer_spec_dims(sd) -> tuple[int, int]:
     raise ValueError(f"no poly_order matches r={r}, len(c_coef)={T}")
 
 
-def params_from_state_dict(sd, spec: AESpec) -> Params:
+def params_from_state_dict(sd) -> Params:
     """Import a reference ``SINDyAutoencoder`` state_dict.
 
     Torch Linear weights are (out, in); ours are (in, out) — transposed here.
     Sequential indices 0,2,4,... map to layer numbers (ReLUs hold no params).
+    Every shape comes from the state dict itself (see ``infer_spec_dims``
+    for recovering (r, poly_order)) — no spec needed.
     """
     params: Params = {}
     n_layers = len(ENCODER_WIDTHS) + 1

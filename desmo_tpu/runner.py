@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 from typing import Optional
 
@@ -730,33 +731,53 @@ def run(
         )
 
     if x_hold is not None:
-        if cfg.variant == "fourier":
-            forecast = _fourier_forecast_record(
-                result.state.params, batch["pod_modes"], spec, cfg.m,
-                xd, recon, err, x_hold,
-            )
-        else:
-            # desmo/ae: the trained z(t) cannot extrapolate — chain the
-            # DESMO-SR leg in-run (_chained_forecast_record)
-            forecast = _chained_forecast_record(
-                cfg, spec, checkpoint.device_fetch_tree(result.state.params),
-                x, batch.get("pod_modes"), err, x_hold,
-                log=print if echo else None, engine=holdout_engine,
-            )
+        try:
+            if cfg.variant == "fourier":
+                forecast = _fourier_forecast_record(
+                    result.state.params, batch["pod_modes"], spec, cfg.m,
+                    xd, recon, err, x_hold,
+                )
+            else:
+                # desmo/ae: the trained z(t) cannot extrapolate — chain the
+                # DESMO-SR leg in-run (_chained_forecast_record)
+                forecast = _chained_forecast_record(
+                    cfg, spec, checkpoint.device_fetch_tree(result.state.params),
+                    x, batch.get("pod_modes"), err, x_hold,
+                    log=print if echo else None, engine=holdout_engine,
+                )
+        except Exception as exc:
+            # The identify/integrate legs can legitimately fail (no channel
+            # above the selection threshold, RK45 step collapse on a
+            # diverging identified system). A failed forecast must NOT
+            # discard the training run's final checkpoint/sweep/figures —
+            # same invariant as the preemption path above: artifact writes
+            # beat fragile post-processing.
+            forecast = {
+                "m_train": int(cfg.m),
+                "m_holdout": int(x_hold.shape[1]),
+                "train_error": err,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
         with open(os.path.join(out_dir, "forecast.json"), "w") as fh:
-            json.dump(forecast, fh, indent=1)
+            json.dump(json_finite(forecast), fh, indent=1)
         if echo:
-            how = (
-                "trained series at held-out times"
-                if cfg.variant == "fourier"
-                else "identified dynamics integrated past the window"
-            )
-            print(
-                f"forecast ({how}): trained on {cfg.m} snapshots, held out "
-                f"{forecast['m_holdout']}; train err {err:.6f}, HELD-OUT err "
-                f"{forecast['holdout_error']:.6f} "
-                "(POD alone cannot forecast unseen times at all)"
-            )
+            if "error" in forecast:
+                print(
+                    "forecast FAILED (final artifacts still saved): "
+                    f"{forecast['error']}"
+                )
+            else:
+                how = (
+                    "trained series at held-out times"
+                    if cfg.variant == "fourier"
+                    else "identified dynamics integrated past the window"
+                )
+                print(
+                    f"forecast ({how}): trained on {cfg.m} snapshots, held out "
+                    f"{forecast['m_holdout']}; train err {err:.6f}, HELD-OUT err "
+                    f"{forecast['holdout_error']:.6f} "
+                    "(POD alone cannot forecast unseen times at all)"
+                )
 
     sweep = sparsify.threshold_sweep(
         result.state.params,
@@ -798,6 +819,24 @@ def run(
         preempted=getattr(result, "preempted", False),
         forecast=forecast,
     )
+
+
+def json_finite(obj):
+    """Replace non-finite floats with ``None``, recursively — the one
+    serialization-boundary guard for forecast records, whose errors come from
+    integrated trajectories and can legitimately be inf/nan (a diverged
+    identified system). ``json.dump`` would emit the literals
+    ``Infinity``/``NaN``, invalid per RFC 8259 and rejected by jq; same
+    convention as ensemble.json's null-for-diverged finals and the CLI's
+    null ``steps_per_sec``. In-memory records stay raw (figures difference
+    real float vectors); sanitize only at dump/print sites."""
+    if isinstance(obj, dict):
+        return {k: json_finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_finite(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
 
 
 def _to_state_dict(params: dict, variant: str) -> dict:
@@ -888,8 +927,14 @@ def _chained_forecast_record(
             params_host, sr_batch["x"], spec
         )
     channels = sr_mod.top_channels(
-        sparsify.term_energies(
-            params_host, latent_override=latent_override, spec=spec
+        # mask_inactive_trig: the AE forward masks tanh out of the recon, so
+        # its untrained init-ones energies must not crowd real channels out
+        # of the 3r cap (they'd be constant all-ones columns in STLSQ)
+        sparsify.mask_inactive_trig(
+            sparsify.term_energies(
+                params_host, latent_override=latent_override, spec=spec
+            ),
+            spec,
         ),
         max_channels=3 * spec.r,
     )
@@ -981,7 +1026,9 @@ def _figure_reports(
     else:
         z_plot = params["z"]
     viz.temporal_coefficients(np.asarray(z_plot), os.path.join(fig_dir, "temporal.png"))
-    if forecast is not None:
+    if forecast is not None and "per_snapshot_train_error" in forecast:
+        # a failed forecast leaves an error record with no vectors — the
+        # other figure reports still render
         viz.forecast_errors(
             forecast["per_snapshot_train_error"],
             forecast["per_snapshot_holdout_error"],
@@ -1047,26 +1094,29 @@ def evaluate(
         x = np.asarray(x[:, :m_tr] - mu_train)
     cfg = dataclasses.replace(cfg, n=x.shape[0], m=x.shape[1])
     sd = checkpoint.load_pt(checkpoint_path)
-    if cfg.variant != "ae":
-        # size the model from the CHECKPOINT — the reference trains different
-        # ranks per experiment (the shipped SR checkpoint is r=2, P=2 on
-        # cylinder data whose preset is r=4, P=3)
+    # size the model from the CHECKPOINT — the reference trains different
+    # ranks per experiment (the shipped SR checkpoint is r=2, P=2 on
+    # cylinder data whose preset is r=4, P=3); AE checkpoints infer from the
+    # encoder's last layer + len(c_coef) (ae_model.infer_spec_dims)
+    if cfg.variant == "ae":
+        r, poly_order = ae_model.infer_spec_dims(sd)
+    else:
         r, poly_order = checkpoint.infer_spec_dims(sd)
-        if (r, poly_order) != (cfg.r, cfg.poly_order):
-            if echo:
-                print(
-                    f"checkpoint is r={r}, P={poly_order} "
-                    f"(preset {cfg.r}, {cfg.poly_order}) — using checkpoint dims"
-                )
-            cfg = dataclasses.replace(cfg, r=r, poly_order=poly_order)
-        if cfg.variant == "fourier" and "z_list.0" in sd:
-            # series length = 2*nF + 1 coefficients per channel
-            nf = (int(np.asarray(sd["z_list.0"]).reshape(-1).shape[0]) - 1) // 2
-            if nf != cfg.n_fourier:
-                cfg = dataclasses.replace(cfg, n_fourier=nf)
+    if (r, poly_order) != (cfg.r, cfg.poly_order):
+        if echo:
+            print(
+                f"checkpoint is r={r}, P={poly_order} "
+                f"(preset {cfg.r}, {cfg.poly_order}) — using checkpoint dims"
+            )
+        cfg = dataclasses.replace(cfg, r=r, poly_order=poly_order)
+    if cfg.variant == "fourier" and "z_list.0" in sd:
+        # series length = 2*nF + 1 coefficients per channel
+        nf = (int(np.asarray(sd["z_list.0"]).reshape(-1).shape[0]) - 1) // 2
+        if nf != cfg.n_fourier:
+            cfg = dataclasses.replace(cfg, n_fourier=nf)
     spec, _params, _loss, _groups = build_model(cfg)
     if cfg.variant == "ae":
-        params = ae_model.params_from_state_dict(sd, spec)
+        params = ae_model.params_from_state_dict(sd)
     else:
         params = checkpoint.params_from_state_dict(sd, cfg.variant)
     # Imported checkpoints pair frozen phi masks with the SIGNS of the POD

@@ -88,6 +88,28 @@ def term_energies(params: dict, latent_override=None, spec=None) -> TermEnergies
     return TermEnergies(poly=np.asarray(poly), trig=np.asarray(trig))
 
 
+def mask_inactive_trig(energies: TermEnergies, spec) -> TermEnergies:
+    """Zero the energies of trig kinds the model's forward pass masks out of
+    the reconstruction (``AESpec.include_tanh=False``, the reference's AE
+    tanh exclusion, ``DESMO_AE/...py:709-712``).
+
+    The masked kinds' coefficients never train (the mask zeroes their
+    gradient exactly), so their raw init-ones energies can dominate the
+    table — ``~|1| * ||tanh(omega*latent)|| * sqrt(m)`` is far above any
+    selection threshold at real scale — while the channels are
+    mathematically guaranteed to contribute nothing. Channel SELECTION
+    (``sr.active_channels`` / ``sr.top_channels``) must see them as dead or
+    they crowd real channels out of a capped selection and feed constant
+    columns into STLSQ. The threshold-sweep tables keep the RAW energies
+    (that is the reference's own convention, pinned by test_golden_sweep).
+    """
+    if getattr(spec, "include_tanh", True):
+        return energies
+    trig = np.asarray(energies.trig).copy()
+    trig[2, :] = 0.0
+    return TermEnergies(poly=np.asarray(energies.poly), trig=trig)
+
+
 def zero_below_threshold(params: dict, energies: TermEnergies, threshold: float) -> dict:
     """Zero sparsity coefficients whose term energy < threshold (``CYL:1228-1238``)."""
     out = dict(params)

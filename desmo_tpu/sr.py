@@ -223,9 +223,16 @@ def stabilize_linear(model: SINDyModel) -> SINDyModel:
     clamped = np.where(lam.real > 0.0, 1j * lam.imag, lam)
     if np.allclose(clamped, lam):
         return model
+    # A NEAR-defective eigenbasis (nearly coincident eigenvalues, nearly
+    # parallel eigenvectors — common for marginally damped fitted
+    # oscillators) passes np.linalg.inv but amplifies the eigenvalue
+    # perturbation by cond(V): finite-but-garbage A_stab whose non-normal
+    # transients can be worse than the raw fit. Keep the raw fit instead.
+    if not np.all(np.isfinite(V)) or np.linalg.cond(V) > 1e8:
+        return model
     try:
         A_stab = np.real(V @ np.diag(clamped) @ np.linalg.inv(V))
-    except np.linalg.LinAlgError:  # defective eigenbasis: keep the raw fit
+    except np.linalg.LinAlgError:  # exactly defective eigenbasis
         return model
     if not np.all(np.isfinite(A_stab)):
         return model

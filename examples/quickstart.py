@@ -68,13 +68,16 @@ def main() -> int:
     import numpy as np
 
     f = art.forecast
-    for eq in f["equations"]:
-        print(eq)
-    in_window = float(np.median(f["per_snapshot_train_error"]))
-    print(f"held-out FORECAST ({f['m_holdout']} unseen snapshots, engine "
-          f"{f['engine']}{', stabilized' if f.get('stabilized') else ''}): "
-          f"rel err {f['holdout_error']:.4f} (same-model in-window median "
-          f"{in_window:.4f}; figures/forecast.png has the horizon curve)")
+    if "error" in f:  # contained failure — the run's artifacts still saved
+        print(f"forecast failed: {f['error']}")
+    else:
+        for eq in f["equations"]:
+            print(eq)
+        in_window = float(np.median(f["per_snapshot_train_error"]))
+        print(f"held-out FORECAST ({f['m_holdout']} unseen snapshots, engine "
+              f"{f['engine']}{', stabilized' if f.get('stabilized') else ''}): "
+              f"rel err {f['holdout_error']:.4f} (same-model in-window median "
+              f"{in_window:.4f}; figures/forecast.png has the horizon curve)")
 
     # -- 4. torch interchange round trip -----------------------------------
     pt = os.path.join(art.out_dir, "quickstart_export.pt")

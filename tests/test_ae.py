@@ -170,7 +170,7 @@ def test_golden_ae_checkpoint_roundtrip():
     m = sd["temporal_ae.encoder.0.weight"].shape[1]
     n = None  # not recorded in the checkpoint
     spec = ae.AESpec(n=1, m=m, r=2, poly_order=2)
-    params = ae.params_from_state_dict(sd, spec)
+    params = ae.params_from_state_dict(sd)
     assert params["z"].shape[1] == m
     back = ae.state_dict_from_params(params)
     assert set(back) == set(sd)

@@ -821,6 +821,9 @@ def test_run_ae_holdout_forecast(tmp_path):
     assert len(f["equations"]) == len(f["channels"]) > 0
     # the cap holds: at r=2 the identified system has at most 6 channels
     assert len(f["channels"]) <= 6
+    # tanh is masked out of the AE reconstruction (include_tanh=False), so
+    # its untrained channels must never be selected (mask_inactive_trig)
+    assert all(kind != "tanh" for kind, _ in f["channels"])
     assert len(f["per_snapshot_holdout_error"]) == 40
     with open(os.path.join(art.out_dir, "forecast.json")) as fh:
         assert json.load(fh) == f
@@ -835,3 +838,72 @@ def test_run_ae_holdout_forecast(tmp_path):
         rep["forecast"]["holdout_error"], f["holdout_error"], rtol=1e-4
     )
     assert rep["forecast"]["channels"] == f["channels"]
+
+
+def test_json_finite_sanitizes_nested_nonfinite():
+    """Forecast errors from a diverged integration can be inf/nan; the one
+    serialization-boundary guard replaces them with None (json.dump would
+    otherwise emit the non-RFC-8259 literals Infinity/NaN)."""
+    rec = {
+        "a": float("inf"),
+        "b": [1.5, float("nan"), {"c": -float("inf")}],
+        "d": "text",
+        "e": 3,
+    }
+    out = runner.json_finite(rec)
+    s = json.dumps(out)
+    assert "Infinity" not in s and "NaN" not in s
+    assert out["a"] is None
+    assert out["b"][0] == 1.5 and out["b"][1] is None
+    assert out["b"][2]["c"] is None
+    assert out["d"] == "text" and out["e"] == 3
+
+
+def test_run_holdout_forecast_failure_preserves_artifacts(tmp_path, monkeypatch):
+    """A failing chained forecast must NOT discard the training run's final
+    artifacts: identify/integrate legs can legitimately fail (no channel
+    above threshold, RK45 collapse on a diverging identified system), and
+    run() writes final_pt/state_final/sweep AFTER the forecast block. The
+    failure is contained into an error record instead."""
+    cfg = dataclasses.replace(tiny_cfg(), num_epochs=60, patience=30)
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=0)
+    x -= x.mean(axis=1, keepdims=True)
+
+    def boom(*a, **k):
+        raise RuntimeError("integration failed")
+
+    monkeypatch.setattr(runner, "_chained_forecast_record", boom)
+    art = runner.run(
+        cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False,
+        holdout=0.25,
+    )
+    assert art.forecast is not None
+    assert art.forecast["error"].endswith("integration failed")
+    # everything downstream of the forecast still ran and saved
+    assert any(n.endswith("_final.pt") for n in os.listdir(art.out_dir))
+    assert os.path.exists(os.path.join(art.out_dir, "state_final.npz"))
+    assert len(art.sweep) > 0
+    assert os.path.isdir(os.path.join(art.out_dir, "figures"))
+    with open(os.path.join(art.out_dir, "forecast.json")) as fh:
+        rec = json.load(fh)
+    assert rec["error"] == art.forecast["error"]
+    assert rec["m_train"] == art.forecast["m_train"]
+
+
+def test_evaluate_ae_checkpoint_with_nonpreset_dims(tmp_path):
+    """evaluate() sizes AE models from the CHECKPOINT (ae_model.
+    infer_spec_dims), not the preset: an AE checkpoint trained at a
+    poly_order the preset doesn't use must still reconstruct (previously an
+    opaque dot-shape crash)."""
+    from desmo_tpu.models import autoencoder as ae
+
+    cfg = tiny_cfg("ae")  # preset dims: r=2, poly_order=2
+    spec = ae.AESpec(n=cfg.n, m=cfg.m, r=2, poly_order=3)
+    params = ae.init_params(spec)
+    pt = str(tmp_path / "ae_nonpreset.pt")
+    checkpoint.save_pt(pt, ae.state_dict_from_params(params))
+    x = synthetic.separable_rank_k(cfg.n, cfg.m, k=2, seed=1)
+    x -= x.mean(axis=1, keepdims=True)
+    rep = runner.evaluate(cfg, x, pt, echo=False)
+    assert np.isfinite(rep["relative_error"])
+    assert len(rep["sweep"]) > 0

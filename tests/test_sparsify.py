@@ -134,3 +134,35 @@ def test_describe_nonzero_terms():
     assert ("phi1", 2.5) in terms
     assert ("sin(phi2)", -1.0) in terms
     assert len(terms) == 2
+
+
+def test_mask_inactive_trig_zeroes_masked_tanh_energies():
+    """Trig kinds the forward pass masks out of the reconstruction (AE's
+    include_tanh=False) never train, so their raw init-ones energies can
+    dominate the table — channel SELECTION must see them as dead or they
+    crowd real channels out of a capped selection (runner's 3r forecast cap)
+    and feed constant all-ones columns into STLSQ."""
+    from desmo_tpu.models import autoencoder as ae
+
+    e = sparsify.TermEnergies(
+        poly=np.array([2.0, 0.5]),
+        trig=np.array([[3.0, 0.1], [0.2, 4.0], [50.0, 60.0]]),
+    )
+    spec = ae.AESpec(n=8, m=12, r=2, poly_order=1)  # include_tanh=False
+    masked = sparsify.mask_inactive_trig(e, spec)
+    np.testing.assert_array_equal(masked.trig[2], 0.0)
+    np.testing.assert_array_equal(masked.trig[:2], np.asarray(e.trig)[:2])
+    np.testing.assert_array_equal(masked.poly, e.poly)
+    # the original table is untouched (sweep goldens keep RAW energies)
+    assert np.asarray(e.trig)[2, 0] == 50.0
+
+    # specs whose forward keeps tanh (plain desmo) pass through unchanged
+    plain = desmo.DesmoSpec(n=8, m=12, r=2, poly_order=1)
+    same = sparsify.mask_inactive_trig(e, plain)
+    np.testing.assert_array_equal(same.trig, e.trig)
+
+    # selection on the masked table never picks a dead tanh channel
+    from desmo_tpu import sr
+
+    top = sr.top_channels(masked, max_channels=3)
+    assert top and all(kind != "tanh" for kind, _ in top)

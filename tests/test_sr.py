@@ -563,3 +563,19 @@ def test_stabilize_linear_clamps_unstable_eigenvalues():
         sr.stabilize_linear(
             sr.SINDyModel(coefficients=coef, degree=2, feature_names=[])
         )
+
+
+def test_stabilize_linear_keeps_raw_fit_on_near_defective_eigenbasis():
+    """A NEARLY-defective eigenbasis passes np.linalg.inv but amplifies the
+    eigenvalue clamp by cond(V) — finite-but-garbage A_stab. The conditioning
+    guard (cond(V) > 1e8) must return the raw fit unchanged, as the docstring
+    promises for eigenbases 'too ill-conditioned to project through'."""
+    # eigenvalues 0.1 and 0.1+1e-9 (unstable -> clamp engages), eigenvectors
+    # nearly parallel: cond(V) ~ 2e11
+    A = np.array([[0.1, 100.0], [0.0, 0.1 + 1e-9]])
+    coef = np.concatenate([np.zeros((2, 1)), A], axis=1)
+    model = sr.SINDyModel(
+        coefficients=coef, degree=1, feature_names=["1", "z0", "z1"]
+    )
+    out = sr.stabilize_linear(model)
+    np.testing.assert_array_equal(out.coefficients, model.coefficients)
