@@ -103,14 +103,17 @@ def bench_ensemble(preset: str, steps: int, reps: int):
         0,
     )
     if S < 2:
-        return None
+        return {"skipped": f"packed kernel supports <2 seeds for {preset}"}
     x = synthetic.cylinder_wake(cfg.n, cfg.m, seed=0)
     batch = tc.prepare_batch(x, pod.pod(x, cfg.r).modes)
     # go through the central selection policy (CLAUDE.md: don't re-roll it);
     # None = the policy declines (non-TPU backend, chunk_method override)
     chunk = tc.select_ensemble_chunk(spec, cfg, S)
     if chunk is None:
-        return None
+        return {
+            "skipped": "select_ensemble_chunk declined "
+            "(non-TPU backend or chunk_method override)"
+        }
     eparams = ensemble.init_params(spec, S, seed=0, phi_sigma=0.02)
     state = jax.tree.map(jnp.array, ensemble.init_state(eparams, cfg, S))
     state, mets = chunk(state, batch, num_steps=steps)  # compile
@@ -177,13 +180,16 @@ def main() -> None:
     # the preset median measured minutes earlier is NOT comparable — re-probe
     # the single-seed chunk immediately before the packed one.
     def ensemble_entry(preset, steps):
+        # never let the ensemble extra block the headline — but never hide a
+        # failure either (round-4 verdict: a swallowed exception erased the
+        # packed-fourier claim's only hardware evidence)
         try:
             single = bench_preset(preset, steps=steps, reps=3)["median"]
             ens = bench_ensemble(preset, steps=steps, reps=5)
-        except Exception:
-            return None  # never let the ensemble extra block the headline
-        if ens is None:
-            return None
+        except Exception as e:
+            return {"error": repr(e)}
+        if "skipped" in ens:
+            return ens
         return {
             "metric": f"{preset} seed-packed mega-kernel, S={ens['n_seeds']} models/kernel",
             "value": round(ens["n_seeds"] * ens["median"], 2),
@@ -197,14 +203,46 @@ def main() -> None:
             "spread": ens,
         }
 
-    ens = ensemble_entry("aneurysm", steps=500)
-    if ens is not None:
-        out["ensemble"] = ens
+    # ALWAYS present: a measurement, {"skipped": why} or {"error": repr} —
+    # an absent key is indistinguishable from "never ran"
+    out["ensemble"] = ensemble_entry("aneurysm", steps=500)
     # fourier variant: seeds' series channels stack as kernel rows (S<=8)
-    fens = ensemble_entry("fourier_cylinder", steps=800)
-    if fens is not None:
-        out["ensemble_fourier"] = fens
+    out["ensemble_fourier"] = ensemble_entry("fourier_cylinder", steps=800)
     print(json.dumps(out))
+    print(_compact_line(out))
+
+
+def _compact_line(out: dict) -> str:
+    """Tail-proof summary: the driver stores only a 2000-char tail of bench
+    stdout, and round 4 lost the cylinder headline to that truncation (it was
+    the FIRST field of one long line). Emit a second, compact (<1 KB) JSON
+    line AFTER the full record carrying the headline + per-preset medians +
+    speedups + ensemble cost ratios, so the tail always contains the numbers
+    that matter. Consumers reading the LAST stdout line still get the
+    one-JSON-line contract (metric/value/unit/vs_baseline)."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "presets": {
+            name: [p["value"], p["vs_baseline"]]
+            for name, p in out.get("presets", {}).items()
+        },
+    }
+    for key in ("ensemble", "ensemble_fourier"):
+        e = out.get(key)
+        if e is None:
+            continue
+        if "error" in e or "skipped" in e:
+            compact[key] = e.get("error") or e.get("skipped")
+        else:
+            compact[key] = {
+                "n_seeds": e["spread"]["n_seeds"],
+                "cost_vs_single_x": e["cost_vs_single_x"],
+                "seed_throughput_x": e["seed_throughput_vs_sequential_x"],
+            }
+    return json.dumps(compact)
 
 
 def _tpu_alive(timeout_s: float = 240.0) -> bool:

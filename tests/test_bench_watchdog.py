@@ -97,6 +97,99 @@ def test_probe_honors_forced_platform(bench_mod, monkeypatch):
     assert bench_mod._tpu_alive(timeout_s=240.0)
 
 
+def test_compact_line_carries_headline_and_ensemble(bench_mod):
+    """Round-4 regression: the driver stores only a 2000-char stdout TAIL and
+    the cylinder headline (first field of one long JSON line) fell off it.
+    The compact line printed last must carry headline + per-preset medians +
+    ensemble ratios in <1 KB, and parse as the standard metric record."""
+    out = {
+        "metric": bench_mod.METRIC_HEADLINE,
+        "value": 14544.0,
+        "unit": "steps/s",
+        "vs_baseline": 519.4,
+        "presets": {
+            "aneurysm": {"value": 2417.0, "vs_baseline": 690.6, "mfu": {}},
+            "fourier_cylinder": {"value": 14709.0, "vs_baseline": 817.2},
+        },
+        "ensemble": {
+            "metric": "aneurysm seed-packed ...",
+            "value": 9506.0,
+            "cost_vs_single_x": 1.017,
+            "seed_throughput_vs_sequential_x": 3.93,
+            "spread": {"n_seeds": 4, "median": 2376.5, "iqr": [1, 2], "n": 5},
+        },
+        "ensemble_fourier": {"error": "RuntimeError('compile failed')"},
+    }
+    line = bench_mod._compact_line(out)
+    assert len(line) < 1024
+    c = json.loads(line)
+    assert c["metric"] == bench_mod.METRIC_HEADLINE
+    assert c["value"] == 14544.0 and c["vs_baseline"] == 519.4
+    assert c["presets"]["aneurysm"] == [2417.0, 690.6]
+    assert c["ensemble"] == {
+        "n_seeds": 4, "cost_vs_single_x": 1.017, "seed_throughput_x": 3.93,
+    }
+    # a failed extra stays VISIBLE in the tail, not silently absent
+    assert "compile failed" in c["ensemble_fourier"]
+
+
+def test_compact_line_real_full_sizes_fit_tail(bench_mod):
+    """With all 6 presets + both ensemble entries the compact line must stay
+    well under the 2000-char tail window."""
+    presets = {
+        n: {"value": 12345.67, "vs_baseline": 8765.43}
+        for n in bench_mod.BASELINES
+    }
+    out = {
+        "metric": bench_mod.METRIC_HEADLINE,
+        "value": 15000.12,
+        "unit": "steps/s",
+        "vs_baseline": 535.72,
+        "presets": presets,
+        "ensemble": {
+            "cost_vs_single_x": 1.017,
+            "seed_throughput_vs_sequential_x": 3.93,
+            "spread": {"n_seeds": 4},
+        },
+        "ensemble_fourier": {
+            "cost_vs_single_x": 1.031,
+            "seed_throughput_vs_sequential_x": 7.76,
+            "spread": {"n_seeds": 8},
+        },
+    }
+    assert len(bench_mod._compact_line(out)) < 1024
+
+
+def test_ensemble_entry_failures_are_visible(bench_mod, monkeypatch, capsys):
+    """bench.py:181-186 (round 4) swallowed ensemble failures into an absent
+    key; now an exception → {"error": repr} and a policy decline →
+    {"skipped": reason}, both present in the output dict."""
+    monkeypatch.setattr(
+        bench_mod, "bench_preset",
+        lambda preset, steps, reps: {"median": 100.0, "iqr": [1, 2], "n": reps},
+    )
+    calls = iter([
+        RuntimeError("mosaic http 500"),
+        {"skipped": "select_ensemble_chunk declined"},
+    ])
+
+    def fake_ens(preset, steps, reps):
+        item = next(calls)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    monkeypatch.setattr(bench_mod, "bench_ensemble", fake_ens)
+    bench_mod.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    full = json.loads(lines[0])
+    assert full["ensemble"] == {"error": "RuntimeError('mosaic http 500')"}
+    assert full["ensemble_fourier"]["skipped"].startswith("select_")
+    compact = json.loads(lines[1])
+    assert "mosaic http 500" in compact["ensemble"]
+
+
 def test_cmd_bench_exports_platform_env_and_abs_path(monkeypatch, tmp_path):
     """The CLI bench entry resolves bench.py absolutely (works from any cwd)
     and exports the platform override for the watchdog's subprocesses."""
