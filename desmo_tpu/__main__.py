@@ -137,11 +137,21 @@ def cmd_run(args) -> int:
         if getattr(args, "profile", None)
         else contextlib.nullcontext()
     )
+    out_dir = args.out_dir
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multihost: every process executes the same program; process 0's
+        # artifacts are canonical, the rest land in per-process subdirs so a
+        # shared filesystem sees no write collisions
+        import os
+
+        out_dir = os.path.join(out_dir, f"proc{jax.process_index()}")
     with trace_ctx:
         artifacts = runner.run(
             cfg,
             x,
-            out_dir=args.out_dir,
+            out_dir=out_dir,
             make_figures=not args.no_figures,
             mesh=mesh,
             resume_from=args.resume,
@@ -493,6 +503,31 @@ def main(argv=None) -> int:
         "--cpu-devices", type=int, default=None,
         help="number of virtual CPU devices (for mesh runs without TPUs)",
     )
+    backend.add_argument(
+        "--figure-format", default=None, choices=["png", "pdf", "svg"],
+        help="on-disk format for every rendered figure (default png; pdf "
+        "mirrors the reference's save_graphic PDFs, CYL:849)",
+    )
+    # multi-host (multi-process) cluster entry — SURVEY §5.8. Launch the
+    # SAME command on every host; --mesh then spans the global device set
+    # and the sharded chunk's reductions ride DCN. Values may also come from
+    # the TPU pod environment (jax.distributed auto-detection): pass a bare
+    # --multihost with no coordinator on Cloud TPU pods.
+    backend.add_argument(
+        "--multihost", nargs="?", const="", default=None, metavar="HOST:PORT",
+        help="join a multi-process cluster before backend init: coordinator "
+        "address (process 0's host:port), with --num-processes/--process-id; "
+        "bare --multihost defers all three to the cluster environment "
+        "(Cloud TPU auto-detection)",
+    )
+    backend.add_argument(
+        "--num-processes", type=int, default=None,
+        help="total process count of the --multihost cluster",
+    )
+    backend.add_argument(
+        "--process-id", type=int, default=None,
+        help="this process's index in the --multihost cluster",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("presets", help="list named experiment presets")
@@ -762,6 +797,22 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", args.platform)
         if args.cpu_devices:
             jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    if getattr(args, "figure_format", None):
+        from desmo_tpu import viz
+
+        viz.set_figure_format(args.figure_format)
+    if getattr(args, "multihost", None) is not None:
+        # must precede the first backend touch, after the platform override
+        from desmo_tpu import parallel
+
+        kw = {}
+        if args.multihost:
+            kw["coordinator_address"] = args.multihost
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        parallel.distributed_init(**kw)
     return {
         "presets": cmd_presets,
         "run": cmd_run,

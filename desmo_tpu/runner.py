@@ -886,8 +886,31 @@ def _fourier_forecast_record(
         "m_holdout": h,
         "train_error": err,
         "holdout_error": err_hold,
+        **_forecast_baselines(np.asarray(xd), np.asarray(x_hold)),
         "per_snapshot_train_error": per_train.tolist(),
         "per_snapshot_holdout_error": per_hold.tolist(),
+    }
+
+
+def _forecast_baselines(x_train: np.ndarray, x_hold: np.ndarray) -> dict:
+    """Trivial-predictor errors on the holdout window, for margin asserts.
+
+    ``baseline_zero_error`` is the zero predictor == the train-mean
+    predictor (the pipeline re-centers both windows on the TRAIN mean, so
+    the mean snapshot is exactly zero): relative Frobenius error is 1.0 by
+    construction, recorded as a computed value anyway so a future centering
+    change can't silently invalidate the tests' margins.
+    ``baseline_last_error`` persists the final training snapshot across the
+    holdout window — the standard persistence forecast, the weakest
+    non-degenerate comparator (the reference reports only in-window SR
+    re-infer error, DESMO-SR/...DynamicalSystemsFit.py:1381)."""
+    nrm = float(np.linalg.norm(x_hold))
+    last = x_train[:, -1:]
+    return {
+        "baseline_zero_error": float(np.linalg.norm(x_hold) / nrm),
+        "baseline_last_error": float(
+            np.linalg.norm(np.broadcast_to(last, x_hold.shape) - x_hold) / nrm
+        ),
     }
 
 
@@ -948,6 +971,7 @@ def _chained_forecast_record(
         "m_holdout": int(x_hold.shape[1]),
         "train_error": err,
         "holdout_error": rec["error_forecast"],
+        **_forecast_baselines(np.asarray(x), np.asarray(x_hold)),
         "engine": engine,
         "stabilized": rec["stabilized"],
         "error_train_simulated": rec["error_train_simulated"],

@@ -29,7 +29,28 @@ import matplotlib.pyplot as plt  # noqa: E402
 from desmo_tpu import library  # noqa: E402
 
 
+# Module-wide output format for every report (the reference saves its mode
+# figures as PDFs via `plotter.save_graphic(...pdf)`, CYL:849; PNG stays the
+# default for cheap inline inspection). Callers keep passing '.png' paths —
+# `_save` swaps the suffix so one switch covers every figure surface.
+FIGURE_FORMAT = "png"
+_FORMATS = ("png", "pdf", "svg")
+
+
+def set_figure_format(fmt: str) -> None:
+    """Select the on-disk format for all subsequently saved figures
+    (CLI: ``--figure-format``)."""
+    global FIGURE_FORMAT
+    fmt = fmt.lower().lstrip(".")
+    if fmt not in _FORMATS:
+        raise ValueError(f"figure format must be one of {_FORMATS}: {fmt!r}")
+    FIGURE_FORMAT = fmt
+
+
 def _save(fig, path: str) -> str:
+    base, ext = os.path.splitext(path)
+    if ext.lstrip(".").lower() != FIGURE_FORMAT:
+        path = f"{base}.{FIGURE_FORMAT}"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig.savefig(path, bbox_inches="tight", dpi=130)
     plt.close(fig)

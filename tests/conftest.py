@@ -156,6 +156,10 @@ _SLOW = {
     "tests/test_runner.py::test_run_desmo_holdout_forecast_gp_engine",
     "tests/test_sr.py::test_cli_sr_ae_checkpoint_forecast",
     "tests/test_ingest_formats.py::test_cli_run_hyper_sweep_defaults_seeds_to_grid",
+    # --- round-5 additions (~27 s GP run on the shipped checkpoint; ~55 s
+    # 2-process multihost cluster launch)
+    "tests/test_gp.py::test_gp_recovers_oscillator_structure_from_shipped_checkpoint",
+    "tests/test_multihost.py::test_two_process_cluster_matches_single_process",
 }
 
 

@@ -90,6 +90,35 @@ def test_cli_pod_streaming_matches_in_memory(tmp_path, capsys):
         )
 
 
+def test_cli_figure_format_pdf(tmp_path, capsys, monkeypatch):
+    """--figure-format pdf renders every report as PDF (the reference's
+    save_graphic emits per-term mode PDFs, DESMO/cylinder_flow/
+    DESMO-Cylinder.py:820-925); default stays PNG."""
+    import os
+
+    from desmo_tpu import viz
+
+    # the CLI sets a module-wide switch — register its restore
+    monkeypatch.setattr(viz, "FIGURE_FORMAT", viz.FIGURE_FORMAT)
+    d, m, _ = ir.gen_cylinder(str(tmp_path), n=60, m=12)
+    figs = str(tmp_path / "figs_pdf")
+    rc = cli_main([
+        "pod", "--preset", "cylinder", "--rank", "3",
+        "--data-dir", d, "--t-end", str(m),
+        "--method", "svd", "--figures", figs, "--figure-format", "pdf",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert {"pod_spectrum.pdf", "temporal.pdf", "modes.pdf"} <= set(
+        os.listdir(figs)
+    )
+    # PDF magic bytes, not a renamed PNG
+    with open(os.path.join(figs, "modes.pdf"), "rb") as fh:
+        assert fh.read(5) == b"%PDF-"
+    with pytest.raises(ValueError, match="figure format"):
+        viz.set_figure_format("gif")
+
+
 def test_cli_run_hyper_sweep_defaults_seeds_to_grid(tmp_path, capsys):
     """--sweep-beta/--sweep-lam without --seeds: the CLI defaults n_seeds to
     the combo-grid size and the run records the sweep in ensemble.json."""
