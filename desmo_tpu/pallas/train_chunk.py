@@ -659,6 +659,17 @@ def _make_kernel(
             if _ABLATE.get("noaxga"):
                 ax_s[:] = ax_s[:] + _d(Ah, xh, _AXD)
                 ga_s[:] = ga_s[:] + _d(Ah, Ah, _AXD)
+            elif _ABLATE.get("ga1pass"):
+                # candidate optimization (VERDICT r4 next #4): keep the full
+                # 3-pass contraction for ax (its X-cancellation terms need
+                # the ~5e-6 contract) but drop the hi/lo correction passes on
+                # the A Gram only (~2e-3 single-pass bf16). Splits the shared
+                # [X|A] concat, so the win is 2 passes of the ga half minus
+                # the lost fusion — measured, not assumed.
+                ax_s[:] = ax_s[:] + (
+                    _d(Ah, xh, _AXD) + _d(Ah, xl, _AXD) + _d(Al, xh, _AXD)
+                )
+                ga_s[:] = ga_s[:] + _d(Ah, Ah, _AXD)
             elif _ABLATE.get("noconcat"):
                 ax_s[:] = ax_s[:] + (
                     _d(Ah, xh, _AXD) + _d(Ah, xl, _AXD) + _d(Al, xh, _AXD)

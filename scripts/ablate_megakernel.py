@@ -54,6 +54,8 @@ def main():
         {"nogather": True},
         {"noderiv": True},
         {"nodlo": True},
+        {"ga1pass": True},
+        {"noconcat": True},
         {},
     ]
     base = None

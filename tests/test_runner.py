@@ -693,7 +693,11 @@ def test_run_fourier_holdout_forecast(tmp_path):
     m = 48
     x = synthetic.cylinder_wake(60, m, n_harmonics=2, seed=0, period_steps=16.0)
     cfg = dataclasses.replace(
-        tiny_cfg("fourier"), num_epochs=800, period_init=16.0,
+        # 8000 epochs: the fourier chain's binding constraint was training
+        # length, not structure — 800 epochs left holdout err at 0.88
+        # (near-vacuous); 8000 reaches 0.042 with a ~0 generalization gap
+        # (docs/RESULTS.md "chained-forecast quality bars"); ~15 s on CPU
+        tiny_cfg("fourier"), num_epochs=8000, period_init=16.0,
     )
     art = runner.run(
         cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False,
@@ -704,7 +708,11 @@ def test_run_fourier_holdout_forecast(tmp_path):
     assert f is not None
     assert f["m_train"] == 36 and f["m_holdout"] == 12
     assert np.isfinite(f["holdout_error"])
-    assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
+    # real quality bar (VERDICT r4 weak #3): measured 0.042 vs the zero
+    # predictor's 1.0 and last-snapshot persistence's 1.52
+    assert f["baseline_zero_error"] == pytest.approx(1.0, abs=1e-6)
+    assert f["holdout_error"] < 0.1 * f["baseline_zero_error"]
+    assert f["holdout_error"] < 0.1 * f["baseline_last_error"]
     assert f["train_error"] == art.relative_error
     # per-snapshot error vectors cover both windows (horizon growth report)
     assert len(f["per_snapshot_train_error"]) == 36
@@ -741,7 +749,12 @@ def test_run_desmo_holdout_forecast(tmp_path):
     x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
     x = x.astype(np.float32)
     cfg = dataclasses.replace(
-        tiny_cfg(), n=n, m=m, num_epochs=2500, patience=600,
+        # l1_lambda 5e-3: the chained leg needs a SPARSE model — at the
+        # default 1e-4 the fit spreads energy over more channels than the 3r
+        # cap keeps and the zeroed-inactive forecaster loses 0.76 of the
+        # train signal to truncation alone (docs/RESULTS.md "chained-forecast
+        # quality bars", round 5)
+        tiny_cfg(), n=n, m=m, num_epochs=2500, patience=600, l1_lambda=5e-3,
     )
     art = runner.run(
         cfg, x, out_dir=str(tmp_path), make_figures=True, echo=False,
@@ -751,7 +764,13 @@ def test_run_desmo_holdout_forecast(tmp_path):
     assert f is not None and f["engine"] == "stlsq"
     assert f["m_train"] == 120 and f["m_holdout"] == 40
     assert np.isfinite(f["holdout_error"])
-    assert f["holdout_error"] < 1.0  # beats predicting zero at unseen times
+    # real quality bar (VERDICT r4 weak #3): measured 0.075 vs the zero/
+    # train-mean predictor's 1.0 and last-snapshot persistence's 1.70 —
+    # pinned with ~3x headroom so a regression to baseline-level fails
+    assert f["baseline_zero_error"] == pytest.approx(1.0, abs=1e-6)
+    assert f["baseline_last_error"] > 1.0
+    assert f["holdout_error"] < 0.25 * f["baseline_zero_error"]
+    assert f["holdout_error"] < 0.15 * f["baseline_last_error"]
     assert len(f["equations"]) == len(f["channels"]) > 0
     assert len(f["per_snapshot_train_error"]) == 120
     assert len(f["per_snapshot_holdout_error"]) == 40
@@ -782,7 +801,7 @@ def test_run_desmo_holdout_forecast_gp_engine(tmp_path):
     x = np.outer(np.sin(s), np.sin(t)) + 0.6 * np.outer(np.cos(s), np.cos(t))
     x = x.astype(np.float32)
     cfg = dataclasses.replace(
-        tiny_cfg(), n=n, m=m, num_epochs=2000, patience=600,
+        tiny_cfg(), n=n, m=m, num_epochs=2000, patience=600, l1_lambda=5e-3,
     )
     art = runner.run(
         cfg, x, out_dir=str(tmp_path), make_figures=False, echo=False,
@@ -791,6 +810,10 @@ def test_run_desmo_holdout_forecast_gp_engine(tmp_path):
     f = art.forecast
     assert f is not None and f["engine"] == "gp"
     assert np.isfinite(f["holdout_error"])
+    # measured 0.45 (GP's single-expression-per-target selection keeps less
+    # of the multi-term RHS than STLSQ); still far from baseline-level
+    assert f["holdout_error"] < 0.65 * f["baseline_zero_error"]
+    assert f["holdout_error"] < 0.45 * f["baseline_last_error"]
     assert len(f["equations"]) == len(f["channels"]) > 0
     assert len(f["per_snapshot_holdout_error"]) == 30
 
