@@ -84,6 +84,15 @@ class RunConfig:
     # ~4e-6 relative vs the scanned chunk's mixed 4e-6/1e-7), 'scan' forces
     # the scanned chunk, 'megakernel' requires the mega-kernel
     chunk_method: str = "auto"
+    # mega-kernel only: compute the Gram of the dictionary (ga) in ONE bf16
+    # MXU pass instead of the hi/lo 3-pass form (~2e-3 relative on ga; the
+    # 3-pass ~5e-6 contract exists for the X-cancellation terms of ax, which
+    # KEEPS all three passes). Measured round 5 (docs/RESULTS.md): -3.7
+    # us/step on cylinder (68.8 -> 65.1, A/B same-window) with full-length
+    # convergence unchanged (err 0.0126 vs 0.0158 baseline, both in POD
+    # bounds). Default off: the kernel<->scan parity suites pin the 3-pass
+    # numerics; the cylinder preset opts in.
+    ga_single_pass: bool = False
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
     time_stride: int = 1  # channel subsamples every 2nd snapshot
@@ -139,6 +148,11 @@ CYLINDER = _register(
         num_epochs=100_000,
         patience=1000,
         sched_every=10,
+        # single-pass ga Gram: -3.7 us on this launch/VPU-bound step with
+        # full-length convergence verified equal-quality (round 5); the
+        # MXU-bound large presets keep the 3-pass default pending their own
+        # convergence evidence
+        ga_single_pass=True,
     )
 )
 

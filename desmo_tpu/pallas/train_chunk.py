@@ -659,13 +659,15 @@ def _make_kernel(
             if _ABLATE.get("noaxga"):
                 ax_s[:] = ax_s[:] + _d(Ah, xh, _AXD)
                 ga_s[:] = ga_s[:] + _d(Ah, Ah, _AXD)
-            elif _ABLATE.get("ga1pass"):
-                # candidate optimization (VERDICT r4 next #4): keep the full
-                # 3-pass contraction for ax (its X-cancellation terms need
-                # the ~5e-6 contract) but drop the hi/lo correction passes on
-                # the A Gram only (~2e-3 single-pass bf16). Splits the shared
-                # [X|A] concat, so the win is 2 passes of the ga half minus
-                # the lost fusion — measured, not assumed.
+            elif _ABLATE.get("ga1pass") or getattr(cfg, "ga_single_pass", False):
+                # keep the full 3-pass contraction for ax (its X-cancellation
+                # terms need the ~5e-6 contract) but drop the hi/lo
+                # correction passes on the A Gram only (~2e-3 single-pass
+                # bf16). Splits the shared [X|A] concat, so the win is 2
+                # passes of the ga half minus the lost fusion: measured -3.7
+                # us/step on cylinder with full-length convergence unchanged
+                # (configs.RunConfig.ga_single_pass; A/B + convergence
+                # evidence in docs/RESULTS.md round 5).
                 ax_s[:] = ax_s[:] + (
                     _d(Ah, xh, _AXD) + _d(Ah, xl, _AXD) + _d(Al, xh, _AXD)
                 )

@@ -949,17 +949,27 @@ def _chained_forecast_record(
         latent_override, recon_fn = ae_model.frozen_latent_recon(
             params_host, sr_batch["x"], spec
         )
+    # Variant-aware channel cap: 3r for desmo (the reference's SR leg works
+    # on 5 of 12 channels at r=2), but 5r for the AE — its dictionary terms
+    # share ONE learned latent, so they are strongly correlated and the fit
+    # spreads signed, partially-canceling energy across nearly all of them;
+    # at the 3r cap the zeroed-inactive forecaster loses MORE than the whole
+    # signal (measured train-window truncation err 1.21 at cap 3r vs 0.25 at
+    # 5r, holdout 1.07 -> 0.36 — docs/RESULTS.md "chained-forecast quality
+    # bars", round 5). 5r keeps every non-tanh channel at the reference's
+    # r=2/P=2 shape while still bounding rich models.
+    cap = (5 if cfg.variant == "ae" else 3) * spec.r
     channels = sr_mod.top_channels(
         # mask_inactive_trig: the AE forward masks tanh out of the recon, so
         # its untrained init-ones energies must not crowd real channels out
-        # of the 3r cap (they'd be constant all-ones columns in STLSQ)
+        # of the cap (they'd be constant all-ones columns in STLSQ)
         sparsify.mask_inactive_trig(
             sparsify.term_energies(
                 params_host, latent_override=latent_override, spec=spec
             ),
             spec,
         ),
-        max_channels=3 * spec.r,
+        max_channels=cap,
     )
     rec = sr_mod.forecast(
         params_host, sr_batch, spec, x_hold,

@@ -374,7 +374,16 @@ def test_sr_forecast_beats_zero_predictor():
     )
     assert rec["m_train"] == m_train and rec["horizon"] == h
     assert np.isfinite(rec["error_forecast"])
-    assert rec["error_forecast"] < 1.0  # beats predicting zero
+    # real quality bar (VERDICT r4 weak #3): measured 0.096 vs the zero
+    # predictor's 1.0 and last-snapshot persistence's 1.24 — pinned with
+    # ~2x headroom so a regression to baseline-level fails loudly
+    base_last = float(
+        np.linalg.norm(x_train[:, -1:] - x_full[:, m_train:])
+        / np.linalg.norm(x_full[:, m_train:])
+    )
+    assert base_last > 1.0
+    assert rec["error_forecast"] < 0.2  # zero predictor = 1.0
+    assert rec["error_forecast"] < 0.2 * base_last
     assert rec["error_forecast"] < max(
         3 * rec["error_train_simulated"], 0.5
     ), rec
@@ -423,6 +432,9 @@ def test_cli_sr_forecast(tmp_path, capsys):
         name="clisrf", variant="desmo", n=x_train.shape[0], m=m_train, r=2,
         poly_order=2, omega_init=1.0, lr_omega=1.0, num_epochs=2000,
         patience=600, sched_every=10, log_every=1000, checkpoint_every=10_000,
+        # sparse fit: the chained forecast is truncation-limited at the
+        # default l1 (docs/RESULTS.md "chained-forecast quality bars")
+        l1_lambda=1e-3,
     )
     spec = desmo_model.DesmoSpec(x_train.shape[0], m_train, 2, 2, 1.0)
     p = pod.pod(x_train, 2)
@@ -447,7 +459,9 @@ def test_cli_sr_forecast(tmp_path, capsys):
         [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     )
     assert rec["m_train"] == m_train and rec["horizon"] == h
-    assert np.isfinite(rec["error_forecast"]) and rec["error_forecast"] < 1.0
+    assert np.isfinite(rec["error_forecast"])
+    # real quality bar: measured 0.19 vs zero 1.0 / persistence 1.52
+    assert rec["error_forecast"] < 0.4
     # per-snapshot curves for both windows + the two figures
     assert len(rec["per_snapshot_error"]) == h
     assert len(rec["per_snapshot_train_error"]) == m_train
@@ -482,9 +496,13 @@ def test_cli_sr_ae_checkpoint_forecast(tmp_path, capsys):
     x_train = (x_all[:, :m_train] - mu).astype(np.float32)
     cfg = configs.RunConfig(
         name="clisrae", variant="ae", n=npts, m=m_train, r=2, poly_order=2,
-        omega_init=1.0, lr_omega=1.0, ae_beta=1e-3, num_epochs=2500,
-        patience=600, sched_every=10, log_every=1000, checkpoint_every=10_000,
-        ae_recipe=True, ae_warmup_epochs=50,
+        omega_init=1.0, lr_omega=1e-2, ae_beta=1e-3, num_epochs=2500,
+        patience=600, sched_every=1, log_every=1000, checkpoint_every=10_000,
+        # the converging AE configuration for O(1) synthetic data: plain
+        # init + tame omega lr (the recipe's clamps target preset-scale
+        # reference data and collapse to train err 1.0 here —
+        # docs/RESULTS.md round 5)
+        ae_recipe=False, l1_lambda=1e-6, seed=43,
     )
     art = runner.run(
         cfg, x_train, out_dir=str(tmp_path / "run"), make_figures=False,
@@ -511,7 +529,10 @@ def test_cli_sr_ae_checkpoint_forecast(tmp_path, capsys):
         [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     )
     assert rec["m_train"] == m_train and rec["horizon"] == h
-    assert np.isfinite(rec["error_forecast"]) and rec["error_forecast"] < 1.0
+    assert np.isfinite(rec["error_forecast"])
+    # real quality bar: measured 0.15 on the converged model (train err
+    # 0.033) vs zero 1.0 / persistence 1.52
+    assert rec["error_forecast"] < 0.5
     assert len(rec["per_snapshot_error"]) == h
     # without --forecast, mismatched data is refused with a clear message
     with pytest.raises(SystemExit, match="encoder expects"):
