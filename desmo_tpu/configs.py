@@ -48,7 +48,10 @@ class RunConfig:
     # capped at 1e-3, an AE-only warmup phase of ae_warmup_epochs, then joint
     # training with data-scaled omega and proportionally scaled lr_omega.
     ae_recipe: bool = False
-    ae_warmup_epochs: int = 6000
+    # 2000 = the round-5 full-length hyper-sweep winner (with the recipe's
+    # ae_beta floor of 10): err 0.1216 at the POD(4)=0.1228 bracket on the
+    # synthetic cylinder — scripts/ae_hyper_sweep.py, docs/RESULTS.md
+    ae_warmup_epochs: int = 2000
     # --- optimizer groups, order = GROUP_ORDER (CYL:592-612) ---
     lr_coef: float = 1e-2
     lr_phi: float = 1e-3

@@ -167,6 +167,21 @@ def reconstruct(params: dict, batch: dict, spec, variant: str) -> jnp.ndarray:
     return desmo_model.apply(params, batch["pod_modes"], spec)[0]
 
 
+def ae_recipe_cfg(cfg):
+    """The --ae-recipe hyperparameter clamps, applied after the live init:
+    MLP lr capped at 1e-3 (at the preset's 1e-2 the encoder collapses to
+    spatially-constant latents within ~500 epochs) and the auxiliary
+    reconstruction weight floored at 10 — it anchors the latents against
+    the rec term's collapse-to-constant pull, and the round-5 full-length
+    hyper sweep (scripts/ae_hyper_sweep.py, ae_beta x warmup grid,
+    docs/RESULTS.md) measured the floor of 10 with warmup 2000 at err
+    0.1216 — the POD(4)=0.1228 bracket the round-3/4 point (beta 1,
+    warmup 6000, err 0.17-0.19) missed."""
+    return dataclasses.replace(
+        cfg, lr_z=min(cfg.lr_z, 1e-3), ae_beta=max(cfg.ae_beta, 10.0)
+    )
+
+
 def fourier_period_multistart(
     cfg, params, batch, loss_fn, groups, chunk=None, log=None,
     param_shardings=None,
@@ -441,13 +456,7 @@ def run(
         # 4. data-scaled omega from the warmed latents, lr_omega scaled to
         #    keep the reference's 1% relative omega step.
         params = ae_model.init_params_live(spec, seed=cfg.seed)
-        # the auxiliary reconstruction anchors the latents against the rec
-        # term's collapse-to-constant pull; the preset's 1e-3 is too weak to
-        # hold once the dictionary objective joins (measured: rec stalls at
-        # the variance floor with 1e-3, reaches ~0.04 with 1.0)
-        cfg = dataclasses.replace(
-            cfg, lr_z=min(cfg.lr_z, 1e-3), ae_beta=max(cfg.ae_beta, 1.0)
-        )
+        cfg = ae_recipe_cfg(cfg)
         loss_fn = ae_model.build_loss(
             spec, cfg.beta, cfg.l1_lambda, cfg.ae_beta,
             method=resolve_loss_method(cfg),

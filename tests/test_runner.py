@@ -226,6 +226,24 @@ def test_cli_mesh_run(tmp_path):
     assert np.isfinite(summary["relative_error"])
 
 
+def test_ae_recipe_hypers_are_the_sweep_winner():
+    """The shipped recipe point is the round-5 full-length hyper-sweep
+    winner (scripts/ae_hyper_sweep.py on the synthetic cylinder: ae_beta 10
+    / warmup 2000 -> err 0.1216, at the POD(4)=0.1228 bracket; the round-3
+    hand-tuned point beta 1 / warmup 6000 measured 0.17). Pins both the
+    config default and the runner's clamp so a silent regression to the old
+    point fails."""
+    cfg = configs.get("ae_cylinder")
+    assert cfg.ae_warmup_epochs == 2000
+    eff = runner.ae_recipe_cfg(cfg)
+    assert eff.ae_beta == 10.0
+    assert eff.lr_z <= 1e-3
+    # an explicit stronger ae_beta is respected, not clamped down
+    assert runner.ae_recipe_cfg(
+        dataclasses.replace(cfg, ae_beta=30.0)
+    ).ae_beta == 30.0
+
+
 def test_run_ae_recipe(tmp_path):
     """--ae-recipe path: live init + AE-only warmup + data-scaled omega wired
     through runner.run (tiny shapes; asserts the recipe's omega replaced the
