@@ -1805,7 +1805,23 @@ def make_fused_ensemble_chunk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if streamed is None:
-        streamed = not interpret and not resident_fits(spec, cfg, bt)
+        # The PACKED fourier kernel hits Mosaic's 16 MB SCOPED-stack vmem
+        # pool before the ~30 MB total-VMEM budget: measured on
+        # fourier_cylinder (n=3961, m=1001, 2026-08-20) the resident stack
+        # is ~13.9 MB + ~0.94 MB/seed (S=4: 17.61M, S=8: 21.36M — compile
+        # OOM "scoped allocation ... limit 16.00M"; this is what silently
+        # erased BENCH_r04's ensemble_fourier entry). The streamed transport
+        # moves the state scratch to HBM and S=8 compiles AND runs (9.6k
+        # packed steps/s measured). Packed desmo is unaffected (cylinder
+        # S=2 resident compiles). Single-seed keeps the 30 MB budget — its
+        # resident kernel fits the scoped pool at these shapes.
+        fourier_packed = (
+            getattr(cfg, "variant", "desmo") == "fourier" and n_seeds > 1
+        )
+        budget = 16.0 if fourier_packed else 30.0
+        streamed = not interpret and not resident_fits(
+            spec, cfg, bt, vmem_budget_mb=budget
+        )
     transport = "resident" if not streamed else ("emul" if interpret else "aliased")
     r, P = spec.r, spec.poly_order
     T = spec.num_poly_terms
