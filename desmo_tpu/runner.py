@@ -176,7 +176,10 @@ def ae_recipe_cfg(cfg):
     hyper sweep (scripts/ae_hyper_sweep.py, ae_beta x warmup grid,
     docs/RESULTS.md) measured the floor of 10 with warmup 2000 at err
     0.1216 — the POD(4)=0.1228 bracket the round-3/4 point (beta 1,
-    warmup 6000, err 0.17-0.19) missed."""
+    warmup 6000, err 0.17-0.19) missed. The landscape is chaotic
+    (seed/run sensitive; RESULTS.md "Seed/run robustness"): reaching the
+    POD(4) class reliably takes a small sequential multi-start picking
+    the best REC — each full-length AE run is ~2 min on the chip."""
     return dataclasses.replace(
         cfg, lr_z=min(cfg.lr_z, 1e-3), ae_beta=max(cfg.ae_beta, 10.0)
     )
