@@ -93,8 +93,9 @@ class RunConfig:
     # KEEPS all three passes). Measured round 5 (docs/RESULTS.md): -3.7
     # us/step on cylinder (68.8 -> 65.1, A/B same-window) with full-length
     # convergence unchanged (err 0.0126 vs 0.0158 baseline, both in POD
-    # bounds). Default off: the kernel<->scan parity suites pin the 3-pass
-    # numerics; the cylinder preset opts in.
+    # bounds); +17-19% steps/s on the MXU-bound presets with errors in POD
+    # bounds at 30k epochs. Default off: the kernel<->scan parity suites pin
+    # the 3-pass numerics; every mega-kernel preset opts in.
     ga_single_pass: bool = False
     # --- preprocessing (SURVEY §2.2) ---
     scale_inv_sqrt_m: bool = False  # aneurysm runs scale X by 1/sqrt(m)
@@ -152,9 +153,7 @@ CYLINDER = _register(
         patience=1000,
         sched_every=10,
         # single-pass ga Gram: -3.7 us on this launch/VPU-bound step with
-        # full-length convergence verified equal-quality (round 5); the
-        # MXU-bound large presets keep the 3-pass default pending their own
-        # convergence evidence
+        # full-length convergence verified equal-quality (round 5)
         ga_single_pass=True,
     )
 )
@@ -176,6 +175,9 @@ ANEURYSM = _register(
         sched_every=1,
         scale_inv_sqrt_m=True,
         dim=3,  # aneurysm keeps 3 components for the magnitude (DESMO_ICA_norm.py:104-127)
+        # round-5 measured: +17% steps/s, err 0.059 vs 0.047 at 30k epochs,
+        # both deep in POD bounds (docs/RESULTS.md "single-pass ga")
+        ga_single_pass=True,
     )
 )
 
@@ -197,6 +199,8 @@ CHANNEL = _register(
         time_stride=2,
         dim=3,  # channel converts 3-component data to magnitude (...py:170-178)
         run_greedy_prune=True,
+        # round-5 measured: +19% steps/s, err in POD bounds (docs/RESULTS.md)
+        ga_single_pass=True,
     )
 )
 
@@ -216,6 +220,9 @@ FOURIER_CYLINDER = _register(
         num_epochs=90_000,
         patience=1000,
         sched_every=10,
+        # round-5 measured: err bit-close (0.1043 vs 0.1063), large
+        # throughput win (docs/RESULTS.md "single-pass ga")
+        ga_single_pass=True,
     )
 )
 
@@ -237,6 +244,8 @@ FOURIER_ANEURYSM = _register(
         sched_every=1,
         scale_inv_sqrt_m=True,
         dim=3,
+        # round-5 measured: +18% steps/s, err 0.12808 vs 0.12816 (docs/RESULTS.md)
+        ga_single_pass=True,
     )
 )
 

@@ -46,8 +46,9 @@ def main():
     )
     rows = []
     for ae_beta, warmup, s in grid:
-        # NOTE: the recipe clamps ae_beta to >= 1.0 and lr_z to <= 1e-3
-        # (runner.run recipe block) — sweep values below those are inert.
+        # NOTE: the recipe clamps ae_beta to >= 10.0 and lr_z to <= 1e-3
+        # (runner.ae_recipe_cfg; the floor IS this sweep's winner) — sweep
+        # values below those are inert.
         cfg = dataclasses.replace(
             base,
             ae_recipe=True,
