@@ -1432,6 +1432,24 @@ def resident_fits(spec, cfg, bt: int = _BT_DEFAULT, vmem_budget_mb: float = 30.0
     return state + init_streams + b_state + x_stream + 2.0 < vmem_budget_mb
 
 
+def packed_resident_fits(spec, cfg, bt: int = _BT_DEFAULT, n_seeds: int = 1) -> bool:
+    """Resident-mode feasibility for the SEED-PACKED kernel.
+
+    The PACKED fourier kernel hits Mosaic's 16 MB SCOPED-stack vmem pool
+    before the ~30 MB total-VMEM budget ``resident_fits`` models: measured
+    on fourier_cylinder (n=3961, m=1001, 2026-08-20) the resident stack is
+    ~13.9 MB + ~0.94 MB/seed (S=4: 17.61M, S=8: 21.36M — compile OOM
+    "scoped allocation ... limit 16.00M"; this is what silently erased
+    BENCH_r04's ensemble_fourier entry). The streamed transport moves the
+    state scratch to HBM and S=8 compiles AND runs (measured 1.13-1.16x
+    single-seed cost = ~7x seed throughput). Packed desmo is unaffected
+    (cylinder S=2 resident compiles); single-seed keeps the 30 MB budget —
+    its resident kernel fits the scoped pool at these shapes."""
+    fourier_packed = getattr(cfg, "variant", "desmo") == "fourier" and n_seeds > 1
+    budget = 16.0 if fourier_packed else 30.0
+    return resident_fits(spec, cfg, bt, vmem_budget_mb=budget)
+
+
 def prepare_batch(x, pod_modes, bt: int = _BT_DEFAULT, bm: int = LANES, n_mult: int | None = None):
     """Pad + hi/lo-split X once, outside the chunk, to (bt, bm) multiples;
     returns the batch dict the mega-kernel consumes. ``n_mult`` overrides the
@@ -1805,22 +1823,8 @@ def make_fused_ensemble_chunk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if streamed is None:
-        # The PACKED fourier kernel hits Mosaic's 16 MB SCOPED-stack vmem
-        # pool before the ~30 MB total-VMEM budget: measured on
-        # fourier_cylinder (n=3961, m=1001, 2026-08-20) the resident stack
-        # is ~13.9 MB + ~0.94 MB/seed (S=4: 17.61M, S=8: 21.36M — compile
-        # OOM "scoped allocation ... limit 16.00M"; this is what silently
-        # erased BENCH_r04's ensemble_fourier entry). The streamed transport
-        # moves the state scratch to HBM and S=8 compiles AND runs (9.6k
-        # packed steps/s measured). Packed desmo is unaffected (cylinder
-        # S=2 resident compiles). Single-seed keeps the 30 MB budget — its
-        # resident kernel fits the scoped pool at these shapes.
-        fourier_packed = (
-            getattr(cfg, "variant", "desmo") == "fourier" and n_seeds > 1
-        )
-        budget = 16.0 if fourier_packed else 30.0
-        streamed = not interpret and not resident_fits(
-            spec, cfg, bt, vmem_budget_mb=budget
+        streamed = not interpret and not packed_resident_fits(
+            spec, cfg, bt, n_seeds
         )
     transport = "resident" if not streamed else ("emul" if interpret else "aliased")
     r, P = spec.r, spec.poly_order

@@ -50,6 +50,32 @@ def problem(S=3, n=96, m=40, r=2, P=2, bt=32, lr_omega=0.1, omega_init=1.0):
     return cfg, spec, params, batch
 
 
+def test_packed_resident_transport_policy():
+    """The packed fourier kernel must auto-select the STREAMED transport at
+    cylinder scale: Mosaic's 16 MB scoped-stack pool OOMs the resident form
+    at ~13.9 MB + 0.94 MB/seed (measured 2026-08-20; the silent eraser of
+    BENCH_r04's ensemble_fourier entry). Packed desmo and single-seed
+    fourier keep the 30 MB resident budget; tiny CI shapes stay resident."""
+    fcfg = configs.get("fourier_cylinder")
+    fspec = fourier_model.FourierSpec(
+        fcfg.n, fcfg.m, fcfg.r, fcfg.poly_order, fcfg.omega_init,
+        fcfg.n_fourier, fcfg.period_init,
+    )
+    # single-seed resident fits (the shipped 14.7k st/s kernel)...
+    assert train_chunk.packed_resident_fits(fspec, fcfg, n_seeds=1)
+    # ...but ANY packed fourier at this scale must stream
+    assert not train_chunk.packed_resident_fits(fspec, fcfg, n_seeds=2)
+    assert not train_chunk.packed_resident_fits(fspec, fcfg, n_seeds=8)
+    # packed desmo at cylinder scale stays resident (S=2 compiles, measured)
+    dcfg = configs.get("cylinder")
+    dspec = desmo.DesmoSpec(dcfg.n, dcfg.m, dcfg.r, dcfg.poly_order)
+    assert train_chunk.packed_resident_fits(dspec, dcfg, n_seeds=2)
+    # tiny CI shapes: resident for any variant/pack
+    tiny = fourier_model.FourierSpec(96, 40, 2, 2, 1.0, 3, 40.0)
+    tcfg = dataclasses.replace(fcfg, n=96, m=40)
+    assert train_chunk.packed_resident_fits(tiny, tcfg, n_seeds=8)
+
+
 def test_supports_packed_bounds():
     cfg = configs.get("aneurysm")
     spec = desmo.DesmoSpec(100, 50, 4, 2)  # K=27
